@@ -1,0 +1,255 @@
+"""The frame function: primary rays -> shading -> TAA -> SVGF present.
+
+TPU-native counterpart of the per-pixel megakernel + present pass
+(reference: shaders/rt/rt.frag:50-197, rt_present.frag:231-266,
+src/render/render.cpp:55-243).  Differences by design:
+
+  * everything is one jitted array program over the whole [H,W] grid —
+    the two GL draw calls collapse into a single XLA computation;
+  * the primary hit is traced once and reused across the SPP loop (the
+    reference re-traces the identical primary ray every sample,
+    rt.frag:84-86; hoisting is observationally identical because tracing
+    is deterministic — only the shading RNG varies per sample);
+  * ping-pong accumulation becomes functional state with buffer donation
+    (reference: src/render/accum.cpp:194-234).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..constants import MAT_POINTLIGHT_SPHERE
+from ..params import RenderParams
+from ..sampling import ndc_from_world
+from ..scene.bvh import BVHArrays
+from ..ops.scene import SceneCtx
+from ..ops.scene_analytic import Hit
+from ..ops.materials import get_material, MTYPE_MIRROR, MTYPE_GLASS
+from ..ops import lighting as lt
+from ..ops.taa import resolve_taa
+from ..ops.svgf import present
+from ..ops.vecmath import normalize, dot, length
+
+
+@dataclasses.dataclass(frozen=True)
+class FrameInputs:
+    """Per-frame camera/motion uniforms (reference: render.cpp:73-167)."""
+    cam_pos: jnp.ndarray      # [3]
+    cam_right: jnp.ndarray    # [3]
+    cam_up: jnp.ndarray       # [3]
+    cam_fwd: jnp.ndarray      # [3]
+    tan_half_fov: jnp.ndarray  # []
+    aspect: jnp.ndarray        # []
+    jitter: jnp.ndarray        # [2] pixels, pre-scaled by still/moving scale
+    curr_view_proj: jnp.ndarray  # [4,4]
+    prev_view_proj: jnp.ndarray  # [4,4]
+    camera_moved: jnp.ndarray    # [] int32 (0/1)
+
+
+jax.tree_util.register_dataclass(
+    FrameInputs,
+    data_fields=["cam_pos", "cam_right", "cam_up", "cam_fwd", "tan_half_fov",
+                 "aspect", "jitter", "curr_view_proj", "prev_view_proj",
+                 "camera_moved"],
+    meta_fields=[])
+
+
+@dataclasses.dataclass(frozen=True)
+class RenderState:
+    """Device-resident temporal state (replaces rt::Accum's ping-pong FBO,
+    reference: include/render/accum.h:24-163)."""
+    accum: jnp.ndarray        # [H,W,4] rgb + M2
+    frame_index: jnp.ndarray  # [] int32
+
+    @staticmethod
+    def create(height: int, width: int) -> "RenderState":
+        return RenderState(jnp.zeros((height, width, 4), jnp.float32),
+                           jnp.zeros((), jnp.int32))
+
+    def reset(self) -> "RenderState":
+        """Clear history (reference: src/render/accum.cpp:98-102)."""
+        return RenderState(jnp.zeros_like(self.accum), jnp.zeros((), jnp.int32))
+
+
+jax.tree_util.register_dataclass(
+    RenderState, data_fields=["accum", "frame_index"], meta_fields=[])
+
+
+class FrameOutputs(NamedTuple):
+    image: jnp.ndarray    # [H,W,3] sRGB in [0,1]
+    motion: jnp.ndarray   # [H,W,2] NDC motion
+    gpos: jnp.ndarray     # [H,W,3]
+    gnrm: jnp.ndarray     # [H,W,3]
+
+
+def primary_rays(height: int, width: int, fin: FrameInputs,
+                 params: RenderParams):
+    """Jittered primary ray directions (reference: rt.frag:55-68).
+
+    Rows follow GL's bottom-up y (row 0 = bottom scanline).
+    Returns (px, py, dirs): pixel centers [H,W] and directions [H,W,3].
+    """
+    px = jnp.broadcast_to(
+        jnp.arange(width, dtype=jnp.float32)[None, :] + 0.5, (height, width))
+    py = jnp.broadcast_to(
+        jnp.arange(height, dtype=jnp.float32)[:, None] + 0.5, (height, width))
+    if params.enable_jitter:
+        jx, jy = fin.jitter[0], fin.jitter[1]
+    else:
+        jx = jy = jnp.float32(0.0)
+    u = (px + jx) / width
+    v = (py + jy) / height
+    ndc_x = u * 2.0 - 1.0
+    ndc_y = v * 2.0 - 1.0
+    d = (fin.cam_fwd
+         + ndc_x[..., None] * fin.cam_right * (fin.tan_half_fov * fin.aspect)
+         + ndc_y[..., None] * fin.cam_up * fin.tan_half_fov)
+    return px, py, normalize(d)
+
+
+def _sanitize_hit(h: Hit, ro, rd) -> Hit:
+    """Clamp miss lanes to finite values so masked shading math stays
+    NaN-free (misses are overwritten by the sky select at the end)."""
+    v = h.valid
+    return Hit(jnp.where(v, h.t, 1.0),
+               jnp.where(v[..., None], h.p, ro + rd),
+               jnp.where(v[..., None], h.n,
+                         jnp.array([0.0, 1.0, 0.0], jnp.float32)),
+               h.mat)
+
+
+def _shade_analytic(scene: SceneCtx, h: Hit, seed, frame_index, vdir, px, py):
+    """Analytic-scene material dispatch (reference: rt.frag:119-162)."""
+    params = scene.params
+    mat = get_material(h.mat, params)
+
+    # diffuse / emissive-marker path
+    radiance = lt.direct_light(scene, h, seed, frame_index, vdir, px, py)
+    if params.enable_gi:
+        radiance = radiance + (
+            jnp.float32(params.gi_scale_analytic)
+            * lt.one_bounce_gi_analytic(scene, h, frame_index, seed,
+                                        frame_index, px, py))
+    if params.enable_ao:
+        ao = lt.compute_ao(scene, h, frame_index, px, py)
+        radiance = radiance * ao[..., None]
+
+    # emissive point-light marker (reference: rt.frag:137-148)
+    base_col = (jnp.asarray(params.point_light_color, jnp.float32)
+                * params.point_light_intensity)
+    d = length(h.p - scene.cam_pos)
+    falloff = 1.0 / jnp.maximum(d * d * 0.25 + 1.0, 1.0)
+    emissive = base_col * falloff[..., None]
+    is_marker = h.mat == MAT_POINTLIGHT_SPHERE
+    radiance = jnp.where(is_marker[..., None], emissive, radiance)
+
+    if params.mat_mirror_enabled:
+        mirror_r = lt.shade_mirror(scene, h, vdir, mat, seed, frame_index,
+                                   px, py)
+        radiance = jnp.where((mat.mtype == MTYPE_MIRROR)[..., None],
+                             mirror_r, radiance)
+    if params.mat_glass_enabled:
+        glass_r = lt.shade_glass(scene, h, vdir, mat, seed, frame_index,
+                                 px, py)
+        radiance = jnp.where((mat.mtype == MTYPE_GLASS)[..., None],
+                             glass_r, radiance)
+    return radiance
+
+
+def _shade_bvh(scene: SceneCtx, h: Hit, seed, frame_index, vdir, px, py):
+    """BVH-scene shading (reference: rt.frag:105-117)."""
+    params = scene.params
+    radiance = lt.direct_light_bvh(scene, h, seed, frame_index, vdir, px, py)
+    if params.enable_gi:
+        radiance = radiance + (
+            jnp.float32(params.gi_scale_bvh)
+            * lt.one_bounce_gi_bvh(scene, h, frame_index, seed, frame_index,
+                                   px, py))
+    if params.enable_ao:
+        ao = lt.compute_ao(scene, h, frame_index, px, py)
+        radiance = radiance * ao[..., None]
+    return radiance
+
+
+def render_frame(params: RenderParams, fin: FrameInputs, state: RenderState,
+                 env_map: Optional[jnp.ndarray] = None,
+                 bvh: Optional[BVHArrays] = None,
+                 *, height: int, width: int, use_bvh: bool = False,
+                 show_motion: bool = False):
+    """One frame: trace + shade + TAA into accum, then present.
+
+    Returns (new_state, FrameOutputs).  `state.accum` is read as history
+    and the returned accumulation replaces it (the ping-pong swap,
+    reference: src/render/render.cpp:242).
+    """
+    scene = SceneCtx.create(params, fin.cam_pos, env_map=env_map,
+                            use_bvh=use_bvh, bvh=bvh)
+    px, py, rd = primary_rays(height, width, fin, params)
+    ro = jnp.broadcast_to(fin.cam_pos, rd.shape)
+
+    spp = max(int(params.spp_per_frame), 1) if not show_motion else 1
+    frame_index = state.frame_index
+
+    # Primary hit: identical for every SPP sample (deterministic trace).
+    h_raw = scene.trace(ro, rd)
+    hit_mask = h_raw.valid
+    h = _sanitize_hit(h_raw, ro, rd)
+
+    # Motion + GBuffer from sample 0 (reference: rt.frag:94-101,168-175).
+    ndc_prev = ndc_from_world(h.p, fin.prev_view_proj)
+    ndc_curr = ndc_from_world(h.p, fin.curr_view_proj)
+    motion = ndc_curr - ndc_prev
+    moved = fin.camera_moved > 0
+    sky_sentinel = jnp.where(moved, 4.0, 0.0)
+    motion = jnp.where(hit_mask[..., None], motion,
+                       jnp.full_like(motion, 1.0) * sky_sentinel)
+    gpos = jnp.where(hit_mask[..., None], h.p, 0.0)
+    gnrm = jnp.where(hit_mask[..., None], normalize(h.n), 0.0)
+
+    sky_radiance = scene.sky(rd)
+    vdir = -rd
+
+    frame_sum = jnp.zeros((height, width, 3), jnp.float32)
+    for s in range(spp):
+        seed = frame_index * spp + s
+        if use_bvh:
+            shaded = _shade_bvh(scene, h, seed, frame_index, vdir, px, py)
+        else:
+            shaded = _shade_analytic(scene, h, seed, frame_index, vdir,
+                                     px, py)
+        frame_sum = frame_sum + jnp.where(hit_mask[..., None], shaded,
+                                          sky_radiance)
+
+    curr = frame_sum / float(spp)
+
+    # TAA (reference: rt.frag:184-190): zero motion when camera static.
+    taa_motion = jnp.where(moved, motion, jnp.zeros_like(motion))
+    accum_new = resolve_taa(curr, taa_motion, state.accum, frame_index,
+                            params)
+
+    image = present(accum_new, motion, gpos, gnrm, params,
+                    show_motion=show_motion)
+
+    new_state = RenderState(accum_new, frame_index + 1)
+    return new_state, FrameOutputs(image, motion, gpos, gnrm)
+
+
+def make_render_fn(params: RenderParams, height: int, width: int,
+                   use_bvh: bool = False, show_motion: bool = False,
+                   donate: bool = True):
+    """jit-compiled frame function specialized on the static config.
+
+    The accumulation buffer is donated: the TAA output aliases the history
+    input, the functional equivalent of the reference's ping-pong FBO flip
+    (reference: src/render/accum.cpp:216-234).
+    """
+    def fn(params, fin, state, env_map, bvh):
+        return render_frame(params, fin, state, env_map, bvh,
+                            height=height, width=width, use_bvh=use_bvh,
+                            show_motion=show_motion)
+    return jax.jit(fn, donate_argnums=(2,) if donate else ())

@@ -1,0 +1,348 @@
+"""Direct & indirect lighting, vectorized over pixel batches.
+
+TPU-native counterpart of reference: shaders/rt/rt_lighting.glsl.  Every
+per-fragment branch becomes a masked select over the batch; every scene
+trace inside a light loop becomes a full-batch trace.  RNG call sites
+reproduce the reference's exact (pixel, frame, offset) hashing so noise —
+and therefore TAA/SVGF behavior — matches.
+
+Naming of the RNG arguments follows the GLSL call chain:
+  * `rng_frame`  — the `frame` parameter of the GLSL function (sometimes
+    the per-sample seed, sometimes uFrameIndex, depending on caller);
+  * `frame_index` — the global uFrameIndex uniform (used by cpOffset).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+
+from ..constants import (EPS, PI, SOFT_SHADOW_SAMPLES, LIGHT_CENTER,
+                         LIGHT_NORMAL_RAW, LIGHT_RADIUS, LIGHT_COLOR,
+                         BVH_ALBEDO, BVH_SPEC_STRENGTH, BVH_GLOSS, GI_MAX_LUM,
+                         GI_MIN_COS_THETA, GLASS_DISTORTION_STRENGTH,
+                         GLASS_LOCAL_REFL_WEIGHT, YCOEFF)
+from ..sampling import (rand, eps_for_dist, concentric_sample,
+                        sample_hemisphere_cosine, cp_offset)
+from .materials import (get_material, MaterialProps, MTYPE_DIFFUSE,
+                        MTYPE_MIRROR, MTYPE_GLASS)
+from .scene import SceneCtx
+from .vecmath import dot, normalize, reflect, refract, mix, const3, length
+
+# Disk light frame, precomputed on host
+# (reference: shaders/rt/rt_lighting.glsl:29-32, 355-357).
+_KN = np.asarray(LIGHT_NORMAL_RAW, np.float64)
+_KN = _KN / np.linalg.norm(_KN)
+_LT = np.cross(_KN, [0.0, 1.0, 0.0]) if abs(_KN[1]) < 0.99 \
+    else np.cross(_KN, [1.0, 0.0, 0.0])
+_LT = _LT / np.linalg.norm(_LT)
+_LB = np.cross(_KN, _LT)
+LIGHT_N = _KN.astype(np.float32)
+LIGHT_T = _LT.astype(np.float32)
+LIGHT_B = _LB.astype(np.float32)
+
+
+def occluded_toward(scene: SceneCtx, p, q):
+    """Segment occlusion test (reference: rt_lighting.glsl:49-60)."""
+    delta = q - p
+    max_t = length(delta)
+    rd = delta / jnp.maximum(max_t, 1e-12)[..., None]
+    eps = eps_for_dist(max_t)
+    origin = p + rd * eps[..., None]
+    if scene.use_bvh:
+        return scene.trace_shadow_any(origin, rd, max_t - eps)
+    h = scene.trace(origin, rd)
+    return h.valid & (h.t < max_t - eps)
+
+
+def shade_lambert_phong(n, v, l, li, albedo, spec_strength, gloss):
+    """Lambert + Phong BRDF for one light sample
+    (reference: rt_lighting.glsl:78-98)."""
+    ndl = jnp.maximum(dot(n, l), 0.0)
+    diffuse = albedo * (ndl / PI)[..., None]
+    h = normalize(l + v)
+    ndh = jnp.maximum(dot(n, h), 0.0)
+    phong = jnp.power(ndh, gloss)
+    spec = jnp.where(spec_strength > 0.0, spec_strength * phong, 0.0)
+    out = (diffuse + spec[..., None]) * li
+    return jnp.where((ndl > 0.0)[..., None], out, 0.0)
+
+
+def sun_direct(scene: SceneCtx, h, mat, vdir):
+    """Hard-shadowed directional sun (reference: rt_lighting.glsl:114-144)."""
+    if not scene.params.sun_enabled:
+        return jnp.zeros(jnp.shape(h.t) + (3,), jnp.float32)
+    n = normalize(h.n)
+    v = normalize(vdir)
+    l = -scene.sun_dir
+    ndl = jnp.maximum(dot(n, l), 0.0)
+    max_t = 1000.0
+    eps = max(1e-4, 1e-3 * max_t)  # epsForDist(1000) == 1.0
+    origin = h.p + n * eps
+    if scene.use_bvh:
+        blocked = scene.trace_shadow_any(origin, l, max_t - eps)
+    else:
+        blocked = scene.trace(origin, l).valid  # any hit at all blocks
+    li = const3(scene.params.sun_color) * scene.params.sun_intensity
+    spec = jnp.where(mat.mtype == MTYPE_DIFFUSE, mat.spec_strength, 0.0)
+    out = shade_lambert_phong(n, v, l, li, mat.albedo, spec, mat.gloss)
+    return jnp.where(((ndl > 0.0) & ~blocked)[..., None], out, 0.0)
+
+
+def sky_direct(scene: SceneCtx, h, mat):
+    """Cosine sky dome, diffuse only, unshadowed
+    (reference: rt_lighting.glsl:156-169)."""
+    if not scene.params.sky_enabled:
+        return jnp.zeros(jnp.shape(h.t) + (3,), jnp.float32)
+    n = normalize(h.n)
+    ndl = jnp.maximum(dot(n, scene.sky_up), 0.0)
+    li = const3(scene.params.sky_color) * scene.params.sky_intensity
+    return mat.albedo * (ndl / PI)[..., None] * li
+
+
+def point_direct(scene: SceneCtx, h, mat, vdir):
+    """Point light with inverse-square falloff and shadows
+    (reference: rt_lighting.glsl:181-214)."""
+    if not scene.params.point_light_enabled:
+        return jnp.zeros(jnp.shape(h.t) + (3,), jnp.float32)
+    n = normalize(h.n)
+    v = normalize(vdir)
+    to_l = scene.point_light_pos - h.p
+    dist2 = dot(to_l, to_l)
+    dist = jnp.sqrt(jnp.maximum(dist2, 1e-20))
+    l = to_l / dist[..., None]
+    ndl = jnp.maximum(dot(n, l), 0.0)
+    eps = eps_for_dist(dist)
+    origin = h.p + l * eps[..., None]
+    if scene.use_bvh:
+        blocked = scene.trace_shadow_any(origin, l, dist - eps)
+    else:
+        # marker sphere must not shadow its own light
+        tmp = scene.trace_ignore_point_light(origin, l)
+        blocked = tmp.valid & (tmp.t < dist - eps)
+    li = (const3(scene.params.point_light_color)
+          * (scene.params.point_light_intensity
+             / jnp.maximum(dist2, 1e-4))[..., None])
+    spec = jnp.where(mat.mtype == MTYPE_DIFFUSE, mat.spec_strength, 0.0)
+    out = shade_lambert_phong(n, v, l, li, mat.albedo, spec, mat.gloss)
+    ok = (dist2 > 1e-6) & (ndl > 0.0) & ~blocked
+    return jnp.where(ok[..., None], out, 0.0)
+
+
+def _disk_light_sum(scene: SceneCtx, h, n, v, albedo, spec_strength, gloss,
+                    rng_frame, frame_index, px, py):
+    """Soft disk area light: SOFT_SHADOW_SAMPLES concentric samples with
+    per-pixel CP rotation (reference: rt_lighting.glsl:355-387,414-445)."""
+    rot_x, rot_y = cp_offset(px, py, frame_index)
+    center = const3(LIGHT_CENTER)
+    t_axis = jnp.asarray(LIGHT_T)
+    b_axis = jnp.asarray(LIGHT_B)
+    acc = jnp.zeros(jnp.shape(h.t) + (3,), jnp.float32)
+    for i in range(SOFT_SHADOW_SAMPLES):
+        ux = rand(px + float(i), py + float(i), rng_frame)
+        off = float(31 * i + 7)
+        uy = rand(py + off, px + off, rng_frame)
+        ux = jnp.mod(ux + rot_x, 1.0)
+        uy = jnp.mod(uy + rot_y, 1.0)
+        dx, dy = concentric_sample(ux, uy)
+        xl = (center + t_axis * (dx * LIGHT_RADIUS)[..., None]
+              + b_axis * (dy * LIGHT_RADIUS)[..., None])
+        delta = xl - h.p
+        l = normalize(delta)
+        ndl = jnp.maximum(dot(n, l), 0.0)
+        cos_theta_l = jnp.maximum(dot(-jnp.asarray(LIGHT_N), l), 0.0)
+        r2 = jnp.maximum(dot(delta, delta), 1e-4)
+        geom = ndl * cos_theta_l / r2
+        vis = jnp.where(occluded_toward(scene, h.p, xl), 0.0, 1.0)
+        li = const3(LIGHT_COLOR) * (geom * vis)[..., None]
+        acc = acc + shade_lambert_phong(n, v, l, li, albedo, spec_strength,
+                                        gloss)
+    return acc / float(SOFT_SHADOW_SAMPLES)
+
+
+def direct_light(scene: SceneCtx, h, rng_frame, frame_index, vdir, px, py):
+    """Direct lighting, analytic scene (reference: rt_lighting.glsl:313-395).
+
+    Secondary-hit mirror/glass are approximated by environment reflections
+    (no recursion), matching the reference exactly.
+    """
+    params = scene.params
+    n = normalize(h.n)
+    mat = get_material(h.mat, params)
+    v = normalize(vdir)
+
+    # mirror-like secondary: tinted env reflection (rt_lighting.glsl:325-335)
+    r = reflect(-v, n)
+    mirror_out = scene.sky(r) * mat.albedo
+
+    # glass-like secondary: env reflection + sky diffuse (.:337-350)
+    glass_out = scene.sky(r) * mat.albedo + sky_direct(scene, h, mat)
+
+    # diffuse/phong: disk area light + hybrid lights (.:352-394)
+    diff = _disk_light_sum(scene, h, n, v, mat.albedo, mat.spec_strength,
+                           mat.gloss, rng_frame, frame_index, px, py)
+    diff = diff + sun_direct(scene, h, mat, v)
+    diff = diff + sky_direct(scene, h, mat)
+    diff = diff + point_direct(scene, h, mat, v)
+
+    out = jnp.where((mat.mtype == MTYPE_MIRROR)[..., None], mirror_out,
+                    jnp.where((mat.mtype == MTYPE_GLASS)[..., None],
+                              glass_out, diff))
+    return out
+
+
+def direct_light_bvh(scene: SceneCtx, h, rng_frame, frame_index, vdir,
+                     px, py):
+    """Direct lighting for BVH triangles: hard-coded white plastic
+    (reference: rt_lighting.glsl:405-460)."""
+    n = normalize(h.n)
+    v = normalize(vdir)
+    albedo = jnp.broadcast_to(const3(BVH_ALBEDO), jnp.shape(h.t) + (3,))
+    spec = jnp.full(jnp.shape(h.t), BVH_SPEC_STRENGTH, jnp.float32)
+    gloss = jnp.full(jnp.shape(h.t), BVH_GLOSS, jnp.float32)
+    acc = _disk_light_sum(scene, h, n, v, albedo, spec, gloss,
+                          rng_frame, frame_index, px, py)
+
+    # "fake" analytic material for the hybrid lights (rt_lighting.glsl:448-453)
+    fake = MaterialProps(albedo, spec, gloss,
+                         jnp.zeros(jnp.shape(h.t), jnp.int32),
+                         jnp.ones(jnp.shape(h.t), jnp.float32))
+
+    acc = acc + sun_direct(scene, h, fake, v)
+    acc = acc + sky_direct(scene, h, fake)
+    acc = acc + point_direct(scene, h, fake, v)
+    return acc
+
+
+def one_bounce_gi_analytic(scene: SceneCtx, h0, rng_frame, seed, frame_index,
+                           px, py):
+    """One cosine-weighted bounce + direct light at the secondary hit
+    (reference: rt_lighting.glsl:473-507)."""
+    mat0 = get_material(h0.mat, scene.params)
+    n0 = normalize(h0.n)
+    so = jnp.asarray(seed * 13).astype(jnp.float32)
+    so2 = jnp.asarray(seed * 37).astype(jnp.float32)
+    ux = rand(px + so, py + so, rng_frame)
+    uy = rand(py + so2, px + so2, rng_frame)
+    wi = sample_hemisphere_cosine(n0, ux, uy)
+    cos_theta = jnp.maximum(dot(n0, wi), 0.0)
+    origin = h0.p + n0 * EPS
+    h1 = scene.trace(origin, wi)
+    li_hit = direct_light(scene, h1, rng_frame, frame_index, -wi, px, py)
+    li = jnp.where(h1.valid[..., None], li_hit, scene.sky(wi))
+    out = mat0.albedo * (cos_theta / PI)[..., None] * li
+    return jnp.where((cos_theta > 0.0)[..., None], out, 0.0)
+
+
+def one_bounce_gi_bvh(scene: SceneCtx, h0, rng_frame, seed, frame_index,
+                      px, py):
+    """BVH GI with grazing-angle cut and firefly luminance clamp
+    (reference: rt_lighting.glsl:515-561)."""
+    so = jnp.asarray(seed * 19).astype(jnp.float32)
+    so2 = jnp.asarray(seed * 41).astype(jnp.float32)
+    ux = rand(px + so, py + so, rng_frame)
+    uy = rand(py + so2, px + so2, rng_frame)
+    n0 = normalize(h0.n)
+    wi = sample_hemisphere_cosine(n0, ux, uy)
+    cos_theta = jnp.maximum(dot(n0, wi), 0.0)
+    origin = h0.p + n0 * EPS
+    h1 = scene.trace(origin, wi)
+    li_hit = direct_light_bvh(scene, h1, rng_frame, frame_index, -wi, px, py)
+    li = jnp.where(h1.valid[..., None], li_hit, scene.sky(wi))
+    contrib = const3(BVH_ALBEDO) * (cos_theta / PI)[..., None] * li
+    lum = dot(contrib, const3(YCOEFF))
+    scale = jnp.where(lum > GI_MAX_LUM,
+                      GI_MAX_LUM / jnp.maximum(lum, 1e-6), 1.0)
+    contrib = contrib * scale[..., None]
+    return jnp.where((cos_theta > GI_MIN_COS_THETA)[..., None], contrib, 0.0)
+
+
+def shade_glass(scene: SceneCtx, h, wo, mat, seed, frame_index, px, py):
+    """Thin-glass shading: Fresnel mix of (env+local reflection) and
+    (straight-through + softened bent refraction)
+    (reference: rt_lighting.glsl:576-663)."""
+    n = normalize(h.n)
+    v = normalize(wo)
+    i = -v
+    ior = jnp.maximum(mat.ior, 1.0001)
+    eta = 1.0 / ior
+
+    # Reflection: env + local
+    r = reflect(i, n)
+    reflect_env = scene.sky(r)
+    h_refl = scene.trace_ignore_glass(h.p + r * EPS, r)
+    v2 = normalize(scene.cam_pos - h_refl.p)
+    refl_local_lit = direct_light(scene, h_refl, seed, frame_index, v2,
+                                  px, py)
+    reflect_local = jnp.where(h_refl.valid[..., None], refl_local_lit,
+                              reflect_env)
+    reflect_col = mix(reflect_env, reflect_local, GLASS_LOCAL_REFL_WEIGHT)
+
+    # Straight-through
+    h_straight = scene.trace_ignore_glass(h.p + i * EPS, i)
+    v2s = normalize(scene.cam_pos - h_straight.p)
+    straight_lit = direct_light(scene, h_straight, seed, frame_index, v2s,
+                                px, py)
+    straight_col = jnp.where(h_straight.valid[..., None], straight_lit,
+                             scene.sky(i))
+
+    # Bent refraction, softened toward straight-through
+    cos_theta = jnp.clip(dot(-i, n), 0.0, 1.0)
+    t_phys, k = refract(i, n, eta)
+    t_dir = normalize(mix(i, normalize(t_phys), GLASS_DISTORTION_STRENGTH))
+    h_refr = scene.trace_ignore_glass(h.p + t_dir * EPS, t_dir)
+    v2r = normalize(scene.cam_pos - h_refr.p)
+    bent_lit = direct_light(scene, h_refr, seed, frame_index, v2r, px, py)
+    bent_col = jnp.where(h_refr.valid[..., None], bent_lit, scene.sky(t_dir))
+
+    refr_col = jnp.where((k > 0.0)[..., None],
+                         mix(straight_col, bent_col,
+                             GLASS_DISTORTION_STRENGTH),
+                         straight_col)
+    refr_col = refr_col * mat.albedo
+
+    f0 = ((ior - 1.0) / (ior + 1.0)) ** 2
+    fresnel = f0 + (1.0 - f0) * jnp.power(1.0 - cos_theta, 5.0)
+    return mix(refr_col, reflect_col, fresnel[..., None])
+
+
+def shade_mirror(scene: SceneCtx, h, wo, mat, seed, frame_index, px, py):
+    """Perfect mirror: one reflected trace + direct light (+ optional GI)
+    at the reflected hit (reference: rt_lighting.glsl:675-708)."""
+    n = normalize(h.n)
+    i = -normalize(wo)
+    r = reflect(i, n)
+    org = h.p + r * EPS
+    h2 = scene.trace(org, r)
+    col_hit = direct_light(scene, h2, seed, frame_index, -r, px, py)
+    if scene.params.enable_gi:
+        gi_seed = seed * 131 + 17
+        col_hit = col_hit + (jnp.float32(scene.params.gi_scale_analytic)
+                             * one_bounce_gi_analytic(scene, h2, seed,
+                                                      gi_seed, frame_index,
+                                                      px, py))
+    col = jnp.where(h2.valid[..., None], col_hit, scene.sky(r))
+    return col * mat.albedo
+
+
+def compute_ao(scene: SceneCtx, h, frame_index, px, py):
+    """Cosine-hemisphere ambient occlusion, radius-limited, remapped to
+    [ao_min, 1] (reference: rt_lighting.glsl:721-757)."""
+    params = scene.params
+    n = normalize(h.n)
+    occluded = jnp.zeros(jnp.shape(h.t), jnp.float32)
+    for i in range(params.ao_samples):
+        o1 = float(37 * i + 3)
+        o2 = float(19 * i + 11)
+        ux = rand(px + o1, py + o1, frame_index)
+        uy = rand(py + o2, px + o2, frame_index)
+        d = sample_hemisphere_cosine(n, ux, uy)
+        org = h.p + n * params.ao_bias
+        tmp = scene.trace(org, d)
+        occluded = occluded + jnp.where(tmp.valid & (tmp.t < params.ao_radius),
+                                        1.0, 0.0)
+    occ = occluded / float(params.ao_samples)
+    ao = 1.0 - occ
+    ao = jnp.clip(params.ao_min + (1.0 - params.ao_min) * ao,
+                  params.ao_min, 1.0)
+    return ao

@@ -1,0 +1,99 @@
+"""Scene context: unified trace/shadow/sky dispatch for both scene modes.
+
+Plays the role of the reference's uniform block + global trace functions
+(reference: shaders/rt/rt_uniforms.glsl, rt_scene_analytic.glsl:132-197,
+rt_bvh.glsl:193-304).  Constructed inside the jitted frame function from
+pytree inputs; `use_bvh` is a static Python bool so the two scene modes
+are separate compiled programs, exactly like the reference's uUseBVH
+branches resolve per-draw.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import jax.numpy as jnp
+
+from ..constants import EPS
+from ..params import RenderParams
+from ..scene.bvh import BVHArrays
+from . import scene_analytic as sa
+from .bvh_traverse import trace_bvh, trace_bvh_shadow
+from .vecmath import normalize, v3
+
+
+def dir_from_yaw_pitch(yaw_deg, pitch_deg):
+    """Direction from yaw/pitch degrees (reference: src/render/render.cpp:35-51)."""
+    yaw = jnp.deg2rad(jnp.asarray(yaw_deg, jnp.float32))
+    pitch = jnp.deg2rad(jnp.asarray(pitch_deg, jnp.float32))
+    d = v3(jnp.cos(pitch) * jnp.cos(yaw), jnp.sin(pitch),
+           jnp.cos(pitch) * jnp.sin(yaw))
+    small = jnp.sum(d * d) < 1e-6
+    fallback = jnp.asarray([0.0, -1.0, 0.0], jnp.float32)
+    return jnp.where(small, fallback, normalize(d))
+
+
+def compute_point_light_world_pos(params: RenderParams):
+    """Base position + optional orbit offset
+    (reference: src/render/render.cpp:8-31).  Orbit yaw/pitch use the
+    *camera-style* basis (sy, sp, cy) — distinct from dirFromYawPitch."""
+    base = jnp.asarray(params.point_light_pos, jnp.float32)
+    if not params.point_light_orbit_enabled:
+        return base
+    yaw = jnp.deg2rad(jnp.asarray(params.point_light_yaw, jnp.float32))
+    pitch = jnp.deg2rad(jnp.asarray(params.point_light_pitch, jnp.float32))
+    d = v3(jnp.cos(pitch) * jnp.sin(yaw), jnp.sin(pitch),
+           jnp.cos(pitch) * jnp.cos(yaw))
+    radius = jnp.asarray(params.point_light_orbit_radius, jnp.float32)
+    return base + d * jnp.maximum(radius, 0.0)
+
+
+@dataclasses.dataclass
+class SceneCtx:
+    """Bundle of per-frame scene inputs + static mode flags."""
+    params: RenderParams
+    cam_pos: jnp.ndarray                 # [3]
+    point_light_pos: jnp.ndarray         # [3]
+    sun_dir: jnp.ndarray                 # [3]
+    sky_up: jnp.ndarray                  # [3]
+    env_map: Optional[jnp.ndarray]       # [6,F,F,3] or None
+    use_bvh: bool = False
+    bvh: Optional[BVHArrays] = None
+
+    @staticmethod
+    def create(params: RenderParams, cam_pos, env_map=None, use_bvh=False,
+               bvh=None) -> "SceneCtx":
+        return SceneCtx(
+            params=params,
+            cam_pos=jnp.asarray(cam_pos, jnp.float32),
+            point_light_pos=compute_point_light_world_pos(params),
+            sun_dir=dir_from_yaw_pitch(params.sun_yaw, params.sun_pitch),
+            sky_up=dir_from_yaw_pitch(params.sky_yaw, params.sky_pitch),
+            env_map=env_map,
+            use_bvh=use_bvh,
+            bvh=bvh,
+        )
+
+    # -- trace dispatch --
+
+    def trace(self, ro, rd, eps: float = EPS) -> sa.Hit:
+        if self.use_bvh:
+            return trace_bvh(self.bvh, ro, rd, eps)
+        return sa.trace_analytic(ro, rd, self.params, self.point_light_pos,
+                                 eps)
+
+    def trace_ignore_glass(self, ro, rd, eps: float = EPS) -> sa.Hit:
+        return sa.trace_analytic_ignore_glass(ro, rd, self.params,
+                                              self.point_light_pos, eps)
+
+    def trace_ignore_point_light(self, ro, rd, eps: float = EPS) -> sa.Hit:
+        return sa.trace_analytic_ignore_point_light(
+            ro, rd, self.params, self.point_light_pos, eps)
+
+    def trace_shadow_any(self, ro, rd, t_max, eps: float = EPS):
+        """Any occluder strictly before t_max (BVH mode only path)."""
+        return trace_bvh_shadow(self.bvh, ro, rd, t_max, eps)
+
+    def sky(self, d):
+        return sa.sky(d, self.params, self.env_map)

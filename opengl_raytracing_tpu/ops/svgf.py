@@ -1,0 +1,111 @@
+"""SVGF-lite variance-guided spatial filter + present pass
+(reference: shaders/rt/rt_present.frag:126-266).
+
+The 7x7 gather loop becomes 49 statically shifted array slices — XLA
+fuses the whole stencil into one pass over VMEM tiles; out-of-bounds taps
+are masked out exactly like the GLSL `continue`.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from ..constants import YCOEFF
+from ..params import RenderParams
+from .vecmath import smoothstep, luminance
+from .tonemap import aces_tonemap, gamma_encode, visualize_motion
+
+_RADIUS = 3          # 7x7 kernel (rt_present.frag:169)
+_K_NRM = 2.0         # rt_present.frag:160
+_K_POS = 0.02        # rt_present.frag:161
+
+
+def _shift(a, dy, dx):
+    """Value of `a` at (y+dy, x+dx), zero-padded."""
+    h, w = a.shape[0], a.shape[1]
+    pad = [(_RADIUS, _RADIUS), (_RADIUS, _RADIUS)] + \
+          [(0, 0)] * (a.ndim - 2)
+    ap = jnp.pad(a, pad)
+    return ap[_RADIUS + dy:_RADIUS + dy + h, _RADIUS + dx:_RADIUS + dx + w]
+
+
+def _safe_normalize(v):
+    n = jnp.sqrt(jnp.maximum(jnp.sum(v * v, axis=-1, keepdims=True), 1e-24))
+    return v / n
+
+
+def svgf_filter(accum, motion, gpos, gnrm, params: RenderParams):
+    """Variance/motion/GBuffer-aware 7x7 filter
+    (reference: rt_present.frag:126-225).  accum [H,W,4] rgb+M2."""
+    h, w = accum.shape[0], accum.shape[1]
+    c_center = accum[..., :3]
+    m2_center = accum[..., 3]
+    l_center = luminance(c_center, YCOEFF)
+    var_center = jnp.clip(m2_center - l_center * l_center, 0.0,
+                          jnp.float32(params.svgf_var_max))
+
+    mot_mag = jnp.sqrt(jnp.sum(motion * motion, axis=-1))
+    t = smoothstep(0.005, 0.05, mot_mag)
+    k_var = params.svgf_k_var + (params.svgf_k_var_motion
+                                 - params.svgf_k_var) * t
+    k_color = params.svgf_k_color + (params.svgf_k_color_motion
+                                     - params.svgf_k_color) * t
+    var_boost = 1.0 + var_center * (1.0 + k_var * 0.5)
+
+    n_center = _safe_normalize(gnrm)
+
+    ix = jnp.arange(w, dtype=jnp.int32)[None, :]
+    iy = jnp.arange(h, dtype=jnp.int32)[:, None]
+
+    acc_col = jnp.zeros_like(c_center)
+    acc_w = jnp.zeros((h, w), jnp.float32)
+    for j in range(-_RADIUS, _RADIUS + 1):
+        for i in range(-_RADIUS, _RADIUS + 1):
+            valid = ((ix + i >= 0) & (ix + i < w)
+                     & (iy + j >= 0) & (iy + j < h))
+            c = _shift(accum, j, i)[..., :3]
+            p = _shift(gpos, j, i)
+            n = _shift(gnrm, j, i)
+
+            dc = c - c_center
+            dc2 = jnp.sum(dc * dc, axis=-1)
+            w_col = jnp.exp(-dc2 * (k_color * 0.3 + 0.05))
+
+            dp = p - gpos
+            dist2 = jnp.sum(dp * dp, axis=-1)
+            w_pos = jnp.exp(-dist2 * _K_POS)
+
+            ndot = jnp.clip(jnp.sum(n_center * _safe_normalize(n), axis=-1),
+                            -1.0, 1.0)
+            w_nrm = jnp.exp(-jnp.maximum(0.0, 1.0 - ndot) * _K_NRM)
+
+            if i == 0 and j == 0:
+                w_spatial = jnp.ones_like(var_center)
+            else:
+                w_spatial = 1.0 + var_center * 4.0
+
+            wgt = var_boost * w_col * w_pos * w_nrm * w_spatial
+            wgt = jnp.where(valid, wgt, 0.0)
+            acc_col = acc_col + c * wgt[..., None]
+            acc_w = acc_w + wgt
+
+    out = acc_col / jnp.maximum(acc_w, 1e-20)[..., None]
+    return jnp.where((acc_w <= 0.0)[..., None], c_center, out)
+
+
+def present(accum, motion, gpos, gnrm, params: RenderParams,
+            show_motion: bool = False):
+    """Present pass: motion debug | SVGF blend -> ACES -> gamma
+    (reference: rt_present.frag:231-266).  Returns sRGB [H,W,3]."""
+    if show_motion:
+        return visualize_motion(motion, jnp.float32(params.motion_scale))
+
+    raw = accum[..., :3]
+    if params.enable_svgf:
+        filtered = svgf_filter(accum, motion, gpos, gnrm, params)
+        s = jnp.clip(jnp.float32(params.svgf_strength), 0.0, 1.0)
+        linear = raw + (filtered - raw) * s
+    else:
+        linear = raw
+    mapped = aces_tonemap(linear, jnp.float32(params.exposure))
+    return gamma_encode(mapped)

@@ -1,0 +1,94 @@
+"""TAA resolve with history variance tracking
+(reference: shaders/rt/rt_taa.glsl:47-180).
+
+Operates on whole [H,W] buffers.  History fetches are NEAREST +
+CLAMP_TO_EDGE texel gathers, matching the accum texture parameters
+(reference: src/render/accum.cpp:11-14).  Array rows follow GL's bottom-up
+y so UV math carries over 1:1.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from ..constants import YCOEFF
+from ..params import RenderParams
+from .vecmath import smoothstep, luminance
+
+
+def _sample_nearest(tex, u, v):
+    """NEAREST + CLAMP_TO_EDGE fetch of tex [H,W,C] at uv in [0,1]."""
+    h, w = tex.shape[0], tex.shape[1]
+    x = jnp.clip(jnp.floor(u * w), 0, w - 1).astype(jnp.int32)
+    y = jnp.clip(jnp.floor(v * h), 0, h - 1).astype(jnp.int32)
+    return tex[y, x]
+
+
+def resolve_taa(curr, motion, prev_accum, frame_index, params: RenderParams):
+    """Blend current frame with (reprojected) history.
+
+    curr [H,W,3] linear color (already SPP-averaged); motion [H,W,2] NDC
+    motion (already zeroed by the caller when the camera is static,
+    reference: rt.frag:188); prev_accum [H,W,4] rgb+M2; frame_index traced
+    int32.  Returns [H,W,4] = (color, M2).
+    """
+    l_curr = luminance(curr, YCOEFF)
+    l_curr2 = l_curr * l_curr
+    passthrough = jnp.concatenate([curr, l_curr2[..., None]], axis=-1)
+
+    if not params.enable_taa:
+        # Still store M2 so SVGF can compute variance (rt_taa.glsl:58-61).
+        return passthrough
+
+    h, w = curr.shape[0], curr.shape[1]
+    ix = jnp.arange(w, dtype=jnp.float32)[None, :] + 0.5
+    iy = jnp.arange(h, dtype=jnp.float32)[:, None] + 0.5
+    uvx = jnp.broadcast_to(ix / w, (h, w))
+    uvy = jnp.broadcast_to(iy / h, (h, w))
+
+    mot_mag = jnp.sqrt(jnp.sum(motion * motion, axis=-1))
+    min_w = jnp.float32(params.taa_history_min_weight)
+    avg_w = jnp.float32(params.taa_history_avg_weight)
+    max_w = jnp.float32(params.taa_history_max_weight)
+    box = jnp.float32(params.taa_history_box_size)
+    fi = jnp.asarray(frame_index, jnp.int32)
+
+    # ---- CASE 1: effectively still (rt_taa.glsl:86-105) ----
+    prev_same = prev_accum
+    w_still = jnp.where(fi < 8, min_w, jnp.where(fi < 32, avg_w, max_w))
+    mean_still = prev_same[..., :3] * w_still + curr * (1.0 - w_still)
+    m2_still = prev_same[..., 3] * w_still + l_curr2 * (1.0 - w_still)
+    still_out = jnp.concatenate([mean_still, m2_still[..., None]], axis=-1)
+
+    # ---- CASE 2: moving — reproject (rt_taa.glsl:116-179) ----
+    uv_prev_x = uvx - motion[..., 0] * 0.5
+    uv_prev_y = uvy - motion[..., 1] * 0.5
+    oob = ((uv_prev_x < 0.0) | (uv_prev_x > 1.0)
+           | (uv_prev_y < 0.0) | (uv_prev_y > 1.0))
+    prev = _sample_nearest(prev_accum, uv_prev_x, uv_prev_y)
+    prev_col = prev[..., :3]
+    prev_m2 = prev[..., 3]
+
+    w_hist = 1.0 - smoothstep(0.02, params.taa_hard_moving_thresh, mot_mag)
+    w_hist = jnp.where(mot_mag > params.taa_hard_moving_thresh, 0.0, w_hist)
+
+    l_prev = luminance(prev_col, YCOEFF)
+    max_l = jnp.maximum(jnp.maximum(l_curr, l_prev), 1e-3)
+    rel_diff = jnp.abs(l_curr - l_prev) / max_l
+    color_weight = 1.0 - smoothstep(0.03, 0.25, rel_diff)
+    w_hist = w_hist * color_weight
+    big_change = (mot_mag > 0.02) & (rel_diff > 0.30)
+    w_hist = jnp.where(big_change, 0.0, w_hist)
+    w_hist = jnp.clip(w_hist, 0.0, max_w)
+    w_curr = 1.0 - w_hist
+
+    hist_col = jnp.clip(prev_col, curr - box, curr + box)
+    taa_col = w_hist[..., None] * hist_col + w_curr[..., None] * curr
+    m2_new = w_hist * prev_m2 + w_curr * l_curr2
+    moving_out = jnp.concatenate([taa_col, m2_new[..., None]], axis=-1)
+    moving_out = jnp.where(oob[..., None], passthrough, moving_out)
+
+    out = jnp.where((mot_mag < params.taa_still_thresh)[..., None],
+                    still_out, moving_out)
+    # First frame: no history yet (rt_taa.glsl:66-68).
+    return jnp.where(fi == 0, passthrough, out)
