@@ -26,7 +26,7 @@ import jax.numpy as jnp
 from ..constants import MAT_POINTLIGHT_SPHERE
 from ..params import RenderParams
 from ..sampling import ndc_from_world
-from ..scene.bvh import BVHArrays
+from ..ops.scene import BVHDevice
 from ..ops.scene import SceneCtx
 from ..ops.scene_analytic import Hit
 from ..ops.materials import get_material, MTYPE_MIRROR, MTYPE_GLASS
@@ -178,7 +178,7 @@ def _shade_bvh(scene: SceneCtx, h: Hit, seed, frame_index, vdir, px, py):
 
 def render_frame(params: RenderParams, fin: FrameInputs, state: RenderState,
                  env_map: Optional[jnp.ndarray] = None,
-                 bvh: Optional[BVHArrays] = None,
+                 bvh: Optional[BVHDevice] = None,
                  *, height: int, width: int, use_bvh: bool = False,
                  show_motion: bool = False):
     """One frame: trace + shade + TAA into accum, then present.

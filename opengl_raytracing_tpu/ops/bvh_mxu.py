@@ -1,0 +1,398 @@
+"""MXU ray-triangle intersection: Moller-Trumbore as matrix multiply.
+
+The fastest TPU formulation for coherent ray batches (primary rays,
+shadow rays toward lights).  Replaces per-node traversal entirely with a
+two-phase plan:
+
+  1. **XLA cull pre-pass** (pure vectorized array code, no kernels): the
+     ray stream is split into 128-ray screen tiles; per tile a
+     conservative interval-arithmetic test against *chunk* AABBs (128
+     DFS-contiguous triangles per chunk — spatially compact thanks to the
+     BVH leaf remap) yields a contiguous candidate chunk range [lo, lo+n).
+  2. **Pallas MXU kernel**: per tile, each candidate chunk is intersected
+     with ONE f32 matmul.  Moller-Trumbore is bilinear in per-ray features
+     F = [d, o x d, o, 1] and per-triangle coefficients, so
+     det/u_num/v_num/t_num for all 128x128 (tri,ray) pairs fall out of
+     `dot(C[512,16], F[16,128])`; acceptance tests and the closest-hit
+     reduction are a short VPU epilogue.  Triangles live on sublanes and
+     rays on lanes, so per-ray reductions are native sublane reduces and
+     results write out as [1,128] rows — no transposes anywhere.
+
+Derivation (matching reference shaders/rt/rt_bvh.glsl:154-170 exactly):
+  pvec  = d x e2,  tvec = o - v0,  qvec = tvec x e1,  n = e1 x e2
+  det   = e1 . pvec =  d . (e2 x e1)
+  u_num = tvec . pvec = (o x d) . e2        - d . (e2 x v0)
+  v_num = d . qvec    = (o x d) . (-e1)     - d . (v0 x e1)
+  t_num = e2 . qvec   = o . n - v0 . n
+All four are linear in F = [d(3), oxd(3), o(3), 1, tmax, pad].
+
+Why this shape: scalar-core control flow and vector<->scalar syncs cost
+hundreds of cycles per node on TPU (measured ~450ns/node on the packet
+walk), while a 512x16x128 f32 matmul costs ~a microsecond — so we spend
+MXU FLOPs to eliminate traversal control entirely.  Incoherent batches
+(GI/AO) degrade to more chunks per tile; they should use the packet-walk
+kernel or be direction-sorted first.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..constants import EPS, INF
+from ..scene.bvh import BVH
+from .scene_analytic import Hit
+from .vecmath import normalize
+
+CHUNK = 128          # triangles per chunk
+TILE_RAYS = 128      # rays per tile == lane width
+SUBTILES = 32        # ray tiles per pallas grid step
+KDIM = 16            # padded feature dim (10 used + tmax at 10)
+
+
+class MXUBVH(NamedTuple):
+    """Device arrays for the MXU path (a pytree)."""
+    coef: jnp.ndarray          # [NC, 512, 16] f32 — det|u|v|t tri rows
+    norms: jnp.ndarray         # [NC, 128, 8] f32 — per-tri nx,ny,nz rows
+    chunk_bounds: jnp.ndarray  # [NC, 8] f32 — bmin(3), bmax(3), pad2
+    tris: jnp.ndarray          # [NC*128, 12] f32 — padded (v0,e1,e2)
+
+
+def build_mxu_arrays(bvh: BVH) -> MXUBVH:
+    """Host-side packing of the (leaf-remapped) triangle array into
+    128-triangle chunks with per-chunk AABBs and MT coefficient blocks."""
+    tris = np.asarray(bvh.tris, np.float32)
+    t = tris.shape[0]
+    nc = max((t + CHUNK - 1) // CHUNK, 1)
+    padded = np.zeros((nc * CHUNK, 12), np.float32)
+    padded[:t, :9] = tris
+
+    v0 = padded[:, 0:3]
+    e1 = padded[:, 3:6]
+    e2 = padded[:, 6:9]
+    n = np.cross(e1, e2)
+
+    def rows(d3, m3, o3, c1):
+        r = np.zeros((nc * CHUNK, KDIM), np.float32)
+        r[:, 0:3] = d3
+        r[:, 3:6] = m3
+        r[:, 6:9] = o3
+        r[:, 9] = c1
+        return r
+
+    z = np.zeros_like(v0)
+    c_det = rows(np.cross(e2, e1), z, z, 0.0)
+    c_u = rows(-np.cross(e2, v0), e2, z, 0.0)
+    c_v = rows(-np.cross(v0, e1), -e1, z, 0.0)
+    c_t = rows(z, z, n, -np.sum(v0 * n, axis=1))
+
+    coef = np.zeros((nc, 4 * CHUNK, KDIM), np.float32)
+    for ci in range(nc):
+        s = slice(ci * CHUNK, (ci + 1) * CHUNK)
+        coef[ci, 0:128] = c_det[s]
+        coef[ci, 128:256] = c_u[s]
+        coef[ci, 256:384] = c_v[s]
+        coef[ci, 384:512] = c_t[s]
+
+    bounds = np.zeros((nc, 8), np.float32)
+    for ci in range(nc):
+        s = slice(ci * CHUNK, min((ci + 1) * CHUNK, t))
+        if s.start >= t:
+            bounds[ci, 0:3] = 1e30
+            bounds[ci, 3:6] = -1e30
+            continue
+        w0 = tris[s, 0:3]
+        w1 = w0 + tris[s, 3:6]
+        w2 = w0 + tris[s, 6:9]
+        bounds[ci, 0:3] = np.minimum(w0, np.minimum(w1, w2)).min(axis=0)
+        bounds[ci, 3:6] = np.maximum(w0, np.maximum(w1, w2)).max(axis=0)
+
+    norms = np.zeros((nc, CHUNK, 8), np.float32)
+    norms[:, :, 0:3] = n.reshape(nc, CHUNK, 3)
+    return MXUBVH(jnp.asarray(coef), jnp.asarray(norms), jnp.asarray(bounds),
+                  jnp.asarray(padded))
+
+
+# -----------------------------------------------------------------------------
+# XLA cull pre-pass
+# -----------------------------------------------------------------------------
+
+def _safe_inv(d):
+    return 1.0 / jnp.where(d == 0.0, 1e-30, d)
+
+
+def _tile_chunk_ranges(chunk_bounds, ro_f, rd_f, t_cap=None):
+    """Conservative per-tile candidate chunk range.
+
+    ro_f/rd_f: flat [R, 3] padded rays (R = NT*128).  Returns (lo [NT],
+    n [NT]) int32 such that any triangle intersected by any tile ray lies
+    within chunks [lo, lo+n).
+
+    Everything is SoA over [NT, ...] with 128-lane minor dims — a
+    [NT,128,3] layout would pad the 3 to a full lane tile (43x memory).
+    """
+    nt = ro_f.shape[0] // TILE_RAYS
+    nc = chunk_bounds.shape[0]
+
+    def per_axis(k):
+        o = ro_f[:, k].reshape(nt, TILE_RAYS)
+        i = _safe_inv(rd_f[:, k].reshape(nt, TILE_RAYS))
+        return (jnp.min(o, axis=1), jnp.max(o, axis=1),
+                jnp.min(i, axis=1), jnp.max(i, axis=1))
+
+    tmin_lo = jnp.zeros((nt, nc), jnp.float32)
+    tmax_hi = jnp.full((nt, nc), INF, jnp.float32)
+    for k in range(3):
+        o_lo, o_hi, i_lo, i_hi = per_axis(k)     # [NT]
+        bmin = chunk_bounds[:, k][None, :]       # [1,NC]
+        bmax = chunk_bounds[:, 3 + k][None, :]
+
+        def interval(bval):
+            a_lo = bval - o_hi[:, None]
+            a_hi = bval - o_lo[:, None]
+            p1 = a_lo * i_lo[:, None]
+            p2 = a_lo * i_hi[:, None]
+            p3 = a_hi * i_lo[:, None]
+            p4 = a_hi * i_hi[:, None]
+            return (jnp.minimum(jnp.minimum(p1, p2), jnp.minimum(p3, p4)),
+                    jnp.maximum(jnp.maximum(p1, p2), jnp.maximum(p3, p4)))
+
+        lo0, hi0 = interval(bmin)
+        lo1, hi1 = interval(bmax)
+        tmin_lo = jnp.maximum(tmin_lo, jnp.minimum(lo0, lo1))
+        tmax_hi = jnp.minimum(tmax_hi, jnp.maximum(hi0, hi1))
+
+    hit = tmax_hi >= tmin_lo
+    if t_cap is not None:
+        hit = hit & (tmin_lo <= t_cap[:, None])
+
+    cidx = jnp.arange(nc, dtype=jnp.int32)[None, :]
+    lo = jnp.min(jnp.where(hit, cidx, nc), axis=1)
+    hi = jnp.max(jnp.where(hit, cidx + 1, 0), axis=1)
+    n = jnp.maximum(hi - lo, 0)
+    return lo.astype(jnp.int32), n.astype(jnp.int32)
+
+
+def _build_features(ro, rd, extra=None):
+    """Per-ray MT features -> [NT, 16, 128] (features on sublanes, rays on
+    lanes).  Built plane-by-plane so no narrow-minor-dim array ever
+    materializes."""
+    m = jnp.cross(ro, rd)
+    nt = ro.shape[0] // TILE_RAYS
+
+    def plane(v):
+        return v.reshape(nt, 1, TILE_RAYS)
+
+    planes = [plane(rd[:, 0]), plane(rd[:, 1]), plane(rd[:, 2]),
+              plane(m[:, 0]), plane(m[:, 1]), plane(m[:, 2]),
+              plane(ro[:, 0]), plane(ro[:, 1]), plane(ro[:, 2]),
+              jnp.ones((nt, 1, TILE_RAYS), jnp.float32)]
+    planes.append(plane(extra) if extra is not None
+                  else jnp.zeros((nt, 1, TILE_RAYS), jnp.float32))
+    planes.append(jnp.zeros((nt, KDIM - 11, TILE_RAYS), jnp.float32))
+    return jnp.concatenate(planes, axis=1)
+
+
+# -----------------------------------------------------------------------------
+# Pallas kernels
+# -----------------------------------------------------------------------------
+
+def _epilogue_inputs(out, eps):
+    det = out[0:128, :]
+    u_num = out[128:256, :]
+    v_num = out[256:384, :]
+    t_num = out[384:512, :]
+    ok_det = jnp.abs(det) >= 1e-8
+    inv = 1.0 / jnp.where(ok_det, det, 1.0)
+    u = u_num * inv
+    v = v_num * inv
+    t = t_num * inv
+    acc = (ok_det & (u >= 0.0) & (u <= 1.0) & (v >= 0.0)
+           & (u + v <= 1.0) & (t >= eps))
+    return t, acc
+
+
+def _closest_kernel(lo_ref, n_ref, active_ref, f_ref, coef_ref, norms_ref,
+                    t_ref, nx_ref, ny_ref, nz_ref, *, eps: float):
+    b = pl.program_id(0)
+    # Empty-block fast path: a sky block (no candidate chunks anywhere)
+    # only writes the miss pattern.
+    t_ref[:, :] = jnp.full((SUBTILES, TILE_RAYS), INF, jnp.float32)
+    nx_ref[:, :] = jnp.zeros((SUBTILES, TILE_RAYS), jnp.float32)
+    ny_ref[:, :] = jnp.zeros((SUBTILES, TILE_RAYS), jnp.float32)
+    nz_ref[:, :] = jnp.zeros((SUBTILES, TILE_RAYS), jnp.float32)
+
+    tri_f = jax.lax.broadcasted_iota(
+        jnp.int32, (CHUNK, TILE_RAYS), 0).astype(jnp.float32)
+
+    @pl.when(active_ref[b] > 0)
+    def _():
+        for s in range(SUBTILES):
+            f = f_ref[s]                       # [16,128]
+            lo = lo_ref[b * SUBTILES + s]
+            n = n_ref[b * SUBTILES + s]
+
+            # All-f32 epilogue (Mosaic mishandles packed-i1 keepdims
+            # reductions).
+            def chunk_body(ci, carry):
+                t_best, nx, ny, nz = carry     # [1,128] f32
+                c = coef_ref[lo + ci]          # [512,16]
+                out = jnp.dot(c, f, preferred_element_type=jnp.float32,
+                              precision=jax.lax.Precision.HIGHEST)
+                t, acc = _epilogue_inputs(out, eps)
+                acc = acc & (t < t_best)       # [128,128] tri x ray
+                tc = jnp.where(acc, t, INF)
+                cmin = jnp.min(tc, axis=0, keepdims=True)          # [1,128]
+                win = jnp.where(tc <= cmin, tri_f + 1.0, 0.0)
+                itri = jnp.max(win, axis=0, keepdims=True) - 1.0   # [1,128]
+                # one-hot row of the winning triangle per ray
+                onehot = jnp.where(tri_f == itri, 1.0, 0.0)        # [128,128]
+                nsel = norms_ref[lo + ci]      # [128,8]
+                nx_w = jnp.sum(onehot * nsel[:, 0:1], axis=0, keepdims=True)
+                ny_w = jnp.sum(onehot * nsel[:, 1:2], axis=0, keepdims=True)
+                nz_w = jnp.sum(onehot * nsel[:, 2:3], axis=0, keepdims=True)
+                upd = jnp.where(cmin < t_best, 1.0, 0.0)
+                # exact 0/1 select (a + upd*(b-a) cancels at INF magnitudes)
+                t_best = upd * cmin + (1.0 - upd) * t_best
+                nx = upd * nx_w + (1.0 - upd) * nx
+                ny = upd * ny_w + (1.0 - upd) * ny
+                nz = upd * nz_w + (1.0 - upd) * nz
+                return t_best, nx, ny, nz
+
+            t0 = jnp.full((1, TILE_RAYS), INF, jnp.float32)
+            z0 = jnp.zeros((1, TILE_RAYS), jnp.float32)
+            t_best, nx, ny, nz = jax.lax.fori_loop(
+                0, n, chunk_body, (t0, z0, z0, z0))
+            t_ref[s:s + 1, :] = t_best
+            nx_ref[s:s + 1, :] = nx
+            ny_ref[s:s + 1, :] = ny
+            nz_ref[s:s + 1, :] = nz
+
+
+def _shadow_kernel(lo_ref, n_ref, active_ref, f_ref, coef_ref, occ_ref, *,
+                   eps: float):
+    b = pl.program_id(0)
+    occ_ref[:, :] = jnp.zeros((SUBTILES, TILE_RAYS), jnp.float32)
+
+    @pl.when(active_ref[b] > 0)
+    def _():
+        for s in range(SUBTILES):
+            f = f_ref[s]
+            lo = lo_ref[b * SUBTILES + s]
+            n = n_ref[b * SUBTILES + s]
+            tmax = f[10:11, :]                 # [1,128]
+
+            def chunk_body(ci, occ):
+                c = coef_ref[lo + ci]
+                out = jnp.dot(c, f, preferred_element_type=jnp.float32,
+                              precision=jax.lax.Precision.HIGHEST)
+                t, acc = _epilogue_inputs(out, eps)
+                acc = acc & (t <= tmax)
+                acc_f = jnp.where(acc, 1.0, 0.0)
+                return jnp.maximum(occ, jnp.max(acc_f, axis=0, keepdims=True))
+
+            occ0 = jnp.zeros((1, TILE_RAYS), jnp.float32)
+            occ = jax.lax.fori_loop(0, n, chunk_body, occ0)
+            occ_ref[s:s + 1, :] = occ
+
+
+def _use_interpret() -> bool:
+    return jax.default_backend() != "tpu"
+
+
+def _pad_tiles(ro, rd, extra=None):
+    shape = jnp.broadcast_shapes(jnp.shape(ro)[:-1], jnp.shape(rd)[:-1])
+    ro = jnp.broadcast_to(ro, shape + (3,)).reshape(-1, 3)
+    rd = jnp.broadcast_to(rd, shape + (3,)).reshape(-1, 3)
+    n = ro.shape[0]
+    group = TILE_RAYS * SUBTILES
+    n_pad = -n % group
+    if n_pad:
+        ro = jnp.concatenate(
+            [ro, jnp.broadcast_to(jnp.asarray([1e8, 1e8, 1e8], jnp.float32),
+                                  (n_pad, 3))])
+        rd = jnp.concatenate(
+            [rd, jnp.broadcast_to(jnp.asarray([1.0, 0.0, 0.0], jnp.float32),
+                                  (n_pad, 3))])
+    if extra is not None:
+        e = jnp.broadcast_to(extra, shape).reshape(-1)
+        if n_pad:
+            e = jnp.concatenate([e, jnp.zeros(n_pad, e.dtype)])
+    else:
+        e = None
+    return shape, n, ro, rd, e
+
+
+def _grid_specs(nt, n_out, n_full_inputs=1):
+    out_spec = pl.BlockSpec((SUBTILES, TILE_RAYS),
+                            lambda b, lo, n, a: (b, 0),
+                            memory_space=pltpu.VMEM)
+    return pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(nt // SUBTILES,),
+        in_specs=[
+            pl.BlockSpec((SUBTILES, KDIM, TILE_RAYS),
+                         lambda b, lo, n, a: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ] + [pl.BlockSpec(memory_space=pltpu.VMEM)] * n_full_inputs,
+        out_specs=[out_spec] * n_out if n_out > 1 else out_spec,
+    )
+
+
+def _block_active(cn, nt):
+    return (cn.reshape(nt // SUBTILES, SUBTILES).max(axis=1) > 0
+            ).astype(jnp.int32)
+
+
+@functools.partial(jax.jit, static_argnames=("eps",))
+def trace_bvh_mxu(mxu: MXUBVH, ro, rd, eps: float = EPS) -> Hit:
+    """Closest-hit via cull + MXU MT.  Contract matches trace_bvh."""
+    shape, n, ro_f, rd_f, _ = _pad_tiles(ro, rd)
+    nt = ro_f.shape[0] // TILE_RAYS
+    lo, cn = _tile_chunk_ranges(mxu.chunk_bounds, ro_f, rd_f)
+    feats = _build_features(ro_f, rd_f)
+
+    kern = functools.partial(_closest_kernel, eps=eps)
+    t_rows, nx, ny, nz = pl.pallas_call(
+        kern,
+        grid_spec=_grid_specs(nt, 4, n_full_inputs=2),
+        out_shape=[jax.ShapeDtypeStruct((nt, TILE_RAYS), jnp.float32)] * 4,
+        interpret=_use_interpret(),
+    )(lo, cn, _block_active(cn, nt), feats, mxu.coef, mxu.norms)
+
+    t = t_rows.reshape(-1)[:n].reshape(shape)
+    hit = t < INF
+    nrm = jnp.stack([nx.reshape(-1)[:n].reshape(shape),
+                     ny.reshape(-1)[:n].reshape(shape),
+                     nz.reshape(-1)[:n].reshape(shape)], axis=-1)
+    nrm = jnp.where(hit[..., None], normalize(nrm), 0.0)
+    ro_b = jnp.broadcast_to(ro, shape + (3,))
+    rd_b = jnp.broadcast_to(rd, shape + (3,))
+    return Hit(t, ro_b + rd_b * t[..., None], nrm,
+               jnp.ones(shape, jnp.int32))
+
+
+@functools.partial(jax.jit, static_argnames=("eps",))
+def trace_bvh_shadow_mxu(mxu: MXUBVH, ro, rd, t_max, eps: float = EPS):
+    """Any-hit with per-ray window via cull + MXU MT.  Returns bool mask."""
+    shape, n, ro_f, rd_f, tm = _pad_tiles(ro, rd, t_max)
+    nt = ro_f.shape[0] // TILE_RAYS
+    t_cap = jnp.max(tm.reshape(nt, TILE_RAYS), axis=1)
+    lo, cn = _tile_chunk_ranges(mxu.chunk_bounds, ro_f, rd_f, t_cap)
+    feats = _build_features(ro_f, rd_f, tm)
+
+    kern = functools.partial(_shadow_kernel, eps=eps)
+    occ_rows = pl.pallas_call(
+        kern,
+        grid_spec=_grid_specs(nt, 1, n_full_inputs=1),
+        out_shape=jax.ShapeDtypeStruct((nt, TILE_RAYS), jnp.float32),
+        interpret=_use_interpret(),
+    )(lo, cn, _block_active(cn, nt), feats, mxu.coef)
+
+    return occ_rows.reshape(-1)[:n].reshape(shape) > 0.5

@@ -11,16 +11,39 @@ branches resolve per-draw.
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional
+from typing import NamedTuple, Optional
 
+import jax
 import jax.numpy as jnp
 
 from ..constants import EPS
 from ..params import RenderParams
-from ..scene.bvh import BVHArrays
+from ..scene.bvh import BVH, BVHArrays, build_bvh, bvh_to_arrays
 from . import scene_analytic as sa
 from .bvh_traverse import trace_bvh, trace_bvh_shadow
+from .bvh_mxu import (MXUBVH, build_mxu_arrays, trace_bvh_mxu,
+                      trace_bvh_shadow_mxu)
 from .vecmath import normalize, v3
+
+
+class BVHDevice(NamedTuple):
+    """Device-side BVH bundle: skip-link arrays (portable jnp walker) +
+    MXU chunk arrays (TPU fast path)."""
+    arrays: BVHArrays
+    mxu: MXUBVH
+
+
+def prepare_bvh(tris) -> BVHDevice:
+    """Build both device representations from world-space tris [T,9]."""
+    host = build_bvh(tris)
+    return BVHDevice(
+        arrays=jax.tree.map(jnp.asarray, bvh_to_arrays(host)),
+        mxu=build_mxu_arrays(host),
+    )
+
+
+def _tpu() -> bool:
+    return jax.default_backend() == "tpu"
 
 
 def dir_from_yaw_pitch(yaw_deg, pitch_deg):
@@ -59,7 +82,7 @@ class SceneCtx:
     sky_up: jnp.ndarray                  # [3]
     env_map: Optional[jnp.ndarray]       # [6,F,F,3] or None
     use_bvh: bool = False
-    bvh: Optional[BVHArrays] = None
+    bvh: Optional[BVHDevice] = None
 
     @staticmethod
     def create(params: RenderParams, cam_pos, env_map=None, use_bvh=False,
@@ -79,7 +102,10 @@ class SceneCtx:
 
     def trace(self, ro, rd, eps: float = EPS) -> sa.Hit:
         if self.use_bvh:
-            return trace_bvh(self.bvh, ro, rd, eps)
+            # TPU: cull + MXU Moller-Trumbore; elsewhere: jnp skip-link walk.
+            if _tpu():
+                return trace_bvh_mxu(self.bvh.mxu, ro, rd, eps)
+            return trace_bvh(self.bvh.arrays, ro, rd, eps)
         return sa.trace_analytic(ro, rd, self.params, self.point_light_pos,
                                  eps)
 
@@ -93,7 +119,9 @@ class SceneCtx:
 
     def trace_shadow_any(self, ro, rd, t_max, eps: float = EPS):
         """Any occluder strictly before t_max (BVH mode only path)."""
-        return trace_bvh_shadow(self.bvh, ro, rd, t_max, eps)
+        if _tpu():
+            return trace_bvh_shadow_mxu(self.bvh.mxu, ro, rd, t_max, eps)
+        return trace_bvh_shadow(self.bvh.arrays, ro, rd, t_max, eps)
 
     def sky(self, d):
         return sa.sky(d, self.params, self.env_map)

@@ -16,8 +16,8 @@ from opengl_raytracing_tpu import Camera, FrameState
 from opengl_raytracing_tpu.models import (FrameInputs, RenderState,
                                           make_render_fn, preset)
 from opengl_raytracing_tpu.sampling import generate_jitter2d
-from opengl_raytracing_tpu.scene import (build_bvh, bvh_to_arrays, make_bunny,
-                                         gather_triangles)
+from opengl_raytracing_tpu.scene import make_bunny, gather_triangles
+from opengl_raytracing_tpu.ops.scene import prepare_bvh
 from opengl_raytracing_tpu.scene.geometry import model_transform
 from opengl_raytracing_tpu.utils import write_png
 from opengl_raytracing_tpu.utils.log import log
@@ -57,10 +57,9 @@ def main():
         t0 = time.time()
         mesh = make_bunny(4)
         tris = gather_triangles(mesh, model_transform((-2, 1.5, 0), 0.5))
-        host_bvh = build_bvh(tris)
-        bvh = jax.tree.map(jnp.asarray, bvh_to_arrays(host_bvh))
-        log("BVH", "built %d nodes / %d tris in %.2fs", host_bvh.n_nodes,
-            host_bvh.n_tris, time.time() - t0)
+        bvh = prepare_bvh(tris)
+        log("BVH", "built %d chunks / %d tris in %.2fs",
+            bvh.mxu.coef.shape[0], tris.shape[0], time.time() - t0)
 
     render = make_render_fn(params, H, W, use_bvh=use_bvh, donate=False)
     fs = FrameState.initial(cam.view_projection(), cam.position)

@@ -7,8 +7,8 @@ import jax.numpy as jnp
 from opengl_raytracing_tpu import Camera, RenderParams
 from opengl_raytracing_tpu.models import (FrameInputs, RenderState,
                                           render_frame, preset)
-from opengl_raytracing_tpu.scene import (build_bvh, bvh_to_arrays, make_bunny,
-                                         gather_triangles)
+from opengl_raytracing_tpu.scene import make_bunny, gather_triangles
+from opengl_raytracing_tpu.ops.scene import prepare_bvh
 from opengl_raytracing_tpu.scene.geometry import model_transform
 
 H, W = 48, 64
@@ -67,7 +67,7 @@ def test_baseline_preset_deterministic():
 def test_bvh_frame_smoke():
     mesh = make_bunny(2)
     tris = gather_triangles(mesh, model_transform((-2, 1.5, 0), 0.5))
-    arrs = jax.tree.map(jnp.asarray, bvh_to_arrays(build_bvh(tris)))
+    arrs = prepare_bvh(tris)
     params = preset("baseline").replace(enable_gi=0, enable_ao=0)
     state = RenderState.create(H, W)
     st, out = render_frame(params, make_inputs(), state, bvh=arrs,
