@@ -1,0 +1,180 @@
+"""Application: the frame loop orchestrator.
+
+Mirrors the reference main loop (reference: src/app/application.cpp:327-555)
+step for step: point-light orbit animation, input consumption, camera-moved
+detection from the view-projection diff, motion-scaled jitter, hotkey
+reactions, render dispatch (ray vs raster), picker-driven asset reloads,
+and the accumulation-reset decision driven by the exhaustive param diff.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Callable, Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..frame_state import FrameState
+from ..models.pipeline import FrameInputs, render_frame
+from ..models.raster import render_raster
+from ..params import params_changed
+from ..sampling import generate_jitter2d
+from ..utils.log import log
+from .input import InputState, apply_action
+from .state import AppState
+
+
+class Application:
+    def __init__(self, state: Optional[AppState] = None, height: int = 1080,
+                 width: int = 1920, jit: bool = True):
+        self.app = state or AppState(height, width)
+        self.input = InputState(spp_per_frame=self.app.params.spp_per_frame,
+                                exposure=float(np.asarray(
+                                    self.app.params.exposure)))
+        self._render_cache = {}
+        self._jit = jit
+        self.frame_count = 0
+        self.last_output = None
+
+    # -- input --
+
+    def act(self, *actions: str) -> None:
+        for a in actions:
+            apply_action(self.input, a, self.app)
+            if a.startswith("move_") or a.startswith("look "):
+                self.input.camera_changed_this_frame = True
+
+    # -- jit cache over static config --
+
+    def _render_fn(self) -> Callable:
+        app = self.app
+        key = (app.params.spp_per_frame, app.params.enable_jitter,
+               app.params.enable_gi, app.params.enable_ao,
+               app.params.enable_taa, app.params.enable_svgf,
+               app.params.enable_env_map, app.params.sun_enabled,
+               app.params.sky_enabled, app.params.point_light_enabled,
+               app.params.point_light_orbit_enabled,
+               app.params.mat_glass_enabled, app.params.mat_mirror_enabled,
+               app.params.ao_samples, app.use_bvh, app.show_motion,
+               app.env_map is not None, app.bvh is not None,
+               app.height, app.width)
+        fn = self._render_cache.get(key)
+        if fn is None:
+            h, w, use_bvh, show_motion = (app.height, app.width, app.use_bvh,
+                                          app.show_motion)
+
+            def raw(params, fin, state, env_map, bvh):
+                return render_frame(params, fin, state, env_map, bvh,
+                                    height=h, width=w, use_bvh=use_bvh,
+                                    show_motion=show_motion)
+            fn = jax.jit(raw) if self._jit else raw
+            self._render_cache[key] = fn
+        return fn
+
+    # -- one frame (reference: application.cpp:330-554) --
+
+    def step(self, dt: float = 1.0 / 60.0):
+        app = self.app
+
+        # 1. point-light orbit animation (application.cpp:343-348)
+        if app.params.point_light_orbit_enabled:
+            app.params = app.params.replace(
+                point_light_yaw=float(np.asarray(app.params.point_light_yaw))
+                + float(np.asarray(app.params.point_light_orbit_speed)) * dt)
+
+        # 2. consume hotkey flags (application.cpp:410-440)
+        inp = self.input
+        if inp.toggled_ray_mode:
+            app.ray_mode = not app.ray_mode
+            app.reset_accumulation("mode toggle")
+        if inp.reset_accum:
+            app.reset_accumulation("manual")
+        if inp.toggled_bvh:
+            app.use_bvh = not app.use_bvh
+            app.reset_accumulation("bvh toggle")
+        if inp.changed_spp:
+            app.params = app.params.replace(
+                spp_per_frame=int(np.clip(inp.spp_per_frame, 1, 16)))
+            app.reset_accumulation("spp change")
+        if inp.changed_exposure:
+            app.params = app.params.replace(
+                exposure=float(np.clip(inp.exposure, 0.01, 8.0)))
+        if inp.toggled_motion_debug:
+            app.show_motion = not app.show_motion
+            app.reset_accumulation("motion debug")
+
+        # 3. frame state + camera-moved detection (application.cpp:380-395)
+        vp = self.app.camera.view_projection()
+        frame = app.frame.begin_frame(vp, app.camera.position,
+                                      np.zeros(2, np.float32))
+        camera_moved = frame.camera_moved() or inp.camera_changed_this_frame
+
+        # jitter scaled by motion state (application.cpp:397-405)
+        if app.params.enable_jitter:
+            base = generate_jitter2d(int(app.render_state.frame_index))
+            scale = (app.params.jitter_moving_scale if camera_moved
+                     else app.params.jitter_still_scale)
+            jitter = base * float(np.asarray(scale))
+        else:
+            jitter = np.zeros(2, np.float32)
+        frame = FrameState(frame.curr_view_proj, frame.prev_view_proj,
+                           frame.curr_cam_pos, frame.prev_cam_pos,
+                           jitter.astype(np.float32))
+        app.frame = frame
+
+        # 4. render (application.cpp:453-457)
+        right, up, fwd, thf = app.camera.basis()
+        fin = FrameInputs(
+            cam_pos=jnp.asarray(app.camera.position),
+            cam_right=jnp.asarray(right), cam_up=jnp.asarray(up),
+            cam_fwd=jnp.asarray(fwd), tan_half_fov=jnp.float32(thf),
+            aspect=jnp.float32(app.camera.aspect),
+            jitter=jnp.asarray(jitter),
+            curr_view_proj=jnp.asarray(frame.curr_view_proj),
+            prev_view_proj=jnp.asarray(frame.prev_view_proj),
+            camera_moved=jnp.int32(1 if camera_moved else 0))
+
+        if app.ray_mode:
+            fn = self._render_fn()
+            app.render_state, out = fn(app.params, fin, app.render_state,
+                                       app.env_map, app.bvh)
+            self.last_output = out
+            image = out.image
+        else:
+            image = render_raster(app.params, fin, app.bvh,
+                                  height=app.height, width=app.width)
+            self.last_output = None
+        app.frame = frame.end_frame()
+
+        # 5. picker-driven reloads (application.cpp:482-516)
+        if app.model_picker.reload_requested:
+            app.model_picker.reload_requested = False
+            path = app.model_picker.entries[app.model_picker.selected]
+            if app.load_bvh_model(path):
+                app.reset_accumulation("bvh reload")
+        if app.env_picker.reload_requested:
+            app.env_picker.reload_requested = False
+            path = app.env_picker.entries[app.env_picker.selected]
+            if app.load_env_map(path):
+                app.reset_accumulation("env reload")
+
+        # 6. accumulation-reset decision (application.cpp:523-553)
+        if params_changed(app.prev_params, app.params):
+            app.reset_accumulation("params changed")
+        app.prev_params = app.params
+
+        inp.clear_edges()
+        self.frame_count += 1
+        app.record_frame_time()
+        return image
+
+    def run(self, frames: int, dt: float = 1.0 / 60.0):
+        """Headless main loop; returns the last image."""
+        image = None
+        for _ in range(frames):
+            if self.input.quit:
+                break
+            image = self.step(dt)
+        return image

@@ -1,0 +1,160 @@
+"""AppState: all engine runtime state in one place.
+
+Counterpart of the reference's god-object (reference:
+include/app/state.h:45-132): camera, params, frame state, accumulation,
+scene assets (BVH model + env map), mode toggles, and picker state.
+Device-resident pieces (RenderState) stay functional pytrees; this class
+is the host-side owner that threads them through frames.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import glob
+import os
+import time
+from typing import List, Optional
+
+import numpy as np
+
+from ..camera import Camera
+from ..frame_state import FrameState
+from ..params import RenderParams
+from ..models.pipeline import RenderState
+from ..ops.scene import BVHDevice, prepare_bvh
+from ..scene.geometry import (load_obj_fast, gather_triangles,
+                              model_transform)
+from ..constants import DEFAULT_BVH_TRANSLATE, DEFAULT_BVH_SCALE
+from ..utils.log import log
+from ..utils.paths import resolve_dir
+
+
+@dataclasses.dataclass
+class PickerState:
+    """Directory-scan asset picker (reference: src/ui/gui.cpp:721-887)."""
+    directory: str
+    patterns: tuple
+    entries: List[str] = dataclasses.field(default_factory=list)
+    selected: int = -1
+    reload_requested: bool = False
+
+    def scan(self) -> List[str]:
+        found: List[str] = []
+        for pat in self.patterns:
+            found += glob.glob(os.path.join(self.directory, pat))
+        self.entries = sorted(found)
+        return self.entries
+
+    def request(self, index: int) -> None:
+        if 0 <= index < len(self.entries):
+            self.selected = index
+            self.reload_requested = True
+
+
+class AppState:
+    """Everything the render loop needs between frames."""
+
+    def __init__(self, height: int = 1080, width: int = 1920,
+                 params: Optional[RenderParams] = None):
+        self.height = height
+        self.width = width
+        self.params = params or RenderParams()
+        self.prev_params = self.params
+        self.camera = Camera()
+        self.camera.aspect = width / height
+
+        self.render_state = RenderState.create(height, width)
+        self.frame = FrameState.initial(self.camera.view_projection(),
+                                        self.camera.position)
+
+        # Mode toggles (reference: include/app/state.h:60-76)
+        self.ray_mode = True
+        self.use_bvh = False
+        self.show_motion = False
+
+        # Scene assets
+        self.bvh: Optional[BVHDevice] = None
+        self.bvh_node_count = 0
+        self.bvh_tri_count = 0
+        self.env_map = None  # [6,F,F,3] or None
+
+        # Pickers (reference: gui.cpp:721-799 models, :804-887 cubemaps)
+        self.model_picker = PickerState(resolve_dir("models"), ("*.obj",))
+        self.env_picker = PickerState(resolve_dir("cubemaps"),
+                                      ("*.png", "*.PNG"))
+        self.model_picker.scan()
+        self.env_picker.scan()
+
+        # Timing / metrics (reference FPS meter: gui.cpp:206-207)
+        self.frame_times_ms: List[float] = []
+        self.last_frame_start = time.monotonic()
+
+    # -- asset loading with graceful degradation
+    # (reference: src/app/application.cpp:482-516) --
+
+    def load_bvh_model(self, path: str,
+                       transform: Optional[np.ndarray] = None) -> bool:
+        """Load an OBJ, build + upload the BVH; keep old state on failure
+        (reference: src/app/application.cpp:496-499)."""
+        try:
+            mesh = load_obj_fast(path)
+            if mesh[1].shape[0] == 0:
+                raise ValueError("no faces")
+            m = transform if transform is not None else model_transform(
+                DEFAULT_BVH_TRANSLATE, DEFAULT_BVH_SCALE)
+            tris = gather_triangles(mesh, m)
+            self.bvh = prepare_bvh(tris)
+            self.bvh_tri_count = int(tris.shape[0])
+            self.bvh_node_count = int(self.bvh.arrays.bounds.shape[0])
+            log("BVH", "loaded %s: %d tris, %d nodes", path,
+                self.bvh_tri_count, self.bvh_node_count)
+            return True
+        except Exception as exc:  # keep previous BVH
+            log("BVH", "failed to load %s: %s (keeping previous)", path, exc)
+            return False
+
+    def set_bvh_from_tris(self, tris: np.ndarray) -> None:
+        self.bvh = prepare_bvh(tris)
+        self.bvh_tri_count = int(tris.shape[0])
+        self.bvh_node_count = int(self.bvh.arrays.bounds.shape[0])
+
+    def load_env_map(self, path: str) -> bool:
+        """Load a 4x3-cross PNG; keep previous texture on failure
+        (reference: src/app/application.cpp:300-304,513-515)."""
+        try:
+            from .. import native
+            from ..utils.image import read_png, slice_cubemap_cross
+            img = read_png(path)
+            faces = (native.slice_cubemap_cross(img) if native.available()
+                     else slice_cubemap_cross(img))
+            import jax.numpy as jnp
+            self.env_map = jnp.asarray(faces)
+            log("ENV", "loaded cubemap %s (%dx%d faces)", path,
+                faces.shape[1], faces.shape[2])
+            return True
+        except Exception as exc:
+            log("ENV", "failed to load %s: %s (keeping previous)", path, exc)
+            return False
+
+    # -- accumulation control (reference: src/render/accum.cpp:98-102) --
+
+    def reset_accumulation(self, reason: str = "") -> None:
+        self.render_state = self.render_state.reset()
+        if reason:
+            log("ACCUM", "reset (%s)", reason)
+
+    def record_frame_time(self) -> float:
+        now = time.monotonic()
+        dt = (now - self.last_frame_start) * 1e3
+        self.last_frame_start = now
+        self.frame_times_ms.append(dt)
+        if len(self.frame_times_ms) > 240:
+            self.frame_times_ms.pop(0)
+        return dt
+
+    @property
+    def fps(self) -> float:
+        if not self.frame_times_ms:
+            return 0.0
+        avg = np.mean(self.frame_times_ms[-60:])
+        return 1000.0 / max(avg, 1e-6)

@@ -18,7 +18,7 @@ import jax.numpy as jnp
 
 from ..constants import EPS
 from ..params import RenderParams
-from ..scene.bvh import BVH, BVHArrays, build_bvh, bvh_to_arrays
+from ..scene.bvh import BVH, BVHArrays, build_bvh_fast, bvh_to_arrays
 from . import scene_analytic as sa
 from .bvh_traverse import trace_bvh, trace_bvh_shadow
 from .bvh_mxu import (MXUBVH, build_mxu_arrays, trace_bvh_mxu,
@@ -35,7 +35,7 @@ class BVHDevice(NamedTuple):
 
 def prepare_bvh(tris) -> BVHDevice:
     """Build both device representations from world-space tris [T,9]."""
-    host = build_bvh(tris)
+    host = build_bvh_fast(tris)
     return BVHDevice(
         arrays=jax.tree.map(jnp.asarray, bvh_to_arrays(host)),
         mxu=build_mxu_arrays(host),

@@ -174,6 +174,14 @@ def build_bvh(tris: np.ndarray, leaf_max: int = LEAF_MAX) -> BVH:
                tris_remapped.astype(np.float32))
 
 
+def build_bvh_fast(tris: np.ndarray, leaf_max: int = LEAF_MAX) -> BVH:
+    """Build via the native C++ builder when available (identical layout
+    contract; see native/bvh_native.cpp), else the numpy oracle."""
+    from .. import native
+    result = native.build_bvh(tris, leaf_max) if native.available() else None
+    return result if result is not None else build_bvh(tris, leaf_max)
+
+
 def bvh_to_arrays(bvh: BVH) -> BVHArrays:
     """Pack host BVH into the device layout."""
     n, t = bvh.n_nodes, bvh.n_tris

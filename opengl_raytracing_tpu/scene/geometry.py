@@ -158,6 +158,16 @@ def load_obj(path: str) -> Mesh:
             np.asarray(faces, np.int32).reshape(-1, 3))
 
 
+def load_obj_fast(path: str) -> Mesh:
+    """OBJ load via the native C++ parser when available, else python."""
+    from .. import native
+    if native.available():
+        result = native.load_obj(path)
+        if result is not None:
+            return result
+    return load_obj(path)
+
+
 def save_obj(path: str, mesh: Mesh) -> None:
     verts, faces = mesh
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)

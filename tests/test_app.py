@@ -1,0 +1,166 @@
+"""Application layer: main-loop semantics, input actions, pickers,
+checkpoints, raster parity mode."""
+
+import os
+import tempfile
+
+import numpy as np
+import jax.numpy as jnp
+
+from opengl_raytracing_tpu.app import Application, AppState
+from opengl_raytracing_tpu.app.input import SPP_PRESETS
+from opengl_raytracing_tpu.models.presets import preset
+from opengl_raytracing_tpu.models.raster import render_raster, CLEAR_COLOR
+from opengl_raytracing_tpu.scene.geometry import (make_bunny, save_obj,
+                                                  gather_triangles,
+                                                  model_transform)
+from opengl_raytracing_tpu.utils.checkpoint import (save_snapshot,
+                                                    load_snapshot,
+                                                    save_preset, load_preset)
+from opengl_raytracing_tpu import RenderParams
+
+H, W = 36, 48
+
+
+def small_app(**kw):
+    params = preset("baseline").replace(**kw) if kw else preset("baseline")
+    return Application(state=AppState(height=H, width=W, params=params),
+                       jit=False)
+
+
+def test_step_produces_image_and_advances_accum():
+    a = small_app()
+    img = a.step()
+    assert np.asarray(img).shape == (H, W, 3)
+    assert int(a.app.render_state.frame_index) == 1
+    a.step()
+    assert int(a.app.render_state.frame_index) == 2
+
+
+def test_param_change_resets_accumulation():
+    a = small_app()
+    a.step()
+    a.step()
+    assert int(a.app.render_state.frame_index) == 2
+    a.app.params = a.app.params.replace(exposure=2.0)
+    a.step()  # detected at end of frame -> reset
+    assert int(a.app.render_state.frame_index) == 0
+
+
+def test_camera_move_sets_camera_moved_and_keeps_accumulating():
+    a = small_app()
+    a.step()
+    a.act("move_w")
+    a.step()
+    # moving does NOT reset accumulation (only TAA handles motion)
+    assert int(a.app.render_state.frame_index) == 2
+
+
+def test_spp_actions_cycle_presets_and_reset():
+    a = small_app()
+    a.step()
+    a.act("spp_up")
+    a.step()
+    assert a.app.params.spp_per_frame == SPP_PRESETS[1]
+    assert int(a.app.render_state.frame_index) <= 1  # reset happened
+
+
+def test_exposure_clamp():
+    a = small_app()
+    for _ in range(300):
+        a.act("exposure_up")
+    a.step()
+    assert float(np.asarray(a.app.params.exposure)) <= 8.0
+    for _ in range(800):
+        a.act("exposure_down")
+    a.step()
+    assert float(np.asarray(a.app.params.exposure)) >= 0.01
+
+
+def test_toggle_raster_mode():
+    a = small_app()
+    a.act("toggle_ray_mode")
+    img = a.step()
+    arr = np.asarray(img)
+    # raster clear color visible above the horizon
+    assert np.allclose(arr[-1, 0], CLEAR_COLOR, atol=1e-5)
+
+
+def test_motion_debug_toggle():
+    a = small_app()
+    a.act("toggle_motion_debug")
+    img = a.step()
+    assert np.isfinite(np.asarray(img)).all()
+
+
+def test_orbit_updates_yaw_and_resets():
+    a = small_app(point_light_orbit_enabled=1)
+    y0 = float(np.asarray(a.app.params.point_light_yaw))
+    a.step(dt=0.5)
+    a.step(dt=0.5)
+    assert float(np.asarray(a.app.params.point_light_yaw)) > y0
+    assert int(a.app.render_state.frame_index) <= 1  # continuous reset
+
+
+def test_model_picker_reload(tmp_path=None):
+    with tempfile.TemporaryDirectory() as d:
+        save_obj(os.path.join(d, "blob.obj"), make_bunny(1))
+        a = small_app()
+        a.app.model_picker.directory = d
+        a.app.model_picker.scan()
+        assert a.app.model_picker.entries
+        a.app.use_bvh = True
+        tris = gather_triangles(make_bunny(1), model_transform())
+        a.app.set_bvh_from_tris(tris)
+        a.app.model_picker.request(0)
+        a.step()
+        assert a.app.bvh_tri_count > 0
+        assert not a.app.model_picker.reload_requested
+
+
+def test_bvh_load_failure_keeps_previous():
+    a = small_app()
+    tris = gather_triangles(make_bunny(1), model_transform())
+    a.app.set_bvh_from_tris(tris)
+    before = a.app.bvh_tri_count
+    ok = a.app.load_bvh_model("/nonexistent/file.obj")
+    assert not ok
+    assert a.app.bvh_tri_count == before
+
+
+def test_snapshot_roundtrip():
+    a = small_app()
+    a.step()
+    a.step()
+    app = a.app
+    with tempfile.TemporaryDirectory() as d:
+        p = os.path.join(d, "snap.npz")
+        save_snapshot(p, app.params, app.camera, app.frame, app.render_state)
+        params, cam, frame, rs = load_snapshot(p)
+    assert int(rs.frame_index) == int(app.render_state.frame_index)
+    np.testing.assert_allclose(np.asarray(rs.accum),
+                               np.asarray(app.render_state.accum))
+    np.testing.assert_allclose(cam.position, app.camera.position)
+    assert params.spp_per_frame == app.params.spp_per_frame
+
+
+def test_preset_roundtrip():
+    p = preset("heavy").replace(exposure=1.5,
+                                mat_albedo_color=(0.1, 0.2, 0.3))
+    with tempfile.TemporaryDirectory() as d:
+        path = os.path.join(d, "p.json")
+        save_preset(path, p)
+        q = load_preset(path)
+    assert q.spp_per_frame == 4
+    assert abs(float(np.asarray(q.exposure)) - 1.5) < 1e-6
+    assert q.mat_albedo_color == (0.1, 0.2, 0.3)
+
+
+def test_raster_scene_content():
+    # ray-cast raster parity: ground below, clear color above, marker lit
+    from tests.test_pipeline import make_inputs
+    params = RenderParams()
+    fin = make_inputs()
+    img = np.asarray(render_raster(params, fin, None, height=48, width=64))
+    assert np.allclose(img[-1, 0], CLEAR_COLOR, atol=1e-5)   # sky (top=GL up)
+    assert np.allclose(img[0, 32], (0.1, 0.4, 0.1), atol=1e-5)  # ground
