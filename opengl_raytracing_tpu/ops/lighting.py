@@ -42,17 +42,23 @@ LIGHT_T = _LT.astype(np.float32)
 LIGHT_B = _LB.astype(np.float32)
 
 
-def occluded_toward(scene: SceneCtx, p, q):
-    """Segment occlusion test (reference: rt_lighting.glsl:49-60)."""
+def _segment_shadow_query(p, q):
+    """(origin, dir, window) for a p->q occlusion segment
+    (reference: rt_lighting.glsl:49-55)."""
     delta = q - p
     max_t = length(delta)
     rd = delta / jnp.maximum(max_t, 1e-12)[..., None]
     eps = eps_for_dist(max_t)
-    origin = p + rd * eps[..., None]
+    return p + rd * eps[..., None], rd, max_t - eps
+
+
+def occluded_toward(scene: SceneCtx, p, q):
+    """Segment occlusion test (reference: rt_lighting.glsl:49-60)."""
+    origin, rd, win = _segment_shadow_query(p, q)
     if scene.use_bvh:
-        return scene.trace_shadow_any(origin, rd, max_t - eps)
+        return scene.trace_shadow_any(origin, rd, win)
     h = scene.trace(origin, rd)
-    return h.valid & (h.t < max_t - eps)
+    return h.valid & (h.t < win)
 
 
 def shade_lambert_phong(n, v, l, li, albedo, spec_strength, gloss):
@@ -68,21 +74,32 @@ def shade_lambert_phong(n, v, l, li, albedo, spec_strength, gloss):
     return jnp.where((ndl > 0.0)[..., None], out, 0.0)
 
 
-def sun_direct(scene: SceneCtx, h, mat, vdir):
-    """Hard-shadowed directional sun (reference: rt_lighting.glsl:114-144)."""
+def _sun_shadow_query(scene: SceneCtx, h, n):
+    """(origin, dir, window) of the sun shadow ray
+    (reference: rt_lighting.glsl:125-136).  epsForDist(1000) == 1.0."""
+    max_t = 1000.0
+    eps = max(1e-4, 1e-3 * max_t)
+    origin = h.p + n * eps
+    l = jnp.broadcast_to(-scene.sun_dir, origin.shape)
+    return origin, l, jnp.full(jnp.shape(h.t), max_t - eps, jnp.float32)
+
+
+def sun_direct(scene: SceneCtx, h, mat, vdir, blocked=None):
+    """Hard-shadowed directional sun (reference: rt_lighting.glsl:114-144).
+
+    `blocked` may be precomputed by a batched shadow trace."""
     if not scene.params.sun_enabled:
         return jnp.zeros(jnp.shape(h.t) + (3,), jnp.float32)
     n = normalize(h.n)
     v = normalize(vdir)
     l = -scene.sun_dir
     ndl = jnp.maximum(dot(n, l), 0.0)
-    max_t = 1000.0
-    eps = max(1e-4, 1e-3 * max_t)  # epsForDist(1000) == 1.0
-    origin = h.p + n * eps
-    if scene.use_bvh:
-        blocked = scene.trace_shadow_any(origin, l, max_t - eps)
-    else:
-        blocked = scene.trace(origin, l).valid  # any hit at all blocks
+    if blocked is None:
+        origin, ldir, win = _sun_shadow_query(scene, h, n)
+        if scene.use_bvh:
+            blocked = scene.trace_shadow_any(origin, ldir, win)
+        else:
+            blocked = scene.trace(origin, ldir).valid  # any hit blocks
     li = const3(scene.params.sun_color) * scene.params.sun_intensity
     spec = jnp.where(mat.mtype == MTYPE_DIFFUSE, mat.spec_strength, 0.0)
     out = shade_lambert_phong(n, v, l, li, mat.albedo, spec, mat.gloss)
@@ -100,7 +117,17 @@ def sky_direct(scene: SceneCtx, h, mat):
     return mat.albedo * (ndl / PI)[..., None] * li
 
 
-def point_direct(scene: SceneCtx, h, mat, vdir):
+def _point_shadow_query(scene: SceneCtx, h):
+    """(origin, dir, window) of the point-light shadow ray
+    (reference: rt_lighting.glsl:186-201)."""
+    to_l = scene.point_light_pos - h.p
+    dist = jnp.sqrt(jnp.maximum(dot(to_l, to_l), 1e-20))
+    l = to_l / dist[..., None]
+    eps = eps_for_dist(dist)
+    return h.p + l * eps[..., None], l, dist - eps
+
+
+def point_direct(scene: SceneCtx, h, mat, vdir, blocked=None):
     """Point light with inverse-square falloff and shadows
     (reference: rt_lighting.glsl:181-214)."""
     if not scene.params.point_light_enabled:
@@ -112,14 +139,14 @@ def point_direct(scene: SceneCtx, h, mat, vdir):
     dist = jnp.sqrt(jnp.maximum(dist2, 1e-20))
     l = to_l / dist[..., None]
     ndl = jnp.maximum(dot(n, l), 0.0)
-    eps = eps_for_dist(dist)
-    origin = h.p + l * eps[..., None]
-    if scene.use_bvh:
-        blocked = scene.trace_shadow_any(origin, l, dist - eps)
-    else:
-        # marker sphere must not shadow its own light
-        tmp = scene.trace_ignore_point_light(origin, l)
-        blocked = tmp.valid & (tmp.t < dist - eps)
+    if blocked is None:
+        origin, ldir, win = _point_shadow_query(scene, h)
+        if scene.use_bvh:
+            blocked = scene.trace_shadow_any(origin, ldir, win)
+        else:
+            # marker sphere must not shadow its own light
+            tmp = scene.trace_ignore_point_light(origin, ldir)
+            blocked = tmp.valid & (tmp.t < win)
     li = (const3(scene.params.point_light_color)
           * (scene.params.point_light_intensity
              / jnp.maximum(dist2, 1e-4))[..., None])
@@ -129,13 +156,9 @@ def point_direct(scene: SceneCtx, h, mat, vdir):
     return jnp.where(ok[..., None], out, 0.0)
 
 
-def _disk_light_sum(scene: SceneCtx, h, n, v, albedo, spec_strength, gloss,
-                    rng_frame, frame_index, px, py):
-    """Soft disk area light: SOFT_SHADOW_SAMPLES concentric samples with
-    per-pixel CP rotation (reference: rt_lighting.glsl:355-387,414-445).
-
-    All shadow rays are traced as ONE batched call (leading sample axis)
-    — fewer kernel launches with identical results."""
+def _disk_samples(rng_frame, frame_index, px, py):
+    """The SOFT_SHADOW_SAMPLES world-space disk points per pixel
+    (reference: rt_lighting.glsl:359-371)."""
     rot_x, rot_y = cp_offset(px, py, frame_index)
     center = const3(LIGHT_CENTER)
     t_axis = jnp.asarray(LIGHT_T)
@@ -150,8 +173,22 @@ def _disk_light_sum(scene: SceneCtx, h, n, v, albedo, spec_strength, gloss,
         dx, dy = concentric_sample(ux, uy)
         xls.append(center + t_axis * (dx * LIGHT_RADIUS)[..., None]
                    + b_axis * (dy * LIGHT_RADIUS)[..., None])
-    xl_all = jnp.stack(xls, axis=0)                       # [S,...,3]
-    occ_all = occluded_toward(scene, h.p[None], xl_all)   # [S,...]
+    return xls
+
+
+def _disk_light_sum(scene: SceneCtx, h, n, v, albedo, spec_strength, gloss,
+                    rng_frame, frame_index, px, py, xls=None, occ_all=None):
+    """Soft disk area light: SOFT_SHADOW_SAMPLES concentric samples with
+    per-pixel CP rotation (reference: rt_lighting.glsl:355-387,414-445).
+
+    Shadow rays are traced as ONE batched call (leading sample axis) —
+    or consumed from `occ_all` when the caller already batched them with
+    other lights' shadow queries."""
+    if xls is None:
+        xls = _disk_samples(rng_frame, frame_index, px, py)
+    if occ_all is None:
+        xl_all = jnp.stack(xls, axis=0)                      # [S,...,3]
+        occ_all = occluded_toward(scene, h.p[None], xl_all)  # [S,...]
 
     acc = jnp.zeros(jnp.shape(h.t) + (3,), jnp.float32)
     for i in range(SOFT_SHADOW_SAMPLES):
@@ -203,23 +240,60 @@ def direct_light(scene: SceneCtx, h, rng_frame, frame_index, vdir, px, py):
 def direct_light_bvh(scene: SceneCtx, h, rng_frame, frame_index, vdir,
                      px, py):
     """Direct lighting for BVH triangles: hard-coded white plastic
-    (reference: rt_lighting.glsl:405-460)."""
+    (reference: rt_lighting.glsl:405-460).
+
+    ALL shadow queries (4 disk + sun + point) go through ONE batched
+    any-hit kernel call — the TPU wavefront restructuring of the
+    reference's six sequential shadow traces."""
     n = normalize(h.n)
     v = normalize(vdir)
-    albedo = jnp.broadcast_to(const3(BVH_ALBEDO), jnp.shape(h.t) + (3,))
-    spec = jnp.full(jnp.shape(h.t), BVH_SPEC_STRENGTH, jnp.float32)
-    gloss = jnp.full(jnp.shape(h.t), BVH_GLOSS, jnp.float32)
+    shape = jnp.shape(h.t)
+    albedo = jnp.broadcast_to(const3(BVH_ALBEDO), shape + (3,))
+    spec = jnp.full(shape, BVH_SPEC_STRENGTH, jnp.float32)
+    gloss = jnp.full(shape, BVH_GLOSS, jnp.float32)
+    params = scene.params
+
+    xls = _disk_samples(rng_frame, frame_index, px, py)
+    occ_disk = blocked_sun = blocked_point = None
+    if scene.use_bvh:
+        origins, dirs, wins = [], [], []
+        for xl in xls:
+            o, d, w = _segment_shadow_query(h.p, xl)
+            origins.append(o)
+            dirs.append(d)
+            wins.append(w)
+        if params.sun_enabled:
+            o, d, w = _sun_shadow_query(scene, h, n)
+            origins.append(o)
+            dirs.append(d)
+            wins.append(w)
+        if params.point_light_enabled:
+            o, d, w = _point_shadow_query(scene, h)
+            origins.append(o)
+            dirs.append(d)
+            wins.append(w)
+        occ = scene.trace_shadow_any(jnp.stack(origins), jnp.stack(dirs),
+                                     jnp.stack(wins))
+        occ_disk = occ[:SOFT_SHADOW_SAMPLES]
+        k = SOFT_SHADOW_SAMPLES
+        if params.sun_enabled:
+            blocked_sun = occ[k]
+            k += 1
+        if params.point_light_enabled:
+            blocked_point = occ[k]
+
     acc = _disk_light_sum(scene, h, n, v, albedo, spec, gloss,
-                          rng_frame, frame_index, px, py)
+                          rng_frame, frame_index, px, py, xls=xls,
+                          occ_all=occ_disk)
 
     # "fake" analytic material for the hybrid lights (rt_lighting.glsl:448-453)
     fake = MaterialProps(albedo, spec, gloss,
-                         jnp.zeros(jnp.shape(h.t), jnp.int32),
-                         jnp.ones(jnp.shape(h.t), jnp.float32))
+                         jnp.zeros(shape, jnp.int32),
+                         jnp.ones(shape, jnp.float32))
 
-    acc = acc + sun_direct(scene, h, fake, v)
+    acc = acc + sun_direct(scene, h, fake, v, blocked=blocked_sun)
     acc = acc + sky_direct(scene, h, fake)
-    acc = acc + point_direct(scene, h, fake, v)
+    acc = acc + point_direct(scene, h, fake, v, blocked=blocked_point)
     return acc
 
 
