@@ -176,7 +176,24 @@ def _tile_chunk_ranges(chunk_bounds, ro_f, rd_f, t_cap=None):
     lo = jnp.min(jnp.where(hit, cidx, nc), axis=1)
     hi = jnp.max(jnp.where(hit, cidx + 1, 0), axis=1)
     n = jnp.maximum(hi - lo, 0)
-    return lo.astype(jnp.int32), n.astype(jnp.int32)
+
+    # Per-tile 64-bit hit bitmask (two int32 words) lets the kernel skip
+    # non-hit chunks inside the contiguous range (~2x fewer matmuls on the
+    # bunny scene).  Scenes with >64 chunks degrade to range-only.
+    if nc <= 64:
+        bits = hit.astype(jnp.uint32)
+        w_lo = jnp.zeros(hit.shape[0], jnp.uint32)
+        w_hi = jnp.zeros(hit.shape[0], jnp.uint32)
+        for c in range(min(nc, 32)):
+            w_lo = w_lo | (bits[:, c] << jnp.uint32(c))
+        for c in range(32, nc):
+            w_hi = w_hi | (bits[:, c] << jnp.uint32(c - 32))
+    else:
+        w_lo = jnp.full(hit.shape[0], 0xFFFFFFFF, jnp.uint32)
+        w_hi = jnp.full(hit.shape[0], 0xFFFFFFFF, jnp.uint32)
+    mask_lo = w_lo.astype(jnp.int32)
+    mask_hi = w_hi.astype(jnp.int32)
+    return lo.astype(jnp.int32), n.astype(jnp.int32), mask_lo, mask_hi
 
 
 def _build_features(ro, rd, extra=None):
@@ -218,8 +235,9 @@ def _epilogue_inputs(out, eps):
     return t, acc
 
 
-def _closest_kernel(lo_ref, n_ref, active_ref, f_ref, coef_ref, norms_ref,
-                    t_ref, nx_ref, ny_ref, nz_ref, *, eps: float):
+def _closest_kernel(lo_ref, n_ref, mlo_ref, mhi_ref, active_ref, f_ref,
+                    coef_ref, norms_ref, t_ref, nx_ref, ny_ref, nz_ref, *,
+                    eps: float):
     b = pl.program_id(0)
     # Empty-block fast path: a sky block (no candidate chunks anywhere)
     # only writes the miss pattern.
@@ -237,10 +255,12 @@ def _closest_kernel(lo_ref, n_ref, active_ref, f_ref, coef_ref, norms_ref,
             f = f_ref[s]                       # [16,128]
             lo = lo_ref[b * SUBTILES + s]
             n = n_ref[b * SUBTILES + s]
+            mlo = mlo_ref[b * SUBTILES + s]
+            mhi = mhi_ref[b * SUBTILES + s]
 
             # All-f32 epilogue (Mosaic mishandles packed-i1 keepdims
             # reductions).
-            def chunk_body(ci, carry):
+            def chunk_work(ci, carry):
                 t_best, nx, ny, nz = carry     # [1,128] f32
                 c = coef_ref[lo + ci]          # [512,16]
                 out = jnp.dot(c, f, preferred_element_type=jnp.float32,
@@ -265,6 +285,14 @@ def _closest_kernel(lo_ref, n_ref, active_ref, f_ref, coef_ref, norms_ref,
                 nz = upd * nz_w + (1.0 - upd) * nz
                 return t_best, nx, ny, nz
 
+            def chunk_body(ci, carry):
+                # skip range positions whose cull bit is clear
+                gi = lo + ci
+                word = jnp.where(gi < 32, mlo, mhi)
+                bit = (word >> jnp.where(gi < 32, gi, gi - 32)) & 1
+                return jax.lax.cond(bit > 0, lambda cr: chunk_work(ci, cr),
+                                    lambda cr: cr, carry)
+
             t0 = jnp.full((1, TILE_RAYS), INF, jnp.float32)
             z0 = jnp.zeros((1, TILE_RAYS), jnp.float32)
             t_best, nx, ny, nz = jax.lax.fori_loop(
@@ -275,8 +303,8 @@ def _closest_kernel(lo_ref, n_ref, active_ref, f_ref, coef_ref, norms_ref,
             nz_ref[s:s + 1, :] = nz
 
 
-def _shadow_kernel(lo_ref, n_ref, active_ref, f_ref, coef_ref, occ_ref, *,
-                   eps: float):
+def _shadow_kernel(lo_ref, n_ref, mlo_ref, mhi_ref, active_ref, f_ref,
+                   coef_ref, occ_ref, *, eps: float):
     b = pl.program_id(0)
     occ_ref[:, :] = jnp.zeros((SUBTILES, TILE_RAYS), jnp.float32)
 
@@ -286,9 +314,11 @@ def _shadow_kernel(lo_ref, n_ref, active_ref, f_ref, coef_ref, occ_ref, *,
             f = f_ref[s]
             lo = lo_ref[b * SUBTILES + s]
             n = n_ref[b * SUBTILES + s]
+            mlo = mlo_ref[b * SUBTILES + s]
+            mhi = mhi_ref[b * SUBTILES + s]
             tmax = f[10:11, :]                 # [1,128]
 
-            def chunk_body(ci, occ):
+            def chunk_work(ci, occ):
                 c = coef_ref[lo + ci]
                 out = jnp.dot(c, f, preferred_element_type=jnp.float32,
                               precision=jax.lax.Precision.HIGHEST)
@@ -296,6 +326,13 @@ def _shadow_kernel(lo_ref, n_ref, active_ref, f_ref, coef_ref, occ_ref, *,
                 acc = acc & (t <= tmax)
                 acc_f = jnp.where(acc, 1.0, 0.0)
                 return jnp.maximum(occ, jnp.max(acc_f, axis=0, keepdims=True))
+
+            def chunk_body(ci, occ):
+                gi = lo + ci
+                word = jnp.where(gi < 32, mlo, mhi)
+                bit = (word >> jnp.where(gi < 32, gi, gi - 32)) & 1
+                return jax.lax.cond(bit > 0, lambda oc: chunk_work(ci, oc),
+                                    lambda oc: oc, occ)
 
             occ0 = jnp.zeros((1, TILE_RAYS), jnp.float32)
             occ = jax.lax.fori_loop(0, n, chunk_body, occ0)
@@ -331,14 +368,14 @@ def _pad_tiles(ro, rd, extra=None):
 
 def _grid_specs(nt, n_out, n_full_inputs=1):
     out_spec = pl.BlockSpec((SUBTILES, TILE_RAYS),
-                            lambda b, lo, n, a: (b, 0),
+                            lambda b, *pf: (b, 0),
                             memory_space=pltpu.VMEM)
     return pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,
+        num_scalar_prefetch=5,
         grid=(nt // SUBTILES,),
         in_specs=[
             pl.BlockSpec((SUBTILES, KDIM, TILE_RAYS),
-                         lambda b, lo, n, a: (b, 0, 0),
+                         lambda b, *pf: (b, 0, 0),
                          memory_space=pltpu.VMEM),
         ] + [pl.BlockSpec(memory_space=pltpu.VMEM)] * n_full_inputs,
         out_specs=[out_spec] * n_out if n_out > 1 else out_spec,
@@ -355,7 +392,7 @@ def trace_bvh_mxu(mxu: MXUBVH, ro, rd, eps: float = EPS) -> Hit:
     """Closest-hit via cull + MXU MT.  Contract matches trace_bvh."""
     shape, n, ro_f, rd_f, _ = _pad_tiles(ro, rd)
     nt = ro_f.shape[0] // TILE_RAYS
-    lo, cn = _tile_chunk_ranges(mxu.chunk_bounds, ro_f, rd_f)
+    lo, cn, mlo, mhi = _tile_chunk_ranges(mxu.chunk_bounds, ro_f, rd_f)
     feats = _build_features(ro_f, rd_f)
 
     kern = functools.partial(_closest_kernel, eps=eps)
@@ -364,7 +401,7 @@ def trace_bvh_mxu(mxu: MXUBVH, ro, rd, eps: float = EPS) -> Hit:
         grid_spec=_grid_specs(nt, 4, n_full_inputs=2),
         out_shape=[jax.ShapeDtypeStruct((nt, TILE_RAYS), jnp.float32)] * 4,
         interpret=_use_interpret(),
-    )(lo, cn, _block_active(cn, nt), feats, mxu.coef, mxu.norms)
+    )(lo, cn, mlo, mhi, _block_active(cn, nt), feats, mxu.coef, mxu.norms)
 
     t = t_rows.reshape(-1)[:n].reshape(shape)
     hit = t < INF
@@ -384,7 +421,7 @@ def trace_bvh_shadow_mxu(mxu: MXUBVH, ro, rd, t_max, eps: float = EPS):
     shape, n, ro_f, rd_f, tm = _pad_tiles(ro, rd, t_max)
     nt = ro_f.shape[0] // TILE_RAYS
     t_cap = jnp.max(tm.reshape(nt, TILE_RAYS), axis=1)
-    lo, cn = _tile_chunk_ranges(mxu.chunk_bounds, ro_f, rd_f, t_cap)
+    lo, cn, mlo, mhi = _tile_chunk_ranges(mxu.chunk_bounds, ro_f, rd_f, t_cap)
     feats = _build_features(ro_f, rd_f, tm)
 
     kern = functools.partial(_shadow_kernel, eps=eps)
@@ -393,6 +430,6 @@ def trace_bvh_shadow_mxu(mxu: MXUBVH, ro, rd, t_max, eps: float = EPS):
         grid_spec=_grid_specs(nt, 1, n_full_inputs=1),
         out_shape=jax.ShapeDtypeStruct((nt, TILE_RAYS), jnp.float32),
         interpret=_use_interpret(),
-    )(lo, cn, _block_active(cn, nt), feats, mxu.coef)
+    )(lo, cn, mlo, mhi, _block_active(cn, nt), feats, mxu.coef)
 
     return occ_rows.reshape(-1)[:n].reshape(shape) > 0.5

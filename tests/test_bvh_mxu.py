@@ -1,0 +1,75 @@
+"""MXU intersection path vs brute-force oracle (interpret mode on CPU).
+
+The same comparisons run on real TPU hardware via scripts/tpu_checks.py;
+interpret mode here guards the kernel logic (cull, bitmask skip, epilogue
+selects) in CI.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from opengl_raytracing_tpu.scene import build_bvh, make_icosphere, \
+    gather_triangles
+from opengl_raytracing_tpu.scene.geometry import model_transform
+from opengl_raytracing_tpu.ops.bvh_mxu import (build_mxu_arrays,
+                                               trace_bvh_mxu,
+                                               trace_bvh_shadow_mxu)
+from opengl_raytracing_tpu.ops.bvh_traverse import trace_brute
+
+N_RAYS = 4096  # one pallas grid step in interpret mode
+
+
+@pytest.fixture(scope="module")
+def scene():
+    tris = gather_triangles(make_icosphere(1.0, 2),
+                            model_transform((0.0, 1.0, -3.0), 1.0))
+    bvh = build_bvh(tris)
+    return build_mxu_arrays(bvh), jnp.asarray(bvh.tris)
+
+
+def _rays(seed, n=N_RAYS):
+    rng = np.random.RandomState(seed)
+    ro = rng.uniform(-3, 3, (n, 3)).astype(np.float32)
+    rd = rng.randn(n, 3).astype(np.float32)
+    rd /= np.linalg.norm(rd, axis=1, keepdims=True)
+    return jnp.asarray(ro), jnp.asarray(rd)
+
+
+def test_mxu_closest_matches_bruteforce(scene):
+    mxu, tris = scene
+    ro, rd = _rays(0)
+    h = trace_bvh_mxu(mxu, ro, rd)
+    h_ref = trace_brute(tris, ro, rd)
+    np.testing.assert_array_equal(np.asarray(h.valid), np.asarray(h_ref.valid))
+    hit = np.asarray(h_ref.valid)
+    np.testing.assert_allclose(np.asarray(h.t)[hit], np.asarray(h_ref.t)[hit],
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(h.n)[hit], np.asarray(h_ref.n)[hit],
+                               atol=1e-3)
+
+
+def test_mxu_shadow_matches_bruteforce(scene):
+    mxu, tris = scene
+    ro, rd = _rays(1)
+    t_max = jnp.full((N_RAYS,), 4.0)
+    occ = np.asarray(trace_bvh_shadow_mxu(mxu, ro, rd, t_max))
+    h_ref = trace_brute(tris, ro, rd)
+    want = np.asarray(h_ref.valid) & (np.asarray(h_ref.t) < 4.0)
+    np.testing.assert_array_equal(occ, want)
+
+
+def test_mxu_coherent_camera_rays(scene):
+    mxu, tris = scene
+    # camera-style coherent grid at the sphere
+    xs = np.linspace(-0.5, 0.5, 64, dtype=np.float32)
+    gx, gy = np.meshgrid(xs, xs)
+    rd = np.stack([gx, gy, -np.ones_like(gx)], -1).reshape(-1, 3)
+    rd /= np.linalg.norm(rd, axis=1, keepdims=True)
+    ro = np.tile(np.array([0, 1, 0], np.float32), (rd.shape[0], 1))
+    h = trace_bvh_mxu(mxu, jnp.asarray(ro), jnp.asarray(rd))
+    h_ref = trace_brute(tris, jnp.asarray(ro), jnp.asarray(rd))
+    np.testing.assert_array_equal(np.asarray(h.valid),
+                                  np.asarray(h_ref.valid))
+    assert np.asarray(h.valid).mean() > 0.1
