@@ -310,7 +310,7 @@ def one_bounce_gi_analytic(scene: SceneCtx, h0, rng_frame, seed, frame_index,
     wi = sample_hemisphere_cosine(n0, ux, uy)
     cos_theta = jnp.maximum(dot(n0, wi), 0.0)
     origin = h0.p + n0 * EPS
-    h1 = scene.trace(origin, wi)
+    h1 = scene.trace(origin, wi, coherent=False)
     li_hit = direct_light(scene, h1, rng_frame, frame_index, -wi, px, py)
     li = jnp.where(h1.valid[..., None], li_hit, scene.sky(wi))
     out = mat0.albedo * (cos_theta / PI)[..., None] * li
@@ -329,7 +329,7 @@ def one_bounce_gi_bvh(scene: SceneCtx, h0, rng_frame, seed, frame_index,
     wi = sample_hemisphere_cosine(n0, ux, uy)
     cos_theta = jnp.maximum(dot(n0, wi), 0.0)
     origin = h0.p + n0 * EPS
-    h1 = scene.trace(origin, wi)
+    h1 = scene.trace(origin, wi, coherent=False)
     li_hit = direct_light_bvh(scene, h1, rng_frame, frame_index, -wi, px, py)
     li = jnp.where(h1.valid[..., None], li_hit, scene.sky(wi))
     contrib = const3(BVH_ALBEDO) * (cos_theta / PI)[..., None] * li
@@ -422,7 +422,7 @@ def compute_ao(scene: SceneCtx, h, frame_index, px, py):
         dirs.append(sample_hemisphere_cosine(n, ux, uy))
     d_all = jnp.stack(dirs, axis=0)                    # [S,...,3]
     org = (h.p + n * params.ao_bias)[None]
-    tmp = scene.trace(org, d_all)                      # one batched trace
+    tmp = scene.trace(org, d_all, coherent=False)      # one batched trace
     occluded = jnp.sum(
         jnp.where(tmp.valid & (tmp.t < params.ao_radius), 1.0, 0.0), axis=0)
     occ = occluded / float(params.ao_samples)

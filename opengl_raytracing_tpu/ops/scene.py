@@ -22,7 +22,8 @@ from ..scene.bvh import BVH, BVHArrays, build_bvh_fast, bvh_to_arrays
 from . import scene_analytic as sa
 from .bvh_traverse import trace_bvh, trace_bvh_shadow
 from .bvh_mxu import (MXUBVH, build_mxu_arrays, trace_bvh_mxu,
-                      trace_bvh_shadow_mxu)
+                      trace_bvh_shadow_mxu, trace_bvh_mxu_sorted,
+                      trace_bvh_shadow_mxu_sorted)
 from .vecmath import normalize, v3
 
 
@@ -100,11 +101,14 @@ class SceneCtx:
 
     # -- trace dispatch --
 
-    def trace(self, ro, rd, eps: float = EPS) -> sa.Hit:
+    def trace(self, ro, rd, eps: float = EPS,
+              coherent: bool = True) -> sa.Hit:
         if self.use_bvh:
-            # TPU: cull + MXU Moller-Trumbore; elsewhere: jnp skip-link walk.
+            # TPU: cull + MXU Moller-Trumbore (direction-sorted for
+            # incoherent hemisphere batches); elsewhere: jnp skip-link walk.
             if _tpu():
-                return trace_bvh_mxu(self.bvh.mxu, ro, rd, eps)
+                fn = trace_bvh_mxu if coherent else trace_bvh_mxu_sorted
+                return fn(self.bvh.mxu, ro, rd, eps)
             return trace_bvh(self.bvh.arrays, ro, rd, eps)
         return sa.trace_analytic(ro, rd, self.params, self.point_light_pos,
                                  eps)
@@ -117,10 +121,13 @@ class SceneCtx:
         return sa.trace_analytic_ignore_point_light(
             ro, rd, self.params, self.point_light_pos, eps)
 
-    def trace_shadow_any(self, ro, rd, t_max, eps: float = EPS):
+    def trace_shadow_any(self, ro, rd, t_max, eps: float = EPS,
+                         coherent: bool = True):
         """Any occluder strictly before t_max (BVH mode only path)."""
         if _tpu():
-            return trace_bvh_shadow_mxu(self.bvh.mxu, ro, rd, t_max, eps)
+            fn = (trace_bvh_shadow_mxu if coherent
+                  else trace_bvh_shadow_mxu_sorted)
+            return fn(self.bvh.mxu, ro, rd, t_max, eps)
         return trace_bvh_shadow(self.bvh.arrays, ro, rd, t_max, eps)
 
     def sky(self, d):

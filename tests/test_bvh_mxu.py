@@ -73,3 +73,20 @@ def test_mxu_coherent_camera_rays(scene):
     np.testing.assert_array_equal(np.asarray(h.valid),
                                   np.asarray(h_ref.valid))
     assert np.asarray(h.valid).mean() > 0.1
+
+
+def test_sorted_variants_match_unsorted(scene):
+    from opengl_raytracing_tpu.ops.bvh_mxu import (trace_bvh_mxu_sorted,
+                                                   trace_bvh_shadow_mxu_sorted)
+    mxu, tris = scene
+    ro, rd = _rays(2)
+    a = trace_bvh_mxu(mxu, ro, rd)
+    b = trace_bvh_mxu_sorted(mxu, ro, rd)
+    np.testing.assert_array_equal(np.asarray(a.valid), np.asarray(b.valid))
+    hit = np.asarray(a.valid)
+    np.testing.assert_allclose(np.asarray(a.t)[hit], np.asarray(b.t)[hit],
+                               rtol=1e-5)
+    t_max = jnp.full((N_RAYS,), 5.0)
+    oa = np.asarray(trace_bvh_shadow_mxu(mxu, ro, rd, t_max))
+    ob = np.asarray(trace_bvh_shadow_mxu_sorted(mxu, ro, rd, t_max))
+    np.testing.assert_array_equal(oa, ob)
