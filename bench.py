@@ -8,33 +8,22 @@ TAA stabilization — OpenGL_RTGP_RayTracing.pdf §8; see BASELINE.md).
 `vs_baseline` is relative to the reference's best derived primary-ray
 throughput, ~300 Mrays/s on the display-capped RTX 5090.
 
-Timing notes (see .claude/skills/verify/SKILL.md): block_until_ready is
-unreliable on the axon platform and single-dispatch roundtrips cost ~30ms
-over the tunnel, so frames are chained device-side with lax.scan and a
-scalar checksum forces completion.
+Robustness: the tunneled TPU worker occasionally wedges on large
+compiles, so the measurement runs in a child process under a timeout and
+retries at reduced resolution; a JSON line is ALWAYS printed.
+
+Timing notes (see CLAUDE.md): block_until_ready is unreliable on the
+axon platform and single dispatches cost ~30ms over the tunnel, so frames
+are chained device-side and a scalar checksum forces completion.
 """
 
 import json
 import os
+import subprocess
 import sys
 import time
 
-import numpy as np
-
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
-
-import jax
-import jax.numpy as jnp
-
-from opengl_raytracing_tpu import Camera
-from opengl_raytracing_tpu.models import (FrameInputs, RenderState,
-                                          render_frame, preset)
-from opengl_raytracing_tpu.sampling import generate_jitter2d
-from opengl_raytracing_tpu.scene import make_bunny, gather_triangles
-from opengl_raytracing_tpu.ops.scene import prepare_bvh
-from opengl_raytracing_tpu.scene.geometry import model_transform
-from opengl_raytracing_tpu.constants import (DEFAULT_BVH_TRANSLATE,
-                                             DEFAULT_BVH_SCALE)
 
 BASELINE_MRAYS = 300.0  # reference RTX 5090 derived primary throughput
 
@@ -42,25 +31,40 @@ H = int(os.environ.get("BENCH_HEIGHT", "1080"))
 W = int(os.environ.get("BENCH_WIDTH", "1920"))
 FRAMES = int(os.environ.get("BENCH_FRAMES", "4"))
 PRESET = os.environ.get("BENCH_PRESET", "baseline")
+TIMEOUT_S = int(os.environ.get("BENCH_TIMEOUT", "480"))
 
 
-def main():
-    params = preset(PRESET)
+def measure(height: int, width: int, frames: int, preset_name: str) -> dict:
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+
+    from opengl_raytracing_tpu import Camera
+    from opengl_raytracing_tpu.models import (FrameInputs, RenderState,
+                                              render_frame, preset)
+    from opengl_raytracing_tpu.sampling import generate_jitter2d
+    from opengl_raytracing_tpu.scene import make_bunny, gather_triangles
+    from opengl_raytracing_tpu.ops.scene import prepare_bvh
+    from opengl_raytracing_tpu.scene.geometry import model_transform
+    from opengl_raytracing_tpu.constants import (DEFAULT_BVH_TRANSLATE,
+                                                 DEFAULT_BVH_SCALE)
+
+    params = preset(preset_name)
     spp = params.spp_per_frame
 
-    mesh = make_bunny(4)
-    tris = gather_triangles(mesh, model_transform(DEFAULT_BVH_TRANSLATE,
-                                                  DEFAULT_BVH_SCALE))
+    tris = gather_triangles(make_bunny(4),
+                            model_transform(DEFAULT_BVH_TRANSLATE,
+                                            DEFAULT_BVH_SCALE))
     bvh = prepare_bvh(tris)
 
     cam = Camera()
-    cam.aspect = W / H
+    cam.aspect = width / height
     right, up, fwd, thf = cam.basis()
     vp = cam.view_projection()
 
     jitters = jnp.asarray(
         np.stack([generate_jitter2d(i) * params.jitter_still_scale
-                  for i in range(FRAMES)]), jnp.float32)
+                  for i in range(frames)]), jnp.float32)
 
     base_fin = FrameInputs(
         cam_pos=jnp.asarray(cam.position), cam_right=jnp.asarray(right),
@@ -76,7 +80,7 @@ def main():
             jitter, base_fin.curr_view_proj, base_fin.prev_view_proj,
             base_fin.camera_moved)
         st, out = render_frame(params, fin, state, None, bvh,
-                               height=H, width=W, use_bvh=True)
+                               height=height, width=width, use_bvh=True)
         return st, jnp.sum(out.image)
 
     @jax.jit
@@ -84,32 +88,63 @@ def main():
         st, sums = jax.lax.scan(one_frame, state, jitters)
         return st, jnp.sum(sums)
 
-    # Warmup / compile.
-    state = RenderState.create(H, W)
+    state = RenderState.create(height, width)
     state, s = run(state, jitters)
-    _ = float(s)
+    _ = float(s)  # warmup / compile
 
-    state = RenderState.create(H, W)
+    state = RenderState.create(height, width)
     t0 = time.time()
     state, s = run(state, jitters)
-    checksum = float(s)  # forced readback
+    checksum = float(s)
     dt = time.time() - t0
 
-    rays = H * W * spp * FRAMES
+    rays = height * width * spp * frames
     mrays = rays / dt / 1e6
-    ms_per_frame = dt / FRAMES * 1e3
-    result = {
+    return {
         "metric": (f"primary Mrays/s/chip, bunny BVH scene, "
-                   f"{W}x{H} {spp}spp, preset={PRESET}"),
+                   f"{width}x{height} {spp}spp, preset={preset_name}"),
         "value": round(mrays, 2),
         "unit": "Mrays/s",
         "vs_baseline": round(mrays / BASELINE_MRAYS, 4),
-        "ms_per_frame": round(ms_per_frame, 2),
-        "frames": FRAMES,
+        "ms_per_frame": round(dt / frames * 1e3, 2),
+        "frames": frames,
         "checksum": round(checksum, 1),
     }
-    print(json.dumps(result))
+
+
+def main() -> int:
+    if "--child" in sys.argv:
+        print(json.dumps(measure(H, W, FRAMES, PRESET)))
+        return 0
+
+    env = dict(os.environ)
+    attempts = [(H, W), (540, 960)]
+    for h, w in attempts:
+        env["BENCH_HEIGHT"], env["BENCH_WIDTH"] = str(h), str(w)
+        try:
+            out = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--child"],
+                env=env, capture_output=True, timeout=TIMEOUT_S, text=True)
+            for line in out.stdout.splitlines():
+                line = line.strip()
+                if line.startswith("{"):
+                    rec = json.loads(line)
+                    if (h, w) != (H, W):
+                        rec["note"] = (f"fell back to {w}x{h}; "
+                                       f"{W}x{H} run failed/timed out")
+                    print(json.dumps(rec))
+                    return 0
+        except subprocess.TimeoutExpired:
+            continue
+        except Exception:
+            continue
+    print(json.dumps({
+        "metric": (f"primary Mrays/s/chip, bunny BVH scene, {W}x{H} 1spp, "
+                   f"preset={PRESET}"),
+        "value": 0.0, "unit": "Mrays/s", "vs_baseline": 0.0,
+        "error": "TPU unavailable or wedged during benchmark"}))
+    return 0
 
 
 if __name__ == "__main__":
-    main()
+    sys.exit(main())

@@ -160,9 +160,13 @@ class Application:
             if app.load_env_map(path):
                 app.reset_accumulation("env reload")
 
-        # 6. accumulation-reset decision (application.cpp:523-553)
+        # 6. accumulation-reset decision (application.cpp:523-553):
+        # param diff or FOV zoom flush history (movement alone does not —
+        # TAA reprojection handles it)
         if params_changed(app.prev_params, app.params):
             app.reset_accumulation("params changed")
+        elif inp.zoomed:
+            app.reset_accumulation("fov zoom")
         app.prev_params = app.params
 
         inp.clear_edges()

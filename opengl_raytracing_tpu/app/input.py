@@ -29,6 +29,7 @@ class InputState:
     toggled_pointer_lock: bool = False
     changed_spp: bool = False
     changed_exposure: bool = False
+    zoomed: bool = False
     spp_per_frame: int = 1
     exposure: float = 1.0
     camera_changed_this_frame: bool = False
@@ -41,6 +42,7 @@ class InputState:
         self.toggled_pointer_lock = False
         self.changed_spp = False
         self.changed_exposure = False
+        self.zoomed = False
         self.camera_changed_this_frame = False
 
 
@@ -95,6 +97,7 @@ def apply_action(state: InputState, action: str, app=None) -> InputState:
     elif action.startswith("zoom ") and app is not None:
         app.camera.zoom(float(action.split()[1]))
         state.camera_changed_this_frame = True
+        state.zoomed = True
     else:
         raise ValueError(f"unknown action {action!r}")
     return state
