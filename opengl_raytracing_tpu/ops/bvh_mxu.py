@@ -50,10 +50,13 @@ from ..scene.bvh import BVH
 from .scene_analytic import Hit
 from .vecmath import normalize
 
+import os
+
 CHUNK = 128          # triangles per chunk
 TILE_RAYS = 128      # rays per tile == lane width
-SUBTILES = 32        # ray tiles per pallas grid step
+SUBTILES = int(os.environ.get("ORT_SUBTILES", "32"))  # tiles per grid step
 KDIM = 16            # padded feature dim (10 used + tmax at 10)
+
 
 
 class MXUBVH(NamedTuple):
