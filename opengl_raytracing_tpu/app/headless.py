@@ -52,6 +52,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="motion vector debug view (F6 equivalent)")
     p.add_argument("--orbit", action="store_true",
                    help="animate the point light orbit")
+    p.add_argument("--camera-anim", choices=("none", "dolly", "pan"),
+                   default="none",
+                   help="move the camera each frame (exercises TAA "
+                        "reprojection; BASELINE config 5)")
     p.add_argument("--set", action="append", default=[],
                    metavar="FIELD=VALUE",
                    help="override a RenderParams field, e.g. exposure=2")
@@ -141,6 +145,10 @@ def main(argv=None) -> int:
     t0 = time.time()
     img = None
     for f in range(args.frames):
+        if args.camera_anim == "dolly":
+            application.act("move_w")
+        elif args.camera_anim == "pan":
+            application.act("look 8 0")
         img = application.step()
         if args.dump_every and (f + 1) % args.dump_every == 0:
             _dump(img, os.path.join(args.out, f"frame_{f:04d}.png"))

@@ -136,6 +136,17 @@ class AppState:
             log("ENV", "failed to load %s: %s (keeping previous)", path, exc)
             return False
 
+    def resize(self, height: int, width: int) -> None:
+        """Recreate size-dependent buffers and keep camera aspect in sync
+        (reference resize handler: src/app/application.cpp:216-231)."""
+        self.height, self.width = height, width
+        self.camera.aspect = width / height
+        self.render_state = RenderState.create(height, width)
+        self.frame = FrameState.initial(self.camera.view_projection(),
+                                        self.camera.position)
+        log("INIT", "resized to %dx%d (accum + gbuffer recreated)",
+            width, height)
+
     # -- accumulation control (reference: src/render/accum.cpp:98-102) --
 
     def reset_accumulation(self, reason: str = "") -> None:

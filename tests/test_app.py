@@ -164,3 +164,20 @@ def test_raster_scene_content():
     img = np.asarray(render_raster(params, fin, None, height=48, width=64))
     assert np.allclose(img[-1, 0], CLEAR_COLOR, atol=1e-5)   # sky (top=GL up)
     assert np.allclose(img[0, 32], (0.1, 0.4, 0.1), atol=1e-5)  # ground
+
+
+def test_resize_recreates_buffers():
+    a = small_app()
+    a.step()
+    a.app.resize(20, 40)
+    assert int(a.app.render_state.frame_index) == 0
+    img = a.step()
+    assert np.asarray(img).shape == (20, 40, 3)
+
+
+def test_headless_camera_anim_cli(tmp_path):
+    from opengl_raytracing_tpu.app.headless import main
+    rc = main(["--preset", "baseline", "--frames", "2", "--size", "48x32",
+               "--camera-anim", "dolly", "--out", str(tmp_path)])
+    assert rc == 0
+    assert (tmp_path / "frame_last.png").exists()
