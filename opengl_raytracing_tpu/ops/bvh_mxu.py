@@ -254,7 +254,10 @@ def _closest_kernel(lo_ref, n_ref, mlo_ref, mhi_ref, active_ref, f_ref,
 
     @pl.when(active_ref[b] > 0)
     def _():
-        for s in range(SUBTILES):
+        # fori over subtiles (dynamic reads/writes) keeps the kernel IR a
+        # single copy of the body — a python-unrolled SUBTILES loop blows
+        # Mosaic compile time up.
+        def subtile_body(s, _):
             f = f_ref[s]                       # [16,128]
             lo = lo_ref[b * SUBTILES + s]
             n = n_ref[b * SUBTILES + s]
@@ -300,10 +303,13 @@ def _closest_kernel(lo_ref, n_ref, mlo_ref, mhi_ref, active_ref, f_ref,
             z0 = jnp.zeros((1, TILE_RAYS), jnp.float32)
             t_best, nx, ny, nz = jax.lax.fori_loop(
                 0, n, chunk_body, (t0, z0, z0, z0))
-            t_ref[s:s + 1, :] = t_best
-            nx_ref[s:s + 1, :] = nx
-            ny_ref[s:s + 1, :] = ny
-            nz_ref[s:s + 1, :] = nz
+            t_ref[pl.ds(s, 1), :] = t_best
+            nx_ref[pl.ds(s, 1), :] = nx
+            ny_ref[pl.ds(s, 1), :] = ny
+            nz_ref[pl.ds(s, 1), :] = nz
+            return 0
+
+        jax.lax.fori_loop(0, SUBTILES, subtile_body, 0)
 
 
 def _shadow_kernel(lo_ref, n_ref, mlo_ref, mhi_ref, active_ref, f_ref,
@@ -313,7 +319,7 @@ def _shadow_kernel(lo_ref, n_ref, mlo_ref, mhi_ref, active_ref, f_ref,
 
     @pl.when(active_ref[b] > 0)
     def _():
-        for s in range(SUBTILES):
+        def subtile_body(s, _):
             f = f_ref[s]
             lo = lo_ref[b * SUBTILES + s]
             n = n_ref[b * SUBTILES + s]
@@ -339,7 +345,10 @@ def _shadow_kernel(lo_ref, n_ref, mlo_ref, mhi_ref, active_ref, f_ref,
 
             occ0 = jnp.zeros((1, TILE_RAYS), jnp.float32)
             occ = jax.lax.fori_loop(0, n, chunk_body, occ0)
-            occ_ref[s:s + 1, :] = occ
+            occ_ref[pl.ds(s, 1), :] = occ
+            return 0
+
+        jax.lax.fori_loop(0, SUBTILES, subtile_body, 0)
 
 
 def _use_interpret() -> bool:
