@@ -101,12 +101,18 @@ class SceneCtx:
 
     # -- trace dispatch --
 
+    def _mxu_ok(self) -> bool:
+        # The MXU kernel keeps the whole coefficient array VMEM-resident;
+        # very large scenes (>~120 chunks = 15,360 tris) must fall back to
+        # the packet walk until HBM-streamed chunks land.
+        return self.bvh.mxu.coef.shape[0] <= 120
+
     def trace(self, ro, rd, eps: float = EPS,
               coherent: bool = True) -> sa.Hit:
         if self.use_bvh:
             # TPU: cull + MXU Moller-Trumbore (direction-sorted for
             # incoherent hemisphere batches); elsewhere: jnp skip-link walk.
-            if _tpu():
+            if _tpu() and self._mxu_ok():
                 fn = trace_bvh_mxu if coherent else trace_bvh_mxu_sorted
                 return fn(self.bvh.mxu, ro, rd, eps)
             return trace_bvh(self.bvh.arrays, ro, rd, eps)
@@ -124,7 +130,7 @@ class SceneCtx:
     def trace_shadow_any(self, ro, rd, t_max, eps: float = EPS,
                          coherent: bool = True):
         """Any occluder strictly before t_max (BVH mode only path)."""
-        if _tpu():
+        if _tpu() and self._mxu_ok():
             fn = (trace_bvh_shadow_mxu if coherent
                   else trace_bvh_shadow_mxu_sorted)
             return fn(self.bvh.mxu, ro, rd, t_max, eps)
