@@ -102,7 +102,15 @@ def present(accum, motion, gpos, gnrm, params: RenderParams,
 
     raw = accum[..., :3]
     if params.enable_svgf:
-        filtered = svgf_filter(accum, motion, gpos, gnrm, params)
+        import os
+        import jax
+        use_pallas = (os.environ.get("ORT_SVGF_PALLAS", "0") == "1"
+                      and jax.default_backend() == "tpu")
+        if use_pallas:
+            from .svgf_pallas import svgf_filter_pallas
+            filtered = svgf_filter_pallas(accum, motion, gpos, gnrm, params)
+        else:
+            filtered = svgf_filter(accum, motion, gpos, gnrm, params)
         s = jnp.clip(jnp.float32(params.svgf_strength), 0.0, 1.0)
         linear = raw + (filtered - raw) * s
     else:

@@ -1,0 +1,167 @@
+"""SVGF-lite as a fused Pallas stencil.
+
+The jnp version (ops/svgf.py) expresses the 7x7 variance-guided filter as
+49 shifted slices and leans on XLA fusion; this kernel fuses the whole
+stencil explicitly: per 8-row output band it DMAs one (12-plane) halo
+slab HBM->VMEM and evaluates all 49 taps from VMEM, reading each input
+pixel once per band instead of once per tap.
+
+Same math as reference: shaders/rt/rt_present.frag:126-225 (see
+ops/svgf.py for the annotated weight formulas); boundary taps get zero
+weight exactly like the GLSL `continue`.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..constants import YCOEFF
+from ..params import RenderParams
+from .vecmath import smoothstep
+
+PAD = 3          # stencil radius
+BH = 8           # output rows per grid step
+K_NRM = 2.0      # rt_present.frag:160
+K_POS = 0.02     # rt_present.frag:161
+NPLANES = 12     # r g b m2 motx moty px py pz nx ny nz
+
+
+def _use_interpret() -> bool:
+    return jax.default_backend() != "tpu"
+
+
+def _kernel(par_ref, planes_ref, out_ref, slab, sem, *, h: int, w: int,
+            wp: int):
+    b = pl.program_id(0)
+    var_max, k_var0, k_color0, k_var_m, k_color_m = (
+        par_ref[0, 0], par_ref[0, 1], par_ref[0, 2], par_ref[0, 3],
+        par_ref[0, 4])
+
+    # slab rows [b*BH, b*BH + BH + 2*PAD) of the padded plane stack
+    cp = pltpu.make_async_copy(
+        planes_ref.at[:, pl.ds(b * BH, BH + 2 * PAD), :], slab, sem)
+    cp.start()
+    cp.wait()
+
+    def center(k):
+        return slab[k, PAD:PAD + BH, PAD:PAD + w]
+
+    def tap(k, dy, dx):
+        return slab[k, PAD + dy:PAD + dy + BH, PAD + dx:PAD + dx + w]
+
+    cr, cg, cb = center(0), center(1), center(2)
+    m2 = center(3)
+    l_center = cr * YCOEFF[0] + cg * YCOEFF[1] + cb * YCOEFF[2]
+    var_center = jnp.clip(m2 - l_center * l_center, 0.0, var_max)
+
+    mot_mag = jnp.sqrt(center(4) ** 2 + center(5) ** 2)
+    t = smoothstep(0.005, 0.05, mot_mag)
+    k_var = k_var0 + (k_var_m - k_var0) * t
+    k_color = k_color0 + (k_color_m - k_color0) * t
+    var_boost = 1.0 + var_center * (1.0 + k_var * 0.5)
+
+    pxc, pyc, pzc = center(6), center(7), center(8)
+    nxc, nyc, nzc = center(9), center(10), center(11)
+    n_inv = jax.lax.rsqrt(jnp.maximum(nxc * nxc + nyc * nyc + nzc * nzc,
+                                      1e-24))
+    nxc, nyc, nzc = nxc * n_inv, nyc * n_inv, nzc * n_inv
+
+    # validity coordinates
+    row = (jax.lax.broadcasted_iota(jnp.int32, (BH, w), 0)
+           + b * BH)
+    col = jax.lax.broadcasted_iota(jnp.int32, (BH, w), 1)
+
+    acc_r = jnp.zeros((BH, w), jnp.float32)
+    acc_g = jnp.zeros((BH, w), jnp.float32)
+    acc_b = jnp.zeros((BH, w), jnp.float32)
+    acc_w = jnp.zeros((BH, w), jnp.float32)
+
+    for dy in range(-PAD, PAD + 1):
+        for dx in range(-PAD, PAD + 1):
+            r = tap(0, dy, dx)
+            g = tap(1, dy, dx)
+            bl = tap(2, dy, dx)
+            dc2 = (r - cr) ** 2 + (g - cg) ** 2 + (bl - cb) ** 2
+            w_col = jnp.exp(-dc2 * (k_color * 0.3 + 0.05))
+
+            dpx = tap(6, dy, dx) - pxc
+            dpy = tap(7, dy, dx) - pyc
+            dpz = tap(8, dy, dx) - pzc
+            w_pos = jnp.exp(-(dpx * dpx + dpy * dpy + dpz * dpz) * K_POS)
+
+            nx, ny, nz = tap(9, dy, dx), tap(10, dy, dx), tap(11, dy, dx)
+            inv = jax.lax.rsqrt(jnp.maximum(nx * nx + ny * ny + nz * nz,
+                                            1e-24))
+            ndot = jnp.clip((nx * nxc + ny * nyc + nz * nzc) * inv,
+                            -1.0, 1.0)
+            w_nrm = jnp.exp(-jnp.maximum(0.0, 1.0 - ndot) * K_NRM)
+
+            if dy == 0 and dx == 0:
+                w_spatial = jnp.ones((BH, w), jnp.float32)
+            else:
+                w_spatial = 1.0 + var_center * 4.0
+
+            valid = ((row + dy >= 0) & (row + dy < h)
+                     & (col + dx >= 0) & (col + dx < w))
+            wgt = jnp.where(valid,
+                            var_boost * w_col * w_pos * w_nrm * w_spatial,
+                            0.0)
+            acc_r = acc_r + r * wgt
+            acc_g = acc_g + g * wgt
+            acc_b = acc_b + bl * wgt
+            acc_w = acc_w + wgt
+
+    inv_w = 1.0 / jnp.maximum(acc_w, 1e-20)
+    zero_w = acc_w <= 0.0
+    out_ref[0, :, :] = jnp.where(zero_w, cr, acc_r * inv_w)
+    out_ref[1, :, :] = jnp.where(zero_w, cg, acc_g * inv_w)
+    out_ref[2, :, :] = jnp.where(zero_w, cb, acc_b * inv_w)
+
+
+def svgf_filter_pallas(accum, motion, gpos, gnrm, params: RenderParams):
+    """Drop-in replacement for ops.svgf.svgf_filter (same outputs)."""
+    h, w = accum.shape[0], accum.shape[1]
+    hb = -(-h // BH) * BH                      # rows padded to band multiple
+    wp = -(-(w + 2 * PAD) // 128) * 128        # lanes padded to 128
+
+    planes = jnp.zeros((NPLANES, hb + 2 * PAD, wp), jnp.float32)
+    srcs = [accum[..., 0], accum[..., 1], accum[..., 2], accum[..., 3],
+            motion[..., 0], motion[..., 1],
+            gpos[..., 0], gpos[..., 1], gpos[..., 2],
+            gnrm[..., 0], gnrm[..., 1], gnrm[..., 2]]
+    for k, s in enumerate(srcs):
+        planes = planes.at[k, PAD:PAD + h, PAD:PAD + w].set(s)
+
+    par = jnp.stack([
+        jnp.asarray(params.svgf_var_max, jnp.float32),
+        jnp.asarray(params.svgf_k_var, jnp.float32),
+        jnp.asarray(params.svgf_k_color, jnp.float32),
+        jnp.asarray(params.svgf_k_var_motion, jnp.float32),
+        jnp.asarray(params.svgf_k_color_motion, jnp.float32),
+        jnp.zeros((), jnp.float32), jnp.zeros((), jnp.float32),
+        jnp.zeros((), jnp.float32)]).reshape(1, 8)
+
+    kern = functools.partial(_kernel, h=h, w=w, wp=wp)
+    out = pl.pallas_call(
+        kern,
+        grid=(hb // BH,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # params (1,8)
+            pl.BlockSpec(memory_space=pltpu.ANY),    # planes stay in HBM
+        ],
+        out_specs=pl.BlockSpec((3, BH, w), lambda b: (0, b, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((3, hb, w), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((NPLANES, BH + 2 * PAD, wp), jnp.float32),
+            pltpu.SemaphoreType.DMA,
+        ],
+        interpret=_use_interpret(),
+    )(par, planes)
+
+    return jnp.moveaxis(out[:, :h, :], 0, -1)
