@@ -214,17 +214,38 @@ def render_frame(params: RenderParams, fin: FrameInputs, state: RenderState,
     sky_radiance = scene.sky(rd)
     vdir = -rd
 
-    frame_sum = jnp.zeros((height, width, 3), jnp.float32)
-    for s in range(spp):
-        seed = frame_index * spp + s
-        if use_bvh:
-            shaded = _shade_bvh(scene, h, seed, frame_index, vdir, px, py)
-        else:
-            shaded = _shade_analytic(scene, h, seed, frame_index, vdir,
-                                     px, py)
-        frame_sum = frame_sum + jnp.where(hit_mask[..., None], shaded,
-                                          sky_radiance)
+    # SPP as a leading batch axis: the per-sample RNG is a pure function
+    # of (pixel, seed), so all samples shade in ONE evaluation and every
+    # light's shadow rays across all samples merge into single kernel
+    # calls (the wavefront restructuring of the reference's SPP loop,
+    # rt.frag:79).
+    def bshape(x):
+        return jnp.broadcast_to(x, (spp,) + x.shape)
 
+    if spp == 1:
+        seeds = frame_index * spp
+        h_b, px_b, py_b, vdir_b = h, px, py, vdir
+    else:
+        seeds = (frame_index * spp
+                 + jnp.arange(spp, dtype=jnp.int32))[:, None, None]
+        h_b = Hit(bshape(h.t), bshape(h.p), bshape(h.n), bshape(h.mat))
+        px_b = bshape(px)
+        py_b = bshape(py)
+        vdir_b = bshape(vdir)
+
+    if use_bvh:
+        shaded = _shade_bvh(scene, h_b, seeds, frame_index, vdir_b,
+                            px_b, py_b)
+    else:
+        shaded = _shade_analytic(scene, h_b, seeds, frame_index, vdir_b,
+                                 px_b, py_b)
+
+    if spp == 1:
+        frame_sum = jnp.where(hit_mask[..., None], shaded, sky_radiance)
+    else:
+        frame_sum = jnp.sum(
+            jnp.where(hit_mask[None, ..., None], shaded,
+                      sky_radiance[None]), axis=0)
     curr = frame_sum / float(spp)
 
     # TAA (reference: rt.frag:184-190): zero motion when camera static.
