@@ -67,6 +67,28 @@ class MXUBVH(NamedTuple):
     tris: jnp.ndarray          # [NC*128, 12] f32 — padded (v0,e1,e2)
 
 
+# Max chunks per page: keeps coef (NC x 512 x 16 f32) + norms VMEM-resident
+# with headroom.  Larger scenes split into pages traced sequentially and
+# merged (closest-hit min / any-hit or).
+PAGE_CHUNKS = 96
+
+
+def build_mxu_paged(bvh: BVH):
+    """Split a (leaf-remapped) triangle array into VMEM-sized MXU pages."""
+    tris = np.asarray(bvh.tris, np.float32)
+    t = max(tris.shape[0], 1)
+    nc = (t + CHUNK - 1) // CHUNK
+    n_pages = max((nc + PAGE_CHUNKS - 1) // PAGE_CHUNKS, 1)
+    pages = []
+    for p in range(n_pages):
+        sl = slice(p * PAGE_CHUNKS * CHUNK,
+                   min((p + 1) * PAGE_CHUNKS * CHUNK, tris.shape[0]))
+        sub = BVH(bvh.bmin, bvh.bmax, bvh.left, bvh.right, bvh.first,
+                  bvh.count, bvh.skip, tris[sl])
+        pages.append(build_mxu_arrays(sub))
+    return tuple(pages)
+
+
 def build_mxu_arrays(bvh: BVH) -> MXUBVH:
     """Host-side packing of the (leaf-remapped) triangle array into
     128-triangle chunks with per-chunk AABBs and MT coefficient blocks."""
@@ -406,11 +428,44 @@ def sorted_trace(trace_fn, mxu, ro, rd, *extra, eps: float = EPS):
 
 
 def trace_bvh_mxu_sorted(mxu, ro, rd, eps: float = EPS) -> Hit:
-    return sorted_trace(trace_bvh_mxu, mxu, ro, rd, eps=eps)
+    return sorted_trace(trace_bvh_mxu_paged, mxu, ro, rd, eps=eps)
 
 
 def trace_bvh_shadow_mxu_sorted(mxu, ro, rd, t_max, eps: float = EPS):
-    return sorted_trace(trace_bvh_shadow_mxu, mxu, ro, rd, t_max, eps=eps)
+    return sorted_trace(trace_bvh_shadow_mxu_paged, mxu, ro, rd, t_max,
+                        eps=eps)
+
+
+# -----------------------------------------------------------------------------
+# Paged wrappers: arbitrary scene sizes via sequential page merge
+# -----------------------------------------------------------------------------
+
+def _as_pages(mxu):
+    # NOTE: MXUBVH is itself a (named) tuple — test for it first.
+    return (mxu,) if isinstance(mxu, MXUBVH) else tuple(mxu)
+
+
+def trace_bvh_mxu_paged(mxu, ro, rd, eps: float = EPS) -> Hit:
+    """Closest hit across all pages (min-t merge)."""
+    pages = _as_pages(mxu)
+    best = trace_bvh_mxu(pages[0], ro, rd, eps)
+    for page in pages[1:]:
+        h = trace_bvh_mxu(page, ro, rd, eps)
+        closer = h.t < best.t
+        best = Hit(jnp.where(closer, h.t, best.t),
+                   jnp.where(closer[..., None], h.p, best.p),
+                   jnp.where(closer[..., None], h.n, best.n),
+                   jnp.where(closer, h.mat, best.mat))
+    return best
+
+
+def trace_bvh_shadow_mxu_paged(mxu, ro, rd, t_max, eps: float = EPS):
+    """Any hit across all pages (or merge)."""
+    pages = _as_pages(mxu)
+    occ = trace_bvh_shadow_mxu(pages[0], ro, rd, t_max, eps)
+    for page in pages[1:]:
+        occ = occ | trace_bvh_shadow_mxu(page, ro, rd, t_max, eps)
+    return occ
 
 
 def _pad_tiles(ro, rd, extra=None):

@@ -21,17 +21,18 @@ from ..params import RenderParams
 from ..scene.bvh import BVH, BVHArrays, build_bvh_fast, bvh_to_arrays
 from . import scene_analytic as sa
 from .bvh_traverse import trace_bvh, trace_bvh_shadow
-from .bvh_mxu import (MXUBVH, build_mxu_arrays, trace_bvh_mxu,
-                      trace_bvh_shadow_mxu, trace_bvh_mxu_sorted,
+from .bvh_mxu import (MXUBVH, build_mxu_paged, trace_bvh_mxu_paged,
+                      trace_bvh_shadow_mxu_paged, trace_bvh_mxu_sorted,
                       trace_bvh_shadow_mxu_sorted)
 from .vecmath import normalize, v3
 
 
 class BVHDevice(NamedTuple):
     """Device-side BVH bundle: skip-link arrays (portable jnp walker) +
-    MXU chunk arrays (TPU fast path)."""
+    MXU chunk pages (TPU fast path; tuple of MXUBVH, one per VMEM-sized
+    page of 128-triangle chunks)."""
     arrays: BVHArrays
-    mxu: MXUBVH
+    mxu: tuple
 
 
 def prepare_bvh(tris) -> BVHDevice:
@@ -39,7 +40,7 @@ def prepare_bvh(tris) -> BVHDevice:
     host = build_bvh_fast(tris)
     return BVHDevice(
         arrays=jax.tree.map(jnp.asarray, bvh_to_arrays(host)),
-        mxu=build_mxu_arrays(host),
+        mxu=build_mxu_paged(host),
     )
 
 
@@ -101,19 +102,15 @@ class SceneCtx:
 
     # -- trace dispatch --
 
-    def _mxu_ok(self) -> bool:
-        # The MXU kernel keeps the whole coefficient array VMEM-resident;
-        # very large scenes (>~120 chunks = 15,360 tris) must fall back to
-        # the packet walk until HBM-streamed chunks land.
-        return self.bvh.mxu.coef.shape[0] <= 120
-
     def trace(self, ro, rd, eps: float = EPS,
               coherent: bool = True) -> sa.Hit:
         if self.use_bvh:
-            # TPU: cull + MXU Moller-Trumbore (direction-sorted for
-            # incoherent hemisphere batches); elsewhere: jnp skip-link walk.
-            if _tpu() and self._mxu_ok():
-                fn = trace_bvh_mxu if coherent else trace_bvh_mxu_sorted
+            # TPU: cull + MXU Moller-Trumbore (paged for arbitrary scene
+            # sizes, direction-sorted for incoherent hemisphere batches);
+            # elsewhere: jnp skip-link walk.
+            if _tpu():
+                fn = (trace_bvh_mxu_paged if coherent
+                      else trace_bvh_mxu_sorted)
                 return fn(self.bvh.mxu, ro, rd, eps)
             return trace_bvh(self.bvh.arrays, ro, rd, eps)
         return sa.trace_analytic(ro, rd, self.params, self.point_light_pos,
@@ -130,8 +127,8 @@ class SceneCtx:
     def trace_shadow_any(self, ro, rd, t_max, eps: float = EPS,
                          coherent: bool = True):
         """Any occluder strictly before t_max (BVH mode only path)."""
-        if _tpu() and self._mxu_ok():
-            fn = (trace_bvh_shadow_mxu if coherent
+        if _tpu():
+            fn = (trace_bvh_shadow_mxu_paged if coherent
                   else trace_bvh_shadow_mxu_sorted)
             return fn(self.bvh.mxu, ro, rd, t_max, eps)
         return trace_bvh_shadow(self.bvh.arrays, ro, rd, t_max, eps)

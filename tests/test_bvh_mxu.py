@@ -90,3 +90,31 @@ def test_sorted_variants_match_unsorted(scene):
     oa = np.asarray(trace_bvh_shadow_mxu(mxu, ro, rd, t_max))
     ob = np.asarray(trace_bvh_shadow_mxu_sorted(mxu, ro, rd, t_max))
     np.testing.assert_array_equal(oa, ob)
+
+
+def test_paged_tracing_matches_single_page():
+    """Force tiny pages and confirm the merge is exact."""
+    import opengl_raytracing_tpu.ops.bvh_mxu as bm
+    from opengl_raytracing_tpu.scene import build_bvh, make_bunny
+    tris = gather_triangles(make_bunny(3),
+                            model_transform((0.0, 1.0, -3.0), 1.0))
+    bvh = build_bvh(tris)
+    single = (bm.build_mxu_arrays(bvh),)
+    old = bm.PAGE_CHUNKS
+    try:
+        bm.PAGE_CHUNKS = 4   # ~10 pages for this mesh
+        paged = bm.build_mxu_paged(bvh)
+    finally:
+        bm.PAGE_CHUNKS = old
+    assert len(paged) > 2
+    ro, rd = _rays(5)
+    a = bm.trace_bvh_mxu_paged(single, ro, rd)
+    b = bm.trace_bvh_mxu_paged(paged, ro, rd)
+    np.testing.assert_array_equal(np.asarray(a.valid), np.asarray(b.valid))
+    hit = np.asarray(a.valid)
+    np.testing.assert_allclose(np.asarray(a.t)[hit], np.asarray(b.t)[hit],
+                               rtol=1e-5)
+    t_max = jnp.full((N_RAYS,), 5.0)
+    oa = np.asarray(bm.trace_bvh_shadow_mxu_paged(single, ro, rd, t_max))
+    ob = np.asarray(bm.trace_bvh_shadow_mxu_paged(paged, ro, rd, t_max))
+    np.testing.assert_array_equal(oa, ob)
