@@ -14,7 +14,7 @@ import dataclasses
 from typing import Dict
 
 SPP_PRESETS = (1, 2, 4, 8, 16)
-EXPOSURE_MIN, EXPOSURE_MAX = 0.01, 8.0   # reference: application.cpp:433-435
+EXPOSURE_MIN, EXPOSURE_MAX = 0.05, 8.0   # reference: src/io/input.cpp:147-153
 EXPOSURE_DOWN, EXPOSURE_UP = 0.97, 1.03  # reference: src/io/input.cpp
 
 
@@ -65,7 +65,11 @@ def apply_action(state: InputState, action: str, app=None) -> InputState:
         state.toggled_motion_debug = True
     elif action == "toggle_pointer_lock":   # P
         state.toggled_pointer_lock = True
-    elif action == "spp_up":                # F3 / Up
+    elif action == "spp_cycle":             # F3: 1-2-4-8-16-1 with wrap
+        i = SPP_PRESETS.index(_nearest_preset(state.spp_per_frame))
+        state.spp_per_frame = SPP_PRESETS[(i + 1) % len(SPP_PRESETS)]
+        state.changed_spp = True
+    elif action == "spp_up":                # Up: saturate at 16
         i = SPP_PRESETS.index(_nearest_preset(state.spp_per_frame))
         state.spp_per_frame = SPP_PRESETS[min(i + 1, len(SPP_PRESETS) - 1)]
         state.changed_spp = True
@@ -73,9 +77,9 @@ def apply_action(state: InputState, action: str, app=None) -> InputState:
         i = SPP_PRESETS.index(_nearest_preset(state.spp_per_frame))
         state.spp_per_frame = SPP_PRESETS[max(i - 1, 0)]
         state.changed_spp = True
-    elif action.startswith("spp_preset_"):  # keys 1..5
-        idx = int(action.rsplit("_", 1)[1])
-        state.spp_per_frame = SPP_PRESETS[max(0, min(idx,
+    elif action.startswith("spp_preset_"):  # keys 1..4 -> 2/4/8/16
+        idx = int(action.rsplit("_", 1)[1])  # (reference: input.cpp:124-144)
+        state.spp_per_frame = SPP_PRESETS[max(1, min(idx,
                                                      len(SPP_PRESETS) - 1))]
         state.changed_spp = True
     elif action == "exposure_down":         # [
@@ -110,7 +114,7 @@ def _nearest_preset(spp: int) -> int:
 ACTIONS: Dict[str, str] = {
     "ESC": "quit", "F2": "toggle_ray_mode", "R": "reset", "F5": "toggle_bvh",
     "F6": "toggle_motion_debug", "P": "toggle_pointer_lock",
-    "F3": "spp_up", "UP": "spp_up", "DOWN": "spp_down",
+    "F3": "spp_cycle", "UP": "spp_up", "DOWN": "spp_down",
     "[": "exposure_down", "]": "exposure_up",
     "W": "move_w", "A": "move_a", "S": "move_s", "D": "move_d",
     "Q": "move_q", "E": "move_e",

@@ -1,0 +1,188 @@
+"""Per-component TPU performance report -> PERF.md.
+
+Each measurement runs in a timed child process (the tunneled worker can
+wedge on big compiles); results accumulate in PERF.md so a partial sweep
+still records what it got.
+
+Usage: python scripts/perf_report.py             # full sweep
+       python scripts/perf_report.py --child KEY # one measurement
+"""
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+H, W = 1080, 1920
+
+CASES = [
+    "trace_primary", "trace_shadow6", "frame_baseline_bvh",
+    "frame_full_bvh", "frame_baseline_analytic", "frame_full_analytic",
+    "svgf_jnp", "svgf_pallas",
+]
+
+
+def _scene():
+    import jax
+    import jax.numpy as jnp
+    from opengl_raytracing_tpu.scene import make_bunny, gather_triangles
+    from opengl_raytracing_tpu.scene.geometry import model_transform
+    from opengl_raytracing_tpu.ops.scene import prepare_bvh
+    tris = gather_triangles(make_bunny(4),
+                            model_transform((-2, 1.5, 0), 0.5))
+    return prepare_bvh(tris)
+
+
+def _rays():
+    import math
+    import jax.numpy as jnp
+    ys = (jnp.arange(H)[:, None] + 0.5) / H * 2 - 1
+    xs = (jnp.arange(W)[None, :] + 0.5) / W * 2 - 1
+    thf = math.tan(math.radians(30))
+    d = (jnp.asarray([0., 0., -1.])
+         + xs[..., None] * jnp.asarray([1., 0., 0.]) * (thf * W / H)
+         + ys[..., None] * jnp.asarray([0., 1., 0.]) * thf)
+    d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
+    ro = jnp.broadcast_to(jnp.asarray([0., 2., 8.]), d.shape)
+    return ro, d
+
+
+def _time(jfn, *args, reps=6):
+    import jax.numpy as jnp
+    import jax
+    s = jfn(*args)
+    float(jax.tree.leaves(s)[0])
+    t0 = time.time()
+    s = jfn(*args)
+    float(jax.tree.leaves(s)[0])
+    return (time.time() - t0)
+
+
+def child(key: str) -> None:
+    import jax
+    import jax.numpy as jnp
+    from opengl_raytracing_tpu.models import (FrameInputs, RenderState,
+                                              render_frame, preset)
+    from opengl_raytracing_tpu import Camera, RenderParams
+
+    if key.startswith("trace"):
+        bvh = _scene()
+        ro, d = _rays()
+        from opengl_raytracing_tpu.ops.bvh_mxu import (
+            trace_bvh_mxu_paged, trace_bvh_shadow_mxu_paged)
+        if key == "trace_primary":
+            @jax.jit
+            def fn(d):
+                s = 0.
+                for i in range(8):
+                    s = s + jnp.sum(trace_bvh_mxu_paged(
+                        bvh.mxu, ro, d + i * 1e-7).t.clip(0, 1e3))
+                return s
+            dt = _time(fn, d) / 8
+            rays = H * W
+        else:  # 6-ray batched shadow (the direct-light wavefront shape)
+            @jax.jit
+            def fn(d):
+                s = 0.
+                ro6 = jnp.broadcast_to(ro, (6,) + ro.shape)
+                tm = jnp.full((6, H, W), 8.0)
+                for i in range(4):
+                    d6 = jnp.stack([d + k * 1e-4 for k in range(6)])
+                    s = s + jnp.sum(trace_bvh_shadow_mxu_paged(
+                        bvh.mxu, ro6, d6 + i * 1e-7, tm))
+                return s
+            dt = _time(fn, d) / 4
+            rays = H * W * 6
+        print(json.dumps({"key": key, "ms": round(dt * 1e3, 2),
+                          "mrays": round(rays / dt / 1e6, 1)}))
+        return
+
+    if key.startswith("frame"):
+        _, pname, scene_kind = key.split("_")
+        params = preset(pname)
+        bvh = _scene() if scene_kind == "bvh" else None
+        cam = Camera()
+        cam.aspect = W / H
+        right, up, fwd, thf = cam.basis()
+        vp = cam.view_projection()
+        fin = FrameInputs(jnp.asarray(cam.position), jnp.asarray(right),
+                          jnp.asarray(up), jnp.asarray(fwd),
+                          jnp.float32(thf), jnp.float32(cam.aspect),
+                          jnp.zeros(2, jnp.float32), jnp.asarray(vp),
+                          jnp.asarray(vp), jnp.int32(0))
+
+        @jax.jit
+        def fn(fin, state):
+            s = 0.
+            for i in range(4):
+                f2 = FrameInputs(fin.cam_pos, fin.cam_right, fin.cam_up,
+                                 fin.cam_fwd, fin.tan_half_fov, fin.aspect,
+                                 fin.jitter + i * 1e-5, fin.curr_view_proj,
+                                 fin.prev_view_proj, fin.camera_moved)
+                state, out = render_frame(
+                    params, f2, state, None, bvh, height=H, width=W,
+                    use_bvh=scene_kind == "bvh")
+                s = s + jnp.sum(out.image)
+            return s
+        dt = _time(fn, fin, RenderState.create(H, W)) / 4
+        print(json.dumps({"key": key, "ms": round(dt * 1e3, 2),
+                          "fps": round(1000 / (dt * 1e3), 1)}))
+        return
+
+    if key.startswith("svgf"):
+        import numpy as np
+        from opengl_raytracing_tpu.ops.svgf import svgf_filter
+        from opengl_raytracing_tpu.ops.svgf_pallas import svgf_filter_pallas
+        rng = np.random.RandomState(0)
+        accum = jnp.asarray(rng.rand(H, W, 4).astype(np.float32))
+        motion = jnp.asarray(0.01 * rng.randn(H, W, 2).astype(np.float32))
+        gpos = jnp.asarray(rng.randn(H, W, 3).astype(np.float32))
+        gnrm = jnp.asarray(rng.randn(H, W, 3).astype(np.float32))
+        p = RenderParams()
+        impl = svgf_filter if key == "svgf_jnp" else svgf_filter_pallas
+
+        @jax.jit
+        def fn(accum):
+            s = 0.
+            for i in range(4):
+                s = s + jnp.sum(impl(accum + i * 1e-6, motion, gpos, gnrm, p))
+            return s
+        dt = _time(fn, accum) / 4
+        print(json.dumps({"key": key, "ms": round(dt * 1e3, 2)}))
+        return
+
+    raise SystemExit(f"unknown case {key}")
+
+
+def main() -> int:
+    if "--child" in sys.argv:
+        child(sys.argv[sys.argv.index("--child") + 1])
+        return 0
+    results = {}
+    for key in CASES:
+        try:
+            out = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--child", key],
+                capture_output=True, timeout=540, text=True)
+            lines = [ln for ln in out.stdout.splitlines()
+                     if ln.startswith("{")]
+            results[key] = (json.loads(lines[-1]) if lines
+                            else {"error": f"rc={out.returncode}"})
+        except subprocess.TimeoutExpired:
+            results[key] = {"error": "timeout (tpu wedged?)"}
+        print(key, results[key], flush=True)
+    with open("PERF.md", "w") as fh:
+        fh.write("# PERF — per-component timings (1 TPU v5e chip, "
+                 f"{W}x{H})\n\nGenerated by scripts/perf_report.py.\n\n")
+        fh.write("| case | result |\n|---|---|\n")
+        for k, v in results.items():
+            fh.write(f"| {k} | `{json.dumps(v)}` |\n")
+    print("wrote PERF.md")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -181,3 +181,20 @@ def test_headless_camera_anim_cli(tmp_path):
                "--camera-anim", "dolly", "--out", str(tmp_path)])
     assert rc == 0
     assert (tmp_path / "frame_last.png").exists()
+
+
+def test_spp_cycle_wraps():
+    a = small_app()
+    seen = []
+    for _ in range(6):
+        a.act("spp_cycle")
+        a.step()
+        seen.append(a.app.params.spp_per_frame)
+    assert seen == [2, 4, 8, 16, 1, 2]  # F3 wrap (reference: input.cpp:74-87)
+
+
+def test_spp_number_keys():
+    a = small_app()
+    a.act("spp_preset_3")
+    a.step()
+    assert a.app.params.spp_per_frame == 8
