@@ -87,17 +87,11 @@ class FrameOutputs(NamedTuple):
     gnrm: jnp.ndarray     # [H,W,3]
 
 
-def primary_rays(height: int, width: int, fin: FrameInputs,
+def primary_dirs(px, py, height: int, width: int, fin: FrameInputs,
                  params: RenderParams):
-    """Jittered primary ray directions (reference: rt.frag:55-68).
-
-    Rows follow GL's bottom-up y (row 0 = bottom scanline).
-    Returns (px, py, dirs): pixel centers [H,W] and directions [H,W,3].
-    """
-    px = jnp.broadcast_to(
-        jnp.arange(width, dtype=jnp.float32)[None, :] + 0.5, (height, width))
-    py = jnp.broadcast_to(
-        jnp.arange(height, dtype=jnp.float32)[:, None] + 0.5, (height, width))
+    """Jittered primary ray directions for given pixel centers
+    (reference: rt.frag:55-68).  height/width are the FULL image dims
+    (px/py may cover only a shard's row band)."""
     if params.enable_jitter:
         jx, jy = fin.jitter[0], fin.jitter[1]
     else:
@@ -109,7 +103,24 @@ def primary_rays(height: int, width: int, fin: FrameInputs,
     d = (fin.cam_fwd
          + ndc_x[..., None] * fin.cam_right * (fin.tan_half_fov * fin.aspect)
          + ndc_y[..., None] * fin.cam_up * fin.tan_half_fov)
-    return px, py, normalize(d)
+    return normalize(d)
+
+
+def pixel_centers(height: int, width: int, row_offset=0):
+    """Pixel-center coordinate grids (GL bottom-up rows)."""
+    px = jnp.broadcast_to(
+        jnp.arange(width, dtype=jnp.float32)[None, :] + 0.5, (height, width))
+    py = jnp.broadcast_to(
+        jnp.arange(height, dtype=jnp.float32)[:, None] + 0.5
+        + jnp.asarray(row_offset, jnp.float32), (height, width))
+    return px, py
+
+
+def primary_rays(height: int, width: int, fin: FrameInputs,
+                 params: RenderParams):
+    """Full-grid pixel centers + jittered ray directions."""
+    px, py = pixel_centers(height, width)
+    return px, py, primary_dirs(px, py, height, width, fin, params)
 
 
 def _sanitize_hit(h: Hit, ro, rd) -> Hit:
@@ -190,10 +201,34 @@ def render_frame(params: RenderParams, fin: FrameInputs, state: RenderState,
     scene = SceneCtx.create(params, fin.cam_pos, env_map=env_map,
                             use_bvh=use_bvh, bvh=bvh)
     px, py, rd = primary_rays(height, width, fin, params)
-    ro = jnp.broadcast_to(fin.cam_pos, rd.shape)
-
-    spp = max(int(params.spp_per_frame), 1) if not show_motion else 1
     frame_index = state.frame_index
+    curr, motion, gpos, gnrm = trace_and_shade(
+        scene, params, fin, px, py, rd, frame_index,
+        use_bvh=use_bvh, show_motion=show_motion)
+    moved = fin.camera_moved > 0
+
+    # TAA (reference: rt.frag:184-190): zero motion when camera static.
+    taa_motion = jnp.where(moved, motion, jnp.zeros_like(motion))
+    accum_new = resolve_taa(curr, taa_motion, state.accum, frame_index,
+                            params)
+
+    image = present(accum_new, motion, gpos, gnrm, params,
+                    show_motion=show_motion)
+
+    new_state = RenderState(accum_new, frame_index + 1)
+    return new_state, FrameOutputs(image, motion, gpos, gnrm)
+
+
+def trace_and_shade(scene: SceneCtx, params: RenderParams, fin: FrameInputs,
+                    px, py, rd, frame_index, *, use_bvh: bool,
+                    show_motion: bool):
+    """Trace + shade a pixel grid (full image or one shard's row band).
+
+    Returns (curr [.,.,3], motion [.,.,2], gpos, gnrm) — everything up to
+    (but excluding) the temporal/present stages.
+    """
+    ro = jnp.broadcast_to(fin.cam_pos, rd.shape)
+    spp = max(int(params.spp_per_frame), 1) if not show_motion else 1
 
     # Primary hit: identical for every SPP sample (deterministic trace).
     h_raw = scene.trace(ro, rd)
@@ -247,17 +282,7 @@ def render_frame(params: RenderParams, fin: FrameInputs, state: RenderState,
             jnp.where(hit_mask[None, ..., None], shaded,
                       sky_radiance[None]), axis=0)
     curr = frame_sum / float(spp)
-
-    # TAA (reference: rt.frag:184-190): zero motion when camera static.
-    taa_motion = jnp.where(moved, motion, jnp.zeros_like(motion))
-    accum_new = resolve_taa(curr, taa_motion, state.accum, frame_index,
-                            params)
-
-    image = present(accum_new, motion, gpos, gnrm, params,
-                    show_motion=show_motion)
-
-    new_state = RenderState(accum_new, frame_index + 1)
-    return new_state, FrameOutputs(image, motion, gpos, gnrm)
+    return curr, motion, gpos, gnrm
 
 
 def make_render_fn(params: RenderParams, height: int, width: int,

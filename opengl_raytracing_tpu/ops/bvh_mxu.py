@@ -260,9 +260,8 @@ def _epilogue_inputs(out, eps):
     return t, acc
 
 
-def _closest_kernel(lo_ref, n_ref, mlo_ref, mhi_ref, active_ref, f_ref,
-                    coef_ref, norms_ref, t_ref, nx_ref, ny_ref, nz_ref, *,
-                    eps: float):
+def _closest_kernel(active_ref, meta_ref, f_ref, coef_ref, norms_ref,
+                    t_ref, nx_ref, ny_ref, nz_ref, *, eps: float):
     b = pl.program_id(0)
     # Empty-block fast path: a sky block (no candidate chunks anywhere)
     # only writes the miss pattern.
@@ -281,10 +280,10 @@ def _closest_kernel(lo_ref, n_ref, mlo_ref, mhi_ref, active_ref, f_ref,
         # Mosaic compile time up.
         def subtile_body(s, _):
             f = f_ref[s]                       # [16,128]
-            lo = lo_ref[b * SUBTILES + s]
-            n = n_ref[b * SUBTILES + s]
-            mlo = mlo_ref[b * SUBTILES + s]
-            mhi = mhi_ref[b * SUBTILES + s]
+            lo = meta_ref[s, 0]
+            n = meta_ref[s, 1]
+            mlo = meta_ref[s, 2]
+            mhi = meta_ref[s, 3]
 
             # All-f32 epilogue (Mosaic mishandles packed-i1 keepdims
             # reductions).
@@ -334,8 +333,8 @@ def _closest_kernel(lo_ref, n_ref, mlo_ref, mhi_ref, active_ref, f_ref,
         jax.lax.fori_loop(0, SUBTILES, subtile_body, 0)
 
 
-def _shadow_kernel(lo_ref, n_ref, mlo_ref, mhi_ref, active_ref, f_ref,
-                   coef_ref, occ_ref, *, eps: float):
+def _shadow_kernel(active_ref, meta_ref, f_ref, coef_ref, occ_ref, *,
+                   eps: float):
     b = pl.program_id(0)
     occ_ref[:, :] = jnp.zeros((SUBTILES, TILE_RAYS), jnp.float32)
 
@@ -343,10 +342,10 @@ def _shadow_kernel(lo_ref, n_ref, mlo_ref, mhi_ref, active_ref, f_ref,
     def _():
         def subtile_body(s, _):
             f = f_ref[s]
-            lo = lo_ref[b * SUBTILES + s]
-            n = n_ref[b * SUBTILES + s]
-            mlo = mlo_ref[b * SUBTILES + s]
-            mhi = mhi_ref[b * SUBTILES + s]
+            lo = meta_ref[s, 0]
+            n = meta_ref[s, 1]
+            mlo = meta_ref[s, 2]
+            mhi = meta_ref[s, 3]
             tmax = f[10:11, :]                 # [1,128]
 
             def chunk_work(ci, occ):
@@ -492,19 +491,28 @@ def _pad_tiles(ro, rd, extra=None):
 
 
 def _grid_specs(nt, n_out, n_full_inputs=1):
+    # Only the tiny per-block active flags ride scalar prefetch (SMEM);
+    # per-tile metadata is a blocked VMEM operand — huge batched ray
+    # streams (NT ~ 100k tiles) would otherwise overflow SMEM.
     out_spec = pl.BlockSpec((SUBTILES, TILE_RAYS),
                             lambda b, *pf: (b, 0),
                             memory_space=pltpu.VMEM)
     return pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=5,
+        num_scalar_prefetch=1,
         grid=(nt // SUBTILES,),
         in_specs=[
+            pl.BlockSpec((SUBTILES, 4), lambda b, *pf: (b, 0),
+                         memory_space=pltpu.VMEM),
             pl.BlockSpec((SUBTILES, KDIM, TILE_RAYS),
                          lambda b, *pf: (b, 0, 0),
                          memory_space=pltpu.VMEM),
         ] + [pl.BlockSpec(memory_space=pltpu.VMEM)] * n_full_inputs,
         out_specs=[out_spec] * n_out if n_out > 1 else out_spec,
     )
+
+
+def _pack_meta(lo, cn, mlo, mhi):
+    return jnp.stack([lo, cn, mlo, mhi], axis=1)
 
 
 def _block_active(cn, nt):
@@ -526,7 +534,8 @@ def trace_bvh_mxu(mxu: MXUBVH, ro, rd, eps: float = EPS) -> Hit:
         grid_spec=_grid_specs(nt, 4, n_full_inputs=2),
         out_shape=[jax.ShapeDtypeStruct((nt, TILE_RAYS), jnp.float32)] * 4,
         interpret=_use_interpret(),
-    )(lo, cn, mlo, mhi, _block_active(cn, nt), feats, mxu.coef, mxu.norms)
+    )(_block_active(cn, nt), _pack_meta(lo, cn, mlo, mhi), feats,
+      mxu.coef, mxu.norms)
 
     t = t_rows.reshape(-1)[:n].reshape(shape)
     hit = t < INF
@@ -555,6 +564,6 @@ def trace_bvh_shadow_mxu(mxu: MXUBVH, ro, rd, t_max, eps: float = EPS):
         grid_spec=_grid_specs(nt, 1, n_full_inputs=1),
         out_shape=jax.ShapeDtypeStruct((nt, TILE_RAYS), jnp.float32),
         interpret=_use_interpret(),
-    )(lo, cn, mlo, mhi, _block_active(cn, nt), feats, mxu.coef)
+    )(_block_active(cn, nt), _pack_meta(lo, cn, mlo, mhi), feats, mxu.coef)
 
     return occ_rows.reshape(-1)[:n].reshape(shape) > 0.5

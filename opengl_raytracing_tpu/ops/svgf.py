@@ -20,26 +20,44 @@ _K_NRM = 2.0         # rt_present.frag:160
 _K_POS = 0.02        # rt_present.frag:161
 
 
-def _shift(a, dy, dx):
-    """Value of `a` at (y+dy, x+dx), zero-padded."""
-    h, w = a.shape[0], a.shape[1]
-    pad = [(_RADIUS, _RADIUS), (_RADIUS, _RADIUS)] + \
-          [(0, 0)] * (a.ndim - 2)
-    ap = jnp.pad(a, pad)
-    return ap[_RADIUS + dy:_RADIUS + dy + h, _RADIUS + dx:_RADIUS + dx + w]
-
-
 def _safe_normalize(v):
     n = jnp.sqrt(jnp.maximum(jnp.sum(v * v, axis=-1, keepdims=True), 1e-24))
     return v / n
 
 
-def svgf_filter(accum, motion, gpos, gnrm, params: RenderParams):
+def svgf_filter(accum, motion, gpos, gnrm, params: RenderParams, *,
+                halo: int = 0, row_offset=0, full_height=None):
     """Variance/motion/GBuffer-aware 7x7 filter
-    (reference: rt_present.frag:126-225).  accum [H,W,4] rgb+M2."""
-    h, w = accum.shape[0], accum.shape[1]
-    c_center = accum[..., :3]
-    m2_center = accum[..., 3]
+    (reference: rt_present.frag:126-225).  accum [BH+2*halo,W,4] rgb+M2.
+
+    `halo` rows at top/bottom are REAL neighbor data (sharded row bands
+    exchange them explicitly); the output covers only the BH center rows.
+    Tap validity is evaluated against the FULL image bounds
+    (row_offset/full_height), so shard seams filter identically to the
+    single-device image.
+    """
+    rows, w = accum.shape[0], accum.shape[1]
+    bh = rows - 2 * halo
+    if full_height is None:
+        full_height = bh
+
+    def _shift(a, dy, dx):
+        pad = [(_RADIUS, _RADIUS), (_RADIUS, _RADIUS)] + \
+              [(0, 0)] * (a.ndim - 2)
+        ap = jnp.pad(a, pad)
+        r0 = _RADIUS + halo + dy
+        c0 = _RADIUS + dx
+        return ap[r0:r0 + bh, c0:c0 + w]
+
+    def _center(a):
+        return a[halo:halo + bh]
+
+    h = bh
+    c_center = _center(accum)[..., :3]
+    m2_center = _center(accum)[..., 3]
+    motion = _center(motion)
+    gpos_c = _center(gpos)
+    gnrm_c = _center(gnrm)
     l_center = luminance(c_center, YCOEFF)
     var_center = jnp.clip(m2_center - l_center * l_center, 0.0,
                           jnp.float32(params.svgf_var_max))
@@ -52,17 +70,18 @@ def svgf_filter(accum, motion, gpos, gnrm, params: RenderParams):
                                      - params.svgf_k_color) * t
     var_boost = 1.0 + var_center * (1.0 + k_var * 0.5)
 
-    n_center = _safe_normalize(gnrm)
+    n_center = _safe_normalize(gnrm_c)
 
     ix = jnp.arange(w, dtype=jnp.int32)[None, :]
-    iy = jnp.arange(h, dtype=jnp.int32)[:, None]
+    iy = jnp.arange(h, dtype=jnp.int32)[:, None] + jnp.asarray(row_offset,
+                                                               jnp.int32)
 
     acc_col = jnp.zeros_like(c_center)
     acc_w = jnp.zeros((h, w), jnp.float32)
     for j in range(-_RADIUS, _RADIUS + 1):
         for i in range(-_RADIUS, _RADIUS + 1):
             valid = ((ix + i >= 0) & (ix + i < w)
-                     & (iy + j >= 0) & (iy + j < h))
+                     & (iy + j >= 0) & (iy + j < full_height))
             c = _shift(accum, j, i)[..., :3]
             p = _shift(gpos, j, i)
             n = _shift(gnrm, j, i)
@@ -71,7 +90,7 @@ def svgf_filter(accum, motion, gpos, gnrm, params: RenderParams):
             dc2 = jnp.sum(dc * dc, axis=-1)
             w_col = jnp.exp(-dc2 * (k_color * 0.3 + 0.05))
 
-            dp = p - gpos
+            dp = p - gpos_c
             dist2 = jnp.sum(dp * dp, axis=-1)
             w_pos = jnp.exp(-dist2 * _K_POS)
 

@@ -25,6 +25,7 @@ from ..params import RenderParams
 from .vecmath import smoothstep
 
 PAD = 3          # stencil radius
+ROWPAD = 8       # row halo in the plane stack (8-aligned for DMA slicing)
 BH = 8           # output rows per grid step
 K_NRM = 2.0      # rt_present.frag:160
 K_POS = 0.02     # rt_present.frag:161
@@ -42,17 +43,18 @@ def _kernel(par_ref, planes_ref, out_ref, slab, sem, *, h: int, w: int,
         par_ref[0, 0], par_ref[0, 1], par_ref[0, 2], par_ref[0, 3],
         par_ref[0, 4])
 
-    # slab rows [b*BH, b*BH + BH + 2*PAD) of the padded plane stack
+    # slab rows [b*BH, b*BH + BH + 2*ROWPAD) of the padded plane stack —
+    # 8-aligned offset and height as Mosaic requires for HBM slices.
     cp = pltpu.make_async_copy(
-        planes_ref.at[:, pl.ds(b * BH, BH + 2 * PAD), :], slab, sem)
+        planes_ref.at[:, pl.ds(b * BH, BH + 2 * ROWPAD), :], slab, sem)
     cp.start()
     cp.wait()
 
     def center(k):
-        return slab[k, PAD:PAD + BH, PAD:PAD + w]
+        return slab[k, ROWPAD:ROWPAD + BH, PAD:PAD + w]
 
     def tap(k, dy, dx):
-        return slab[k, PAD + dy:PAD + dy + BH, PAD + dx:PAD + dx + w]
+        return slab[k, ROWPAD + dy:ROWPAD + dy + BH, PAD + dx:PAD + dx + w]
 
     cr, cg, cb = center(0), center(1), center(2)
     m2 = center(3)
@@ -129,13 +131,13 @@ def svgf_filter_pallas(accum, motion, gpos, gnrm, params: RenderParams):
     hb = -(-h // BH) * BH                      # rows padded to band multiple
     wp = -(-(w + 2 * PAD) // 128) * 128        # lanes padded to 128
 
-    planes = jnp.zeros((NPLANES, hb + 2 * PAD, wp), jnp.float32)
+    planes = jnp.zeros((NPLANES, hb + 2 * ROWPAD, wp), jnp.float32)
     srcs = [accum[..., 0], accum[..., 1], accum[..., 2], accum[..., 3],
             motion[..., 0], motion[..., 1],
             gpos[..., 0], gpos[..., 1], gpos[..., 2],
             gnrm[..., 0], gnrm[..., 1], gnrm[..., 2]]
     for k, s in enumerate(srcs):
-        planes = planes.at[k, PAD:PAD + h, PAD:PAD + w].set(s)
+        planes = planes.at[k, ROWPAD:ROWPAD + h, PAD:PAD + w].set(s)
 
     par = jnp.stack([
         jnp.asarray(params.svgf_var_max, jnp.float32),
@@ -158,7 +160,7 @@ def svgf_filter_pallas(accum, motion, gpos, gnrm, params: RenderParams):
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((3, hb, w), jnp.float32),
         scratch_shapes=[
-            pltpu.VMEM((NPLANES, BH + 2 * PAD, wp), jnp.float32),
+            pltpu.VMEM((NPLANES, BH + 2 * ROWPAD, wp), jnp.float32),
             pltpu.SemaphoreType.DMA,
         ],
         interpret=_use_interpret(),

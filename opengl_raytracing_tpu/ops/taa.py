@@ -9,6 +9,7 @@ y so UV math carries over 1:1.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 from ..constants import YCOEFF
@@ -24,13 +25,16 @@ def _sample_nearest(tex, u, v):
     return tex[y, x]
 
 
-def resolve_taa(curr, motion, prev_accum, frame_index, params: RenderParams):
+def resolve_taa(curr, motion, prev_accum, frame_index, params: RenderParams,
+                row_offset=0):
     """Blend current frame with (reprojected) history.
 
-    curr [H,W,3] linear color (already SPP-averaged); motion [H,W,2] NDC
+    curr [BH,W,3] linear color (already SPP-averaged); motion [BH,W,2] NDC
     motion (already zeroed by the caller when the camera is static,
-    reference: rt.frag:188); prev_accum [H,W,4] rgb+M2; frame_index traced
-    int32.  Returns [H,W,4] = (color, M2).
+    reference: rt.frag:188); prev_accum [H,W,4] rgb+M2 (the FULL history —
+    reprojection may read anywhere); frame_index traced int32.  When curr
+    is a row band of a sharded image, `row_offset` is its first global
+    row.  Returns [BH,W,4] = (color, M2).
     """
     l_curr = luminance(curr, YCOEFF)
     l_curr2 = l_curr * l_curr
@@ -40,11 +44,12 @@ def resolve_taa(curr, motion, prev_accum, frame_index, params: RenderParams):
         # Still store M2 so SVGF can compute variance (rt_taa.glsl:58-61).
         return passthrough
 
-    h, w = curr.shape[0], curr.shape[1]
+    bh, w = curr.shape[0], curr.shape[1]
+    h = prev_accum.shape[0]
     ix = jnp.arange(w, dtype=jnp.float32)[None, :] + 0.5
-    iy = jnp.arange(h, dtype=jnp.float32)[:, None] + 0.5
-    uvx = jnp.broadcast_to(ix / w, (h, w))
-    uvy = jnp.broadcast_to(iy / h, (h, w))
+    iy = (jnp.arange(bh, dtype=jnp.float32)[:, None] + 0.5 + row_offset)
+    uvx = jnp.broadcast_to(ix / w, (bh, w))
+    uvy = jnp.broadcast_to(iy / h, (bh, w))
 
     mot_mag = jnp.sqrt(jnp.sum(motion * motion, axis=-1))
     min_w = jnp.float32(params.taa_history_min_weight)
@@ -54,7 +59,8 @@ def resolve_taa(curr, motion, prev_accum, frame_index, params: RenderParams):
     fi = jnp.asarray(frame_index, jnp.int32)
 
     # ---- CASE 1: effectively still (rt_taa.glsl:86-105) ----
-    prev_same = prev_accum
+    prev_same = jax.lax.dynamic_slice_in_dim(
+        prev_accum, jnp.asarray(row_offset, jnp.int32), bh, axis=0)
     w_still = jnp.where(fi < 8, min_w, jnp.where(fi < 32, avg_w, max_w))
     mean_still = prev_same[..., :3] * w_still + curr * (1.0 - w_still)
     m2_still = prev_same[..., 3] * w_still + l_curr2 * (1.0 - w_still)

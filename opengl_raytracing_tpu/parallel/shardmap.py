@@ -1,0 +1,136 @@
+"""Explicit-collective multi-chip renderer (shard_map + ICI primitives).
+
+parallel/sharding.py lets XLA's SPMD partitioner insert the collectives;
+this module spells them out with `shard_map`, which is how a production
+deployment pins the communication schedule:
+
+  * the image is row-banded over the mesh axis: each chip traces and
+    shades ONLY its band (scene arrays replicated in HBM);
+  * TAA reprojection may read history anywhere on screen, so the previous
+    accumulation is `all_gather`ed over ICI (tiled, one hop per chip) —
+    the renderer's analog of sequence-parallel attention gathering keys;
+  * the SVGF 7x7 stencil needs 3 rows of each neighbor: two `ppermute`
+    ring shifts exchange halos (up and down);
+  * frame statistics (mean luminance) reduce with `psum`.
+
+Bitwise-comparable to the single-device renderer (see
+tests/test_shardmap.py).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.experimental.shard_map import shard_map
+
+from ..constants import YCOEFF
+from ..params import RenderParams
+from ..models.pipeline import (FrameInputs, RenderState, FrameOutputs,
+                               pixel_centers, primary_dirs, trace_and_shade)
+from ..ops.scene import SceneCtx
+from ..ops.taa import resolve_taa
+from ..ops.svgf import svgf_filter, present
+from ..ops.vecmath import luminance
+
+HALO = 3  # SVGF stencil radius
+
+
+def _ring_halos(band, axis: str, n: int):
+    """Exchange HALO rows with both neighbors -> (ext, row0_is_edge...).
+
+    band [BH,W,C].  Returns [BH+2*HALO, W, C] where the first HALO rows
+    came from the previous shard (lower global rows) and the last HALO
+    rows from the next shard.  Edge shards receive zeros; the filter's
+    global-bounds validity masks zero their weights anyway.
+    """
+    down = [(i, i + 1) for i in range(n - 1)]   # i sends to i+1
+    up = [(i + 1, i) for i in range(n - 1)]     # i+1 sends to i
+    from_prev = jax.lax.ppermute(band[-HALO:], axis, down)
+    from_next = jax.lax.ppermute(band[:HALO], axis, up)
+    # ppermute leaves non-receiving shards with zeros
+    return jnp.concatenate([from_prev, band, from_next], axis=0)
+
+
+def render_frame_shardmap(mesh: Mesh, params: RenderParams,
+                          fin: FrameInputs, state: RenderState,
+                          env_map=None, bvh=None, *, height: int, width: int,
+                          use_bvh: bool = False, show_motion: bool = False):
+    """One frame with hand-written collectives.  Returns
+    (new_state, FrameOutputs, stats) with image/accum row-sharded."""
+    axis = mesh.axis_names[0]
+    n = mesh.devices.size
+    assert height % n == 0, f"height {height} must divide over {n} shards"
+    bh = height // n
+
+    def band_step(accum_local, frame_index):
+        idx = jax.lax.axis_index(axis)
+        row0 = idx * bh
+
+        scene = SceneCtx.create(params, fin.cam_pos, env_map=env_map,
+                                use_bvh=use_bvh, bvh=bvh)
+        px, py = pixel_centers(bh, width, row_offset=row0)
+        rd = primary_dirs(px, py, height, width, fin, params)
+        curr, motion, gpos, gnrm = trace_and_shade(
+            scene, params, fin, px, py, rd, frame_index,
+            use_bvh=use_bvh, show_motion=show_motion)
+
+        moved = fin.camera_moved > 0
+        taa_motion = jnp.where(moved, motion, jnp.zeros_like(motion))
+
+        # TAA needs the FULL history (reprojection reads anywhere).
+        prev_full = jax.lax.all_gather(accum_local, axis, axis=0,
+                                       tiled=True)
+        accum_new = resolve_taa(curr, taa_motion, prev_full, frame_index,
+                                params, row_offset=row0)
+
+        if show_motion:
+            image = present(accum_new, motion, gpos, gnrm, params,
+                            show_motion=True)
+        elif params.enable_svgf:
+            # halo exchange for the stencil inputs
+            stack = jnp.concatenate([accum_new, motion, gpos, gnrm],
+                                    axis=-1)  # [bh,W,12]
+            ext = _ring_halos(stack, axis, n)
+            filtered = svgf_filter(
+                ext[..., 0:4], ext[..., 4:6], ext[..., 6:9], ext[..., 9:12],
+                params, halo=HALO, row_offset=row0, full_height=height)
+            raw = accum_new[..., :3]
+            s = jnp.clip(jnp.float32(params.svgf_strength), 0.0, 1.0)
+            linear = raw + (filtered - raw) * s
+            from ..ops.tonemap import aces_tonemap, gamma_encode
+            image = gamma_encode(aces_tonemap(
+                linear, jnp.float32(params.exposure)))
+        else:
+            image = present(accum_new, motion, gpos, gnrm, params)
+
+        # Frame statistic over ICI: mean luminance of the band -> global.
+        lum_sum = jax.lax.psum(jnp.sum(luminance(image, YCOEFF)), axis)
+        mean_lum = lum_sum / (height * width)
+
+        return accum_new, image, motion, gpos, gnrm, mean_lum
+
+    banded = P(axis, None, None)
+    f = shard_map(
+        band_step, mesh=mesh,
+        in_specs=(banded, P()),
+        out_specs=(banded, banded, banded, banded, banded, P()),
+    )
+    accum_new, image, motion, gpos, gnrm, mean_lum = f(
+        state.accum, state.frame_index)
+    new_state = RenderState(accum_new, state.frame_index + 1)
+    return new_state, FrameOutputs(image, motion, gpos, gnrm), mean_lum
+
+
+def make_shardmap_render_fn(mesh: Mesh, params: RenderParams, height: int,
+                            width: int, use_bvh: bool = False,
+                            show_motion: bool = False, donate: bool = True):
+    def fn(params, fin, state, env_map, bvh):
+        return render_frame_shardmap(mesh, params, fin, state, env_map, bvh,
+                                     height=height, width=width,
+                                     use_bvh=use_bvh,
+                                     show_motion=show_motion)
+    return jax.jit(fn, donate_argnums=(2,) if donate else ())
