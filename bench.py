@@ -100,6 +100,10 @@ def measure(height: int, width: int, frames: int, preset_name: str) -> dict:
 
     rays = height * width * spp * frames
     mrays = rays / dt / 1e6
+    # total rays actually traced per frame (primary + shadow wavefronts),
+    # same accounting the reference's FPS->rays derivation ignores
+    from opengl_raytracing_tpu.utils.profiling import RayCounter
+    total = RayCounter(height, width).rays_per_frame(params)["total"]
     return {
         "metric": (f"primary Mrays/s/chip, bunny BVH scene, "
                    f"{width}x{height} {spp}spp, preset={preset_name}"),
@@ -107,6 +111,8 @@ def measure(height: int, width: int, frames: int, preset_name: str) -> dict:
         "unit": "Mrays/s",
         "vs_baseline": round(mrays / BASELINE_MRAYS, 4),
         "ms_per_frame": round(dt / frames * 1e3, 2),
+        "fps": round(frames / dt, 1),
+        "total_mrays_per_s": round(total * frames / dt / 1e6, 1),
         "frames": frames,
         "checksum": round(checksum, 1),
     }

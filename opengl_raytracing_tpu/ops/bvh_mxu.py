@@ -55,7 +55,16 @@ import os
 CHUNK = 128          # triangles per chunk
 TILE_RAYS = 128      # rays per tile == lane width
 SUBTILES = int(os.environ.get("ORT_SUBTILES", "32"))  # tiles per grid step
-KDIM = 16            # padded feature dim (10 used + tmax at 10)
+
+
+def _subtiles_for(nt: int) -> int:
+    # Large batched ray streams (multi-sample shadow wavefronts) amortize
+    # the ~4us per-grid-step overhead with bigger blocks.
+    return SUBTILES if nt <= 24576 else 4 * SUBTILES
+KDIM = 16            # MT feature dim fed to the matmul (10 used + tmax)
+FDIM = 8             # materialized per-ray planes: o(3), d(3), tmax, pad —
+                     # m = o x d, the ones row, and padding are built
+                     # in-kernel to halve the dominant HBM stream
 
 
 
@@ -152,22 +161,23 @@ def _safe_inv(d):
     return 1.0 / jnp.where(d == 0.0, 1e-30, d)
 
 
-def _tile_chunk_ranges(chunk_bounds, ro_f, rd_f, t_cap=None):
+def _tile_chunk_ranges(chunk_bounds, ro_soa, rd_soa, t_cap=None):
     """Conservative per-tile candidate chunk range.
 
-    ro_f/rd_f: flat [R, 3] padded rays (R = NT*128).  Returns (lo [NT],
-    n [NT]) int32 such that any triangle intersected by any tile ray lies
-    within chunks [lo, lo+n).
+    ro_soa/rd_soa: 3 flat [R] component planes each (R = NT*128).
+    Returns (lo [NT], n [NT]) int32 such that any triangle intersected by
+    any tile ray lies within chunks [lo, lo+n).
 
-    Everything is SoA over [NT, ...] with 128-lane minor dims — a
-    [NT,128,3] layout would pad the 3 to a full lane tile (43x memory).
+    Everything is SoA with packed layouts — a flat [R,3] array lane-pads
+    its minor dim 43x on TPU (measured: each pass over one costs ~7ms at
+    12M rays).
     """
-    nt = ro_f.shape[0] // TILE_RAYS
+    nt = ro_soa[0].shape[0] // TILE_RAYS
     nc = chunk_bounds.shape[0]
 
     def per_axis(k):
-        o = ro_f[:, k].reshape(nt, TILE_RAYS)
-        i = _safe_inv(rd_f[:, k].reshape(nt, TILE_RAYS))
+        o = ro_soa[k].reshape(nt, TILE_RAYS)
+        i = _safe_inv(rd_soa[k].reshape(nt, TILE_RAYS))
         return (jnp.min(o, axis=1), jnp.max(o, axis=1),
                 jnp.min(i, axis=1), jnp.max(i, axis=1))
 
@@ -221,24 +231,38 @@ def _tile_chunk_ranges(chunk_bounds, ro_f, rd_f, t_cap=None):
     return lo.astype(jnp.int32), n.astype(jnp.int32), mask_lo, mask_hi
 
 
-def _build_features(ro, rd, extra=None):
-    """Per-ray MT features -> [NT, 16, 128] (features on sublanes, rays on
-    lanes).  Built plane-by-plane so no narrow-minor-dim array ever
-    materializes."""
-    m = jnp.cross(ro, rd)
-    nt = ro.shape[0] // TILE_RAYS
+def _build_features(ro_soa, rd_soa, extra=None):
+    """Per-ray planes -> [NT, FDIM, 128] (rays on lanes): o(3), d(3),
+    tmax, pad.  The kernel derives the remaining MT features (o x d, the
+    ones row) in-register — materializing all 16 rows would double the
+    dominant HBM stream."""
+    ox, oy, oz = ro_soa
+    dx, dy, dz = rd_soa
+    nt = ox.shape[0] // TILE_RAYS
 
     def plane(v):
         return v.reshape(nt, 1, TILE_RAYS)
 
-    planes = [plane(rd[:, 0]), plane(rd[:, 1]), plane(rd[:, 2]),
-              plane(m[:, 0]), plane(m[:, 1]), plane(m[:, 2]),
-              plane(ro[:, 0]), plane(ro[:, 1]), plane(ro[:, 2]),
-              jnp.ones((nt, 1, TILE_RAYS), jnp.float32)]
+    planes = [plane(ox), plane(oy), plane(oz),
+              plane(dx), plane(dy), plane(dz)]
     planes.append(plane(extra) if extra is not None
                   else jnp.zeros((nt, 1, TILE_RAYS), jnp.float32))
-    planes.append(jnp.zeros((nt, KDIM - 11, TILE_RAYS), jnp.float32))
+    planes.append(jnp.zeros((nt, FDIM - 7, TILE_RAYS), jnp.float32))
     return jnp.concatenate(planes, axis=1)
+
+
+def _expand_features(f8):
+    """[8,128] materialized planes -> [16,128] MT feature rows
+    (d, o x d, o, 1, tmax, pad) built on the VPU."""
+    o = f8[0:3, :]
+    d = f8[3:6, :]
+    tmax = f8[6:7, :]
+    mx = o[1:2] * d[2:3] - o[2:3] * d[1:2]
+    my = o[2:3] * d[0:1] - o[0:1] * d[2:3]
+    mz = o[0:1] * d[1:2] - o[1:2] * d[0:1]
+    ones = jnp.ones((1, TILE_RAYS), jnp.float32)
+    zeros = jnp.zeros((KDIM - 11, TILE_RAYS), jnp.float32)
+    return jnp.concatenate([d, mx, my, mz, o, ones, tmax, zeros], axis=0)
 
 
 # -----------------------------------------------------------------------------
@@ -261,14 +285,15 @@ def _epilogue_inputs(out, eps):
 
 
 def _closest_kernel(active_ref, meta_ref, f_ref, coef_ref, norms_ref,
-                    t_ref, nx_ref, ny_ref, nz_ref, *, eps: float):
+                    t_ref, nx_ref, ny_ref, nz_ref, *, eps: float,
+                    subtiles: int):
     b = pl.program_id(0)
     # Empty-block fast path: a sky block (no candidate chunks anywhere)
     # only writes the miss pattern.
-    t_ref[:, :] = jnp.full((SUBTILES, TILE_RAYS), INF, jnp.float32)
-    nx_ref[:, :] = jnp.zeros((SUBTILES, TILE_RAYS), jnp.float32)
-    ny_ref[:, :] = jnp.zeros((SUBTILES, TILE_RAYS), jnp.float32)
-    nz_ref[:, :] = jnp.zeros((SUBTILES, TILE_RAYS), jnp.float32)
+    t_ref[:, :] = jnp.full((subtiles, TILE_RAYS), INF, jnp.float32)
+    nx_ref[:, :] = jnp.zeros((subtiles, TILE_RAYS), jnp.float32)
+    ny_ref[:, :] = jnp.zeros((subtiles, TILE_RAYS), jnp.float32)
+    nz_ref[:, :] = jnp.zeros((subtiles, TILE_RAYS), jnp.float32)
 
     tri_f = jax.lax.broadcasted_iota(
         jnp.int32, (CHUNK, TILE_RAYS), 0).astype(jnp.float32)
@@ -279,7 +304,7 @@ def _closest_kernel(active_ref, meta_ref, f_ref, coef_ref, norms_ref,
         # single copy of the body — a python-unrolled SUBTILES loop blows
         # Mosaic compile time up.
         def subtile_body(s, _):
-            f = f_ref[s]                       # [16,128]
+            f = _expand_features(f_ref[s])     # [8,128] -> [16,128]
             lo = meta_ref[s, 0]
             n = meta_ref[s, 1]
             mlo = meta_ref[s, 2]
@@ -330,18 +355,18 @@ def _closest_kernel(active_ref, meta_ref, f_ref, coef_ref, norms_ref,
             nz_ref[pl.ds(s, 1), :] = nz
             return 0
 
-        jax.lax.fori_loop(0, SUBTILES, subtile_body, 0)
+        jax.lax.fori_loop(0, subtiles, subtile_body, 0)
 
 
 def _shadow_kernel(active_ref, meta_ref, f_ref, coef_ref, occ_ref, *,
-                   eps: float):
+                   eps: float, subtiles: int):
     b = pl.program_id(0)
-    occ_ref[:, :] = jnp.zeros((SUBTILES, TILE_RAYS), jnp.float32)
+    occ_ref[:, :] = jnp.zeros((subtiles, TILE_RAYS), jnp.float32)
 
     @pl.when(active_ref[b] > 0)
     def _():
         def subtile_body(s, _):
-            f = f_ref[s]
+            f = _expand_features(f_ref[s])
             lo = meta_ref[s, 0]
             n = meta_ref[s, 1]
             mlo = meta_ref[s, 2]
@@ -369,7 +394,7 @@ def _shadow_kernel(active_ref, meta_ref, f_ref, coef_ref, occ_ref, *,
             occ_ref[pl.ds(s, 1), :] = occ
             return 0
 
-        jax.lax.fori_loop(0, SUBTILES, subtile_body, 0)
+        jax.lax.fori_loop(0, subtiles, subtile_body, 0)
 
 
 def _use_interpret() -> bool:
@@ -383,24 +408,22 @@ def _use_interpret() -> bool:
 _SORT_BINS = 64  # 8 octants x 8 sub-bins on the dominant-axis pair
 
 
-def _direction_keys(rd):
+def _direction_keys_soa(dx, dy, dz):
     """Coherence sort key per ray: direction octant + quantized angle.
 
     Stable-sorting by this key groups rays with similar directions while
     preserving pixel order inside each bin (origins stay spatially
     coherent), which restores the per-tile cull precision that random
     hemisphere directions destroy."""
-    sx = (rd[:, 0] < 0).astype(jnp.int32)
-    sy = (rd[:, 1] < 0).astype(jnp.int32)
-    sz = (rd[:, 2] < 0).astype(jnp.int32)
-    octant = sx * 4 + sy * 2 + sz
-    # sub-bin on the two largest components' ratio (cheap angular split)
-    ax = jnp.abs(rd)
-    dom = jnp.argmax(ax, axis=1)
-    rest = (jnp.sum(ax, axis=1)
-            - jnp.max(ax, axis=1)) / jnp.maximum(jnp.max(ax, axis=1), 1e-9)
+    octant = ((dx < 0).astype(jnp.int32) * 4
+              + (dy < 0).astype(jnp.int32) * 2
+              + (dz < 0).astype(jnp.int32))
+    ax, ay, az = jnp.abs(dx), jnp.abs(dy), jnp.abs(dz)
+    amax = jnp.maximum(ax, jnp.maximum(ay, az))
+    dom = jnp.where(ax >= amax, 0, jnp.where(ay >= amax, 1, 2))
+    rest = (ax + ay + az - amax) / jnp.maximum(amax, 1e-9)
     sub = jnp.clip((rest * 4).astype(jnp.int32), 0, 3)
-    return octant * 8 + dom.astype(jnp.int32) * 4 + sub
+    return octant * 8 + dom * 4 + sub
 
 
 def sorted_trace(trace_fn, mxu, ro, rd, *extra, eps: float = EPS):
@@ -411,13 +434,20 @@ def sorted_trace(trace_fn, mxu, ro, rd, *extra, eps: float = EPS):
     + two gathers and typically pays for itself on hemisphere-sampled
     batches (GI/AO)."""
     shape = jnp.broadcast_shapes(jnp.shape(ro)[:-1], jnp.shape(rd)[:-1])
-    ro_f = jnp.broadcast_to(ro, shape + (3,)).reshape(-1, 3)
-    rd_f = jnp.broadcast_to(rd, shape + (3,)).reshape(-1, 3)
-    keys = _direction_keys(rd_f)
+    ro_b = jnp.broadcast_to(ro, shape + (3,))
+    rd_b = jnp.broadcast_to(rd, shape + (3,))
+    dxf = rd_b[..., 0].reshape(-1)
+    dyf = rd_b[..., 1].reshape(-1)
+    dzf = rd_b[..., 2].reshape(-1)
+    keys = _direction_keys_soa(dxf, dyf, dzf)
     perm = jnp.argsort(keys, stable=True)
     inv = jnp.argsort(perm)
     extra_s = [jnp.broadcast_to(e, shape).reshape(-1)[perm] for e in extra]
-    out = trace_fn(mxu, ro_f[perm], rd_f[perm], *extra_s, eps=eps)
+    # permute per 1D component (packed layouts), re-assemble [R,3] views
+    ro_p = jnp.stack([ro_b[..., k].reshape(-1)[perm] for k in range(3)],
+                     axis=-1)
+    rd_p = jnp.stack([dxf[perm], dyf[perm], dzf[perm]], axis=-1)
+    out = trace_fn(mxu, ro_p, rd_p, *extra_s, eps=eps)
     if isinstance(out, Hit):
         return Hit(out.t[inv].reshape(shape),
                    out.p[inv].reshape(shape + (3,)),
@@ -468,42 +498,47 @@ def trace_bvh_shadow_mxu_paged(mxu, ro, rd, t_max, eps: float = EPS):
 
 
 def _pad_tiles(ro, rd, extra=None):
+    """[...,3] rays -> 1D SoA component planes, padded to a tile-group
+    multiple.  Dummy rays point +x from far away (terminate in O(1))."""
     shape = jnp.broadcast_shapes(jnp.shape(ro)[:-1], jnp.shape(rd)[:-1])
-    ro = jnp.broadcast_to(ro, shape + (3,)).reshape(-1, 3)
-    rd = jnp.broadcast_to(rd, shape + (3,)).reshape(-1, 3)
-    n = ro.shape[0]
-    group = TILE_RAYS * SUBTILES
+    ro_b = jnp.broadcast_to(ro, shape + (3,))
+    rd_b = jnp.broadcast_to(rd, shape + (3,))
+    n = int(np.prod(shape)) if shape else 1
+    group = TILE_RAYS * _subtiles_for(n // TILE_RAYS + 1)
     n_pad = -n % group
-    if n_pad:
-        ro = jnp.concatenate(
-            [ro, jnp.broadcast_to(jnp.asarray([1e8, 1e8, 1e8], jnp.float32),
-                                  (n_pad, 3))])
-        rd = jnp.concatenate(
-            [rd, jnp.broadcast_to(jnp.asarray([1.0, 0.0, 0.0], jnp.float32),
-                                  (n_pad, 3))])
+
+    def comp(a, k, pad_val):
+        v = a[..., k].reshape(-1)
+        if n_pad:
+            v = jnp.concatenate(
+                [v, jnp.full((n_pad,), pad_val, jnp.float32)])
+        return v
+
+    ro_soa = (comp(ro_b, 0, 1e8), comp(ro_b, 1, 1e8), comp(ro_b, 2, 1e8))
+    rd_soa = (comp(rd_b, 0, 1.0), comp(rd_b, 1, 0.0), comp(rd_b, 2, 0.0))
     if extra is not None:
         e = jnp.broadcast_to(extra, shape).reshape(-1)
         if n_pad:
             e = jnp.concatenate([e, jnp.zeros(n_pad, e.dtype)])
     else:
         e = None
-    return shape, n, ro, rd, e
+    return shape, n, ro_soa, rd_soa, e
 
 
-def _grid_specs(nt, n_out, n_full_inputs=1):
+def _grid_specs(nt, n_out, n_full_inputs=1, subtiles=SUBTILES):
     # Only the tiny per-block active flags ride scalar prefetch (SMEM);
     # per-tile metadata is a blocked VMEM operand — huge batched ray
     # streams (NT ~ 100k tiles) would otherwise overflow SMEM.
-    out_spec = pl.BlockSpec((SUBTILES, TILE_RAYS),
+    out_spec = pl.BlockSpec((subtiles, TILE_RAYS),
                             lambda b, *pf: (b, 0),
                             memory_space=pltpu.VMEM)
     return pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(nt // SUBTILES,),
+        grid=(nt // subtiles,),
         in_specs=[
-            pl.BlockSpec((SUBTILES, 4), lambda b, *pf: (b, 0),
+            pl.BlockSpec((subtiles, 4), lambda b, *pf: (b, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((SUBTILES, KDIM, TILE_RAYS),
+            pl.BlockSpec((subtiles, FDIM, TILE_RAYS),
                          lambda b, *pf: (b, 0, 0),
                          memory_space=pltpu.VMEM),
         ] + [pl.BlockSpec(memory_space=pltpu.VMEM)] * n_full_inputs,
@@ -515,26 +550,27 @@ def _pack_meta(lo, cn, mlo, mhi):
     return jnp.stack([lo, cn, mlo, mhi], axis=1)
 
 
-def _block_active(cn, nt):
-    return (cn.reshape(nt // SUBTILES, SUBTILES).max(axis=1) > 0
+def _block_active(cn, nt, subtiles=SUBTILES):
+    return (cn.reshape(nt // subtiles, subtiles).max(axis=1) > 0
             ).astype(jnp.int32)
 
 
 @functools.partial(jax.jit, static_argnames=("eps",))
 def trace_bvh_mxu(mxu: MXUBVH, ro, rd, eps: float = EPS) -> Hit:
     """Closest-hit via cull + MXU MT.  Contract matches trace_bvh."""
-    shape, n, ro_f, rd_f, _ = _pad_tiles(ro, rd)
-    nt = ro_f.shape[0] // TILE_RAYS
-    lo, cn, mlo, mhi = _tile_chunk_ranges(mxu.chunk_bounds, ro_f, rd_f)
-    feats = _build_features(ro_f, rd_f)
+    shape, n, ro_soa, rd_soa, _ = _pad_tiles(ro, rd)
+    nt = ro_soa[0].shape[0] // TILE_RAYS
+    lo, cn, mlo, mhi = _tile_chunk_ranges(mxu.chunk_bounds, ro_soa, rd_soa)
+    feats = _build_features(ro_soa, rd_soa)
+    subtiles = _subtiles_for(nt)
 
-    kern = functools.partial(_closest_kernel, eps=eps)
+    kern = functools.partial(_closest_kernel, eps=eps, subtiles=subtiles)
     t_rows, nx, ny, nz = pl.pallas_call(
         kern,
-        grid_spec=_grid_specs(nt, 4, n_full_inputs=2),
+        grid_spec=_grid_specs(nt, 4, n_full_inputs=2, subtiles=subtiles),
         out_shape=[jax.ShapeDtypeStruct((nt, TILE_RAYS), jnp.float32)] * 4,
         interpret=_use_interpret(),
-    )(_block_active(cn, nt), _pack_meta(lo, cn, mlo, mhi), feats,
+    )(_block_active(cn, nt, subtiles), _pack_meta(lo, cn, mlo, mhi), feats,
       mxu.coef, mxu.norms)
 
     t = t_rows.reshape(-1)[:n].reshape(shape)
@@ -552,18 +588,21 @@ def trace_bvh_mxu(mxu: MXUBVH, ro, rd, eps: float = EPS) -> Hit:
 @functools.partial(jax.jit, static_argnames=("eps",))
 def trace_bvh_shadow_mxu(mxu: MXUBVH, ro, rd, t_max, eps: float = EPS):
     """Any-hit with per-ray window via cull + MXU MT.  Returns bool mask."""
-    shape, n, ro_f, rd_f, tm = _pad_tiles(ro, rd, t_max)
-    nt = ro_f.shape[0] // TILE_RAYS
+    shape, n, ro_soa, rd_soa, tm = _pad_tiles(ro, rd, t_max)
+    nt = ro_soa[0].shape[0] // TILE_RAYS
     t_cap = jnp.max(tm.reshape(nt, TILE_RAYS), axis=1)
-    lo, cn, mlo, mhi = _tile_chunk_ranges(mxu.chunk_bounds, ro_f, rd_f, t_cap)
-    feats = _build_features(ro_f, rd_f, tm)
+    lo, cn, mlo, mhi = _tile_chunk_ranges(mxu.chunk_bounds, ro_soa, rd_soa,
+                                          t_cap)
+    feats = _build_features(ro_soa, rd_soa, tm)
+    subtiles = _subtiles_for(nt)
 
-    kern = functools.partial(_shadow_kernel, eps=eps)
+    kern = functools.partial(_shadow_kernel, eps=eps, subtiles=subtiles)
     occ_rows = pl.pallas_call(
         kern,
-        grid_spec=_grid_specs(nt, 1, n_full_inputs=1),
+        grid_spec=_grid_specs(nt, 1, n_full_inputs=1, subtiles=subtiles),
         out_shape=jax.ShapeDtypeStruct((nt, TILE_RAYS), jnp.float32),
         interpret=_use_interpret(),
-    )(_block_active(cn, nt), _pack_meta(lo, cn, mlo, mhi), feats, mxu.coef)
+    )(_block_active(cn, nt, subtiles), _pack_meta(lo, cn, mlo, mhi), feats,
+      mxu.coef)
 
     return occ_rows.reshape(-1)[:n].reshape(shape) > 0.5
