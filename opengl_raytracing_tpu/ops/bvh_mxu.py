@@ -181,20 +181,22 @@ def _tile_chunk_ranges(chunk_bounds, ro_soa, rd_soa, t_cap=None):
         return (jnp.min(o, axis=1), jnp.max(o, axis=1),
                 jnp.min(i, axis=1), jnp.max(i, axis=1))
 
-    tmin_lo = jnp.zeros((nt, nc), jnp.float32)
-    tmax_hi = jnp.full((nt, nc), INF, jnp.float32)
+    # [NC, NT] orientation: NT on lanes stays packed (an [NT, NC<128]
+    # array pads its minor dim to 128 lanes = 3.2x traffic here).
+    tmin_lo = jnp.zeros((nc, nt), jnp.float32)
+    tmax_hi = jnp.full((nc, nt), INF, jnp.float32)
     for k in range(3):
         o_lo, o_hi, i_lo, i_hi = per_axis(k)     # [NT]
-        bmin = chunk_bounds[:, k][None, :]       # [1,NC]
-        bmax = chunk_bounds[:, 3 + k][None, :]
+        bmin = chunk_bounds[:, k][:, None]       # [NC,1]
+        bmax = chunk_bounds[:, 3 + k][:, None]
 
         def interval(bval):
-            a_lo = bval - o_hi[:, None]
-            a_hi = bval - o_lo[:, None]
-            p1 = a_lo * i_lo[:, None]
-            p2 = a_lo * i_hi[:, None]
-            p3 = a_hi * i_lo[:, None]
-            p4 = a_hi * i_hi[:, None]
+            a_lo = bval - o_hi[None, :]
+            a_hi = bval - o_lo[None, :]
+            p1 = a_lo * i_lo[None, :]
+            p2 = a_lo * i_hi[None, :]
+            p3 = a_hi * i_lo[None, :]
+            p4 = a_hi * i_hi[None, :]
             return (jnp.minimum(jnp.minimum(p1, p2), jnp.minimum(p3, p4)),
                     jnp.maximum(jnp.maximum(p1, p2), jnp.maximum(p3, p4)))
 
@@ -203,13 +205,13 @@ def _tile_chunk_ranges(chunk_bounds, ro_soa, rd_soa, t_cap=None):
         tmin_lo = jnp.maximum(tmin_lo, jnp.minimum(lo0, lo1))
         tmax_hi = jnp.minimum(tmax_hi, jnp.maximum(hi0, hi1))
 
-    hit = tmax_hi >= tmin_lo
+    hit = tmax_hi >= tmin_lo                     # [NC,NT]
     if t_cap is not None:
-        hit = hit & (tmin_lo <= t_cap[:, None])
+        hit = hit & (tmin_lo <= t_cap[None, :])
 
-    cidx = jnp.arange(nc, dtype=jnp.int32)[None, :]
-    lo = jnp.min(jnp.where(hit, cidx, nc), axis=1)
-    hi = jnp.max(jnp.where(hit, cidx + 1, 0), axis=1)
+    cidx = jnp.arange(nc, dtype=jnp.int32)[:, None]
+    lo = jnp.min(jnp.where(hit, cidx, nc), axis=0)
+    hi = jnp.max(jnp.where(hit, cidx + 1, 0), axis=0)
     n = jnp.maximum(hi - lo, 0)
 
     # Per-tile 64-bit hit bitmask (two int32 words) lets the kernel skip
@@ -217,15 +219,15 @@ def _tile_chunk_ranges(chunk_bounds, ro_soa, rd_soa, t_cap=None):
     # bunny scene).  Scenes with >64 chunks degrade to range-only.
     if nc <= 64:
         bits = hit.astype(jnp.uint32)
-        w_lo = jnp.zeros(hit.shape[0], jnp.uint32)
-        w_hi = jnp.zeros(hit.shape[0], jnp.uint32)
+        w_lo = jnp.zeros(nt, jnp.uint32)
+        w_hi = jnp.zeros(nt, jnp.uint32)
         for c in range(min(nc, 32)):
-            w_lo = w_lo | (bits[:, c] << jnp.uint32(c))
+            w_lo = w_lo | (bits[c] << jnp.uint32(c))
         for c in range(32, nc):
-            w_hi = w_hi | (bits[:, c] << jnp.uint32(c - 32))
+            w_hi = w_hi | (bits[c] << jnp.uint32(c - 32))
     else:
-        w_lo = jnp.full(hit.shape[0], 0xFFFFFFFF, jnp.uint32)
-        w_hi = jnp.full(hit.shape[0], 0xFFFFFFFF, jnp.uint32)
+        w_lo = jnp.full(nt, 0xFFFFFFFF, jnp.uint32)
+        w_hi = jnp.full(nt, 0xFFFFFFFF, jnp.uint32)
     mask_lo = w_lo.astype(jnp.int32)
     mask_hi = w_hi.astype(jnp.int32)
     return lo.astype(jnp.int32), n.astype(jnp.int32), mask_lo, mask_hi
