@@ -8,7 +8,7 @@ from jax.sharding import NamedSharding, PartitionSpec as P
 
 from opengl_raytracing_tpu.models import RenderState, render_frame, preset
 from opengl_raytracing_tpu.parallel import make_mesh, shard_image_rows
-from opengl_raytracing_tpu.parallel.shardmap import render_frame_shardmap
+from opengl_raytracing_tpu.parallel.shardmap import make_shardmap_render_fn
 from tests.test_pipeline import make_inputs
 
 H, W = 32, 64
@@ -17,17 +17,25 @@ pytestmark = pytest.mark.skipif(len(jax.devices()) < 8,
                                 reason="needs 8 virtual devices")
 
 
+def _slim(params):
+    """Trim the compile surface (CPU shard_map compiles of the full preset
+    take tens of minutes); keep TAA+SVGF which are the collective paths."""
+    return params.replace(enable_gi=0, enable_ao=0, mat_glass_enabled=0,
+                          mat_mirror_enabled=0)
+
+
 def _run_pair(params, frames=3, moved=0):
+    params = _slim(params)
     fin = make_inputs(moved=moved)
     mesh = make_mesh(jax.devices()[:8])
 
     st_a = RenderState.create(H, W)
     st_b = shard_image_rows(mesh, RenderState.create(H, W))
+    fn = make_shardmap_render_fn(mesh, params, H, W, donate=False)
     out_a = out_b = lum = None
     for _ in range(frames):
         st_a, out_a = render_frame(params, fin, st_a, height=H, width=W)
-        st_b, out_b, lum = render_frame_shardmap(
-            mesh, params, fin, st_b, height=H, width=W)
+        st_b, out_b, lum = fn(params, fin, st_b, None, None)
     return out_a, out_b, lum
 
 
