@@ -20,6 +20,7 @@ import dataclasses
 import functools
 from typing import NamedTuple, Optional
 
+import numpy as np
 import jax
 import jax.numpy as jnp
 
@@ -134,6 +135,53 @@ def _sanitize_hit(h: Hit, ro, rd) -> Hit:
                h.mat)
 
 
+def _compact_masked_eval(shade_fn, mask, radiance, lanes, budget_div=8):
+    """Evaluate an expensive shading branch only on masked lanes.
+
+    The reference shades glass/mirror inline per fragment
+    (rt.frag:125-131); under vectorized masking every pixel would pay for
+    the 3-4 nested secondary direct-light evaluations.  Instead: compact
+    the masked lane indices, then a `while_loop` processes fixed-size
+    chunks until the (data-dependent) count is covered — identical values
+    (the RNG is a pure function of pixel/seed), a fraction of the work
+    when the branch covers few pixels, and the same worst case when it
+    covers all of them.
+
+    shade_fn(sub_lanes: dict) -> [B,3]; lanes: dict of flat [R,...] inputs.
+    """
+    shape = mask.shape
+    r = int(np.prod(shape))
+    b = max(1024, -(-r // budget_div // 1024) * 1024)
+    b = min(b, r)
+
+    mask_f = mask.reshape(r)
+    count = jnp.sum(mask_f.astype(jnp.int32))
+    pos = jnp.cumsum(mask_f.astype(jnp.int32)) - 1
+    # idx_buf[k] = flat lane index of the k-th masked lane; sentinel r
+    idx_buf = jnp.full(r, r, jnp.int32)
+    idx_buf = idx_buf.at[jnp.where(mask_f, pos, r)].set(
+        jnp.arange(r, dtype=jnp.int32), mode="drop")
+
+    rad = jnp.concatenate(
+        [radiance.reshape(r, 3), jnp.zeros((1, 3), jnp.float32)])
+
+    def cond(st):
+        c, _ = st
+        return c * b < count
+
+    def body(st):
+        c, rad = st
+        take = jax.lax.dynamic_slice(idx_buf, (c * b,), (b,))
+        safe = jnp.minimum(take, r - 1)
+        sub = {k: v[safe] for k, v in lanes.items()}
+        val = shade_fn(sub)
+        rad = rad.at[take].set(val, mode="drop")
+        return c + 1, rad
+
+    _, rad = jax.lax.while_loop(cond, body, (jnp.int32(0), rad))
+    return rad[:r].reshape(shape + (3,))
+
+
 def _shade_analytic(scene: SceneCtx, h: Hit, seed, frame_index, vdir, px, py):
     """Analytic-scene material dispatch (reference: rt.frag:119-162)."""
     params = scene.params
@@ -159,16 +207,39 @@ def _shade_analytic(scene: SceneCtx, h: Hit, seed, frame_index, vdir, px, py):
     is_marker = h.mat == MAT_POINTLIGHT_SPHERE
     radiance = jnp.where(is_marker[..., None], emissive, radiance)
 
+    if not (params.mat_mirror_enabled or params.mat_glass_enabled):
+        return radiance
+
+    # Compacted wavefront for the expensive secondary-bounce materials.
+    shape = jnp.shape(h.t)
+    seed_f = jnp.broadcast_to(jnp.asarray(seed, jnp.int32), shape)
+    lanes = {
+        "t": h.t.reshape(-1),
+        "p": h.p.reshape(-1, 3),
+        "n": h.n.reshape(-1, 3),
+        "mat": h.mat.reshape(-1),
+        "vdir": jnp.broadcast_to(vdir, shape + (3,)).reshape(-1, 3),
+        "px": jnp.broadcast_to(px, shape).reshape(-1),
+        "py": jnp.broadcast_to(py, shape).reshape(-1),
+        "seed": seed_f.reshape(-1),
+    }
+
+    def branch(shade):
+        def run(sub):
+            h_sub = Hit(sub["t"], sub["p"], sub["n"], sub["mat"])
+            m_sub = get_material(sub["mat"], params)
+            return shade(scene, h_sub, sub["vdir"], m_sub, sub["seed"],
+                         frame_index, sub["px"], sub["py"])
+        return run
+
     if params.mat_mirror_enabled:
-        mirror_r = lt.shade_mirror(scene, h, vdir, mat, seed, frame_index,
-                                   px, py)
-        radiance = jnp.where((mat.mtype == MTYPE_MIRROR)[..., None],
-                             mirror_r, radiance)
+        radiance = _compact_masked_eval(
+            branch(lt.shade_mirror), mat.mtype == MTYPE_MIRROR, radiance,
+            lanes)
     if params.mat_glass_enabled:
-        glass_r = lt.shade_glass(scene, h, vdir, mat, seed, frame_index,
-                                 px, py)
-        radiance = jnp.where((mat.mtype == MTYPE_GLASS)[..., None],
-                             glass_r, radiance)
+        radiance = _compact_masked_eval(
+            branch(lt.shade_glass), mat.mtype == MTYPE_GLASS, radiance,
+            lanes)
     return radiance
 
 
