@@ -37,6 +37,7 @@ kernel or be direction-sorted first.
 from __future__ import annotations
 
 import functools
+import os
 from typing import NamedTuple
 
 import numpy as np
@@ -50,21 +51,19 @@ from ..scene.bvh import BVH
 from .scene_analytic import Hit
 from .vecmath import normalize
 
-import os
-
 CHUNK = 128          # triangles per chunk
 TILE_RAYS = 128      # rays per tile == lane width
 SUBTILES = int(os.environ.get("ORT_SUBTILES", "32"))  # tiles per grid step
+KDIM = 16            # MT feature dim fed to the matmul (10 used + tmax)
+FDIM = 8             # materialized per-ray planes: o(3), d(3), tmax, pad —
+                     # m = o x d, the ones row, and padding are built
+                     # in-kernel to halve the dominant HBM stream
 
 
 def _subtiles_for(nt: int) -> int:
     # Large batched ray streams (multi-sample shadow wavefronts) amortize
     # the ~4us per-grid-step overhead with bigger blocks.
     return SUBTILES if nt <= 24576 else 4 * SUBTILES
-KDIM = 16            # MT feature dim fed to the matmul (10 used + tmax)
-FDIM = 8             # materialized per-ray planes: o(3), d(3), tmax, pad —
-                     # m = o x d, the ones row, and padding are built
-                     # in-kernel to halve the dominant HBM stream
 
 
 

@@ -96,3 +96,27 @@ def test_spp_loop_changes_noise():
     a, b = np.asarray(o1.image), np.asarray(o4.image)
     assert not np.array_equal(a, b)
     assert abs(a.mean() - b.mean()) < 0.05  # same exposure scale
+
+
+def test_compact_masked_eval_edges():
+    from opengl_raytracing_tpu.models.pipeline import _compact_masked_eval
+    shape = (8, 16)
+    rad = jnp.zeros(shape + (3,))
+    lanes = {"v": jnp.arange(128, dtype=jnp.float32)}
+
+    def fn(sub):
+        return jnp.stack([sub["v"], sub["v"], sub["v"]], axis=-1)
+
+    # zero-count: radiance unchanged
+    out = _compact_masked_eval(fn, jnp.zeros(shape, bool), rad, lanes)
+    assert float(jnp.sum(out)) == 0.0
+    # full-count: every lane replaced with its own index
+    out = _compact_masked_eval(fn, jnp.ones(shape, bool), rad, lanes)
+    np.testing.assert_allclose(np.asarray(out[..., 0]).reshape(-1),
+                               np.arange(128, dtype=np.float32))
+    # sparse pattern
+    mask = (jnp.arange(128) % 17 == 0).reshape(shape)
+    out = _compact_masked_eval(fn, mask, rad, lanes)
+    want = np.where(np.arange(128) % 17 == 0,
+                    np.arange(128, dtype=np.float32), 0.0)
+    np.testing.assert_allclose(np.asarray(out[..., 0]).reshape(-1), want)
