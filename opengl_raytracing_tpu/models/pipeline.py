@@ -147,7 +147,9 @@ def _compact_masked_eval(shade_fn, mask, radiance, lanes, budget_div=8):
     when the branch covers few pixels, and the same worst case when it
     covers all of them.
 
-    shade_fn(sub_lanes: dict) -> [B,3]; lanes: dict of flat [R,...] inputs.
+    shade_fn(sub_lanes: dict of [B//128,128] comps) -> [B//128,128,3];
+    lanes: dict of flat 1D [R] component planes (NEVER [R,3] — flat
+    rank-2 vec3 arrays lane-pad 43x on TPU).
     """
     shape = mask.shape
     r = int(np.prod(shape))
@@ -162,24 +164,33 @@ def _compact_masked_eval(shade_fn, mask, radiance, lanes, budget_div=8):
     idx_buf = idx_buf.at[jnp.where(mask_f, pos, r)].set(
         jnp.arange(r, dtype=jnp.int32), mode="drop")
 
-    rad = jnp.concatenate(
-        [radiance.reshape(r, 3), jnp.zeros((1, 3), jnp.float32)])
+    # radiance carried as three 1D planes (+1 dummy slot for dropped lanes)
+    def chan(k):
+        return jnp.concatenate([radiance[..., k].reshape(r),
+                                jnp.zeros((1,), jnp.float32)])
+    rad = (chan(0), chan(1), chan(2))
 
     def cond(st):
-        c, _ = st
-        return c * b < count
+        return st[0] * b < count
 
     def body(st):
-        c, rad = st
+        c, rr, rg, rb = st
         take = jax.lax.dynamic_slice(idx_buf, (c * b,), (b,))
         safe = jnp.minimum(take, r - 1)
-        sub = {k: v[safe] for k, v in lanes.items()}
-        val = shade_fn(sub)
-        rad = rad.at[take].set(val, mode="drop")
-        return c + 1, rad
+        sub = {k: v[safe].reshape(b // TILE, TILE)
+               for k, v in lanes.items()}
+        val = shade_fn(sub)                     # [b//TILE, TILE, 3]
+        rr = rr.at[take].set(val[..., 0].reshape(b), mode="drop")
+        rg = rg.at[take].set(val[..., 1].reshape(b), mode="drop")
+        rb = rb.at[take].set(val[..., 2].reshape(b), mode="drop")
+        return c + 1, rr, rg, rb
 
-    _, rad = jax.lax.while_loop(cond, body, (jnp.int32(0), rad))
-    return rad[:r].reshape(shape + (3,))
+    _, rr, rg, rb = jax.lax.while_loop(cond, body, (jnp.int32(0),) + rad)
+    return jnp.stack([rr[:r].reshape(shape), rg[:r].reshape(shape),
+                      rb[:r].reshape(shape)], axis=-1)
+
+
+TILE = 128  # lane width for compacted sub-batches
 
 
 def _shade_analytic(scene: SceneCtx, h: Hit, seed, frame_index, vdir, px, py):
@@ -211,14 +222,19 @@ def _shade_analytic(scene: SceneCtx, h: Hit, seed, frame_index, vdir, px, py):
         return radiance
 
     # Compacted wavefront for the expensive secondary-bounce materials.
+    # All lane data travels as 1D component planes (see _compact_masked_eval).
     shape = jnp.shape(h.t)
     seed_f = jnp.broadcast_to(jnp.asarray(seed, jnp.int32), shape)
+    vdir_b = jnp.broadcast_to(vdir, shape + (3,))
     lanes = {
         "t": h.t.reshape(-1),
-        "p": h.p.reshape(-1, 3),
-        "n": h.n.reshape(-1, 3),
+        "p0": h.p[..., 0].reshape(-1), "p1": h.p[..., 1].reshape(-1),
+        "p2": h.p[..., 2].reshape(-1),
+        "n0": h.n[..., 0].reshape(-1), "n1": h.n[..., 1].reshape(-1),
+        "n2": h.n[..., 2].reshape(-1),
         "mat": h.mat.reshape(-1),
-        "vdir": jnp.broadcast_to(vdir, shape + (3,)).reshape(-1, 3),
+        "v0": vdir_b[..., 0].reshape(-1), "v1": vdir_b[..., 1].reshape(-1),
+        "v2": vdir_b[..., 2].reshape(-1),
         "px": jnp.broadcast_to(px, shape).reshape(-1),
         "py": jnp.broadcast_to(py, shape).reshape(-1),
         "seed": seed_f.reshape(-1),
@@ -226,9 +242,12 @@ def _shade_analytic(scene: SceneCtx, h: Hit, seed, frame_index, vdir, px, py):
 
     def branch(shade):
         def run(sub):
-            h_sub = Hit(sub["t"], sub["p"], sub["n"], sub["mat"])
+            p = jnp.stack([sub["p0"], sub["p1"], sub["p2"]], axis=-1)
+            n = jnp.stack([sub["n0"], sub["n1"], sub["n2"]], axis=-1)
+            wo = jnp.stack([sub["v0"], sub["v1"], sub["v2"]], axis=-1)
+            h_sub = Hit(sub["t"], p, n, sub["mat"])
             m_sub = get_material(sub["mat"], params)
-            return shade(scene, h_sub, sub["vdir"], m_sub, sub["seed"],
+            return shade(scene, h_sub, wo, m_sub, sub["seed"],
                          frame_index, sub["px"], sub["py"])
         return run
 

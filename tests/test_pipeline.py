@@ -105,7 +105,8 @@ def test_compact_masked_eval_edges():
     lanes = {"v": jnp.arange(128, dtype=jnp.float32)}
 
     def fn(sub):
-        return jnp.stack([sub["v"], sub["v"], sub["v"]], axis=-1)
+        v = sub["v"]  # [b//128, 128]
+        return jnp.stack([v, v, v], axis=-1)
 
     # zero-count: radiance unchanged
     out = _compact_masked_eval(fn, jnp.zeros(shape, bool), rad, lanes)
