@@ -218,47 +218,22 @@ def _shade_analytic(scene: SceneCtx, h: Hit, seed, frame_index, vdir, px, py):
     is_marker = h.mat == MAT_POINTLIGHT_SPHERE
     radiance = jnp.where(is_marker[..., None], emissive, radiance)
 
-    if not (params.mat_mirror_enabled or params.mat_glass_enabled):
-        return radiance
-
-    # Compacted wavefront for the expensive secondary-bounce materials.
-    # All lane data travels as 1D component planes (see _compact_masked_eval).
-    shape = jnp.shape(h.t)
-    seed_f = jnp.broadcast_to(jnp.asarray(seed, jnp.int32), shape)
-    vdir_b = jnp.broadcast_to(vdir, shape + (3,))
-    lanes = {
-        "t": h.t.reshape(-1),
-        "p0": h.p[..., 0].reshape(-1), "p1": h.p[..., 1].reshape(-1),
-        "p2": h.p[..., 2].reshape(-1),
-        "n0": h.n[..., 0].reshape(-1), "n1": h.n[..., 1].reshape(-1),
-        "n2": h.n[..., 2].reshape(-1),
-        "mat": h.mat.reshape(-1),
-        "v0": vdir_b[..., 0].reshape(-1), "v1": vdir_b[..., 1].reshape(-1),
-        "v2": vdir_b[..., 2].reshape(-1),
-        "px": jnp.broadcast_to(px, shape).reshape(-1),
-        "py": jnp.broadcast_to(py, shape).reshape(-1),
-        "seed": seed_f.reshape(-1),
-    }
-
-    def branch(shade):
-        def run(sub):
-            p = jnp.stack([sub["p0"], sub["p1"], sub["p2"]], axis=-1)
-            n = jnp.stack([sub["n0"], sub["n1"], sub["n2"]], axis=-1)
-            wo = jnp.stack([sub["v0"], sub["v1"], sub["v2"]], axis=-1)
-            h_sub = Hit(sub["t"], p, n, sub["mat"])
-            m_sub = get_material(sub["mat"], params)
-            return shade(scene, h_sub, wo, m_sub, sub["seed"],
-                         frame_index, sub["px"], sub["py"])
-        return run
-
+    # Glass/mirror secondary bounces: computed for all lanes and masked
+    # in, exactly like the fragment shader's divergent branches.  A
+    # compacted-wavefront variant exists (_compact_masked_eval) but
+    # measured SLOWER on the tunneled dev slice — its scatter/gather
+    # lowering costs more than the masked over-compute it saves (157ms vs
+    # 41ms at 1080p baseline); revisit on hardware with full HBM bandwidth.
     if params.mat_mirror_enabled:
-        radiance = _compact_masked_eval(
-            branch(lt.shade_mirror), mat.mtype == MTYPE_MIRROR, radiance,
-            lanes)
+        mirror_r = lt.shade_mirror(scene, h, vdir, mat, seed, frame_index,
+                                   px, py)
+        radiance = jnp.where((mat.mtype == MTYPE_MIRROR)[..., None],
+                             mirror_r, radiance)
     if params.mat_glass_enabled:
-        radiance = _compact_masked_eval(
-            branch(lt.shade_glass), mat.mtype == MTYPE_GLASS, radiance,
-            lanes)
+        glass_r = lt.shade_glass(scene, h, vdir, mat, seed, frame_index,
+                                 px, py)
+        radiance = jnp.where((mat.mtype == MTYPE_GLASS)[..., None],
+                             glass_r, radiance)
     return radiance
 
 
