@@ -29,7 +29,7 @@ BASELINE_MRAYS = 300.0  # reference RTX 5090 derived primary throughput
 
 H = int(os.environ.get("BENCH_HEIGHT", "1080"))
 W = int(os.environ.get("BENCH_WIDTH", "1920"))
-FRAMES = int(os.environ.get("BENCH_FRAMES", "4"))
+FRAMES = int(os.environ.get("BENCH_FRAMES", "8"))
 PRESET = os.environ.get("BENCH_PRESET", "baseline")
 TIMEOUT_S = int(os.environ.get("BENCH_TIMEOUT", "480"))
 
