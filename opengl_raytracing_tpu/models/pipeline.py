@@ -296,7 +296,9 @@ def trace_and_shade(scene: SceneCtx, params: RenderParams, fin: FrameInputs,
     spp = max(int(params.spp_per_frame), 1) if not show_motion else 1
 
     # Primary hit: identical for every SPP sample (deterministic trace).
-    h_raw = scene.trace(ro, rd)
+    # All primary rays share the camera origin -> ordered front-to-back
+    # chunk walk with early termination on the BVH fast path.
+    h_raw = scene.trace(ro, rd, shared_origin=scene.cam_pos)
     hit_mask = h_raw.valid
     h = _sanitize_hit(h_raw, ro, rd)
 

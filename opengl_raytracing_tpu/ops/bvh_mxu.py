@@ -285,9 +285,9 @@ def _epilogue_inputs(out, eps):
     return t, acc
 
 
-def _closest_kernel(active_ref, meta_ref, f_ref, coef_ref, norms_ref,
-                    t_ref, nx_ref, ny_ref, nz_ref, *, eps: float,
-                    subtiles: int):
+def _closest_kernel(active_ref, gorder_ref, gbound_ref, meta_ref, f_ref,
+                    coef_ref, norms_ref, t_ref, nx_ref, ny_ref, nz_ref, *,
+                    eps: float, subtiles: int, ordered: bool):
     b = pl.program_id(0)
     # Empty-block fast path: a sky block (no candidate chunks anywhere)
     # only writes the miss pattern.
@@ -338,18 +338,53 @@ def _closest_kernel(active_ref, meta_ref, f_ref, coef_ref, norms_ref,
                 nz = upd * nz_w + (1.0 - upd) * nz
                 return t_best, nx, ny, nz
 
-            def chunk_body(ci, carry):
-                # skip range positions whose cull bit is clear
-                gi = lo + ci
-                word = jnp.where(gi < 32, mlo, mhi)
-                bit = (word >> jnp.where(gi < 32, gi, gi - 32)) & 1
-                return jax.lax.cond(bit > 0, lambda cr: chunk_work(ci, cr),
-                                    lambda cr: cr, carry)
-
             t0 = jnp.full((1, TILE_RAYS), INF, jnp.float32)
             z0 = jnp.zeros((1, TILE_RAYS), jnp.float32)
-            t_best, nx, ny, nz = jax.lax.fori_loop(
-                0, n, chunk_body, (t0, z0, z0, z0))
+
+            if ordered:
+                # Global front-to-back chunk order (valid when all rays
+                # share one origin, e.g. primary rays): walk chunks by
+                # ascending origin distance within the tile's window
+                # [jlo, jhi) of order positions (positions outside it
+                # cannot hold this tile's range chunks), and stop the
+                # whole tile once every ray's best hit is nearer than the
+                # next chunk's distance lower bound.
+                nc_total = gorder_ref.shape[0]
+                jlo = meta_ref[s, 4]
+                jhi = meta_ref[s, 5]
+
+                def ord_cond(st):
+                    return st[0] < jhi
+
+                def ord_body(st):
+                    j, carry = st
+                    gi = gorder_ref[j] - lo
+                    word = jnp.where(gi + lo < 32, mlo, mhi)
+                    sh = jnp.where(gi + lo < 32, gi + lo, gi + lo - 32)
+                    bit = jnp.where((gi >= 0) & (gi < n),
+                                    (word >> sh) & 1, 0)
+                    carry = jax.lax.cond(
+                        bit > 0, lambda cr: chunk_work(gi, cr),
+                        lambda cr: cr, carry)
+                    nxt = jnp.minimum(j + 1, nc_total - 1)
+                    t_cap = jnp.max(carry[0])
+                    j = jnp.where(t_cap <= gbound_ref[nxt], jhi, j + 1)
+                    return j, carry
+
+                _, (t_best, nx, ny, nz) = jax.lax.while_loop(
+                    ord_cond, ord_body, (jlo, (t0, z0, z0, z0)))
+            else:
+                def chunk_body(ci, carry):
+                    # skip range positions whose cull bit is clear
+                    gi = lo + ci
+                    word = jnp.where(gi < 32, mlo, mhi)
+                    bit = (word >> jnp.where(gi < 32, gi, gi - 32)) & 1
+                    return jax.lax.cond(
+                        bit > 0, lambda cr: chunk_work(ci, cr),
+                        lambda cr: cr, carry)
+
+                t_best, nx, ny, nz = jax.lax.fori_loop(
+                    0, n, chunk_body, (t0, z0, z0, z0))
             t_ref[pl.ds(s, 1), :] = t_best
             nx_ref[pl.ds(s, 1), :] = nx
             ny_ref[pl.ds(s, 1), :] = ny
@@ -359,8 +394,9 @@ def _closest_kernel(active_ref, meta_ref, f_ref, coef_ref, norms_ref,
         jax.lax.fori_loop(0, subtiles, subtile_body, 0)
 
 
-def _shadow_kernel(active_ref, meta_ref, f_ref, coef_ref, occ_ref, *,
-                   eps: float, subtiles: int):
+def _shadow_kernel(active_ref, gorder_ref, gbound_ref, meta_ref, f_ref,
+                   coef_ref, occ_ref, *, eps: float, subtiles: int,
+                   ordered: bool = False):
     b = pl.program_id(0)
     occ_ref[:, :] = jnp.zeros((subtiles, TILE_RAYS), jnp.float32)
 
@@ -390,8 +426,19 @@ def _shadow_kernel(active_ref, meta_ref, f_ref, coef_ref, occ_ref, *,
                 return jax.lax.cond(bit > 0, lambda oc: chunk_work(ci, oc),
                                     lambda oc: oc, occ)
 
+            # while-loop with all-occluded early exit
+            def sh_cond(st):
+                return st[0] < n
+
+            def sh_body(st):
+                ci, occ = st
+                occ = chunk_body(ci, occ)
+                ci = jnp.where(jnp.min(occ) >= 1.0, n, ci + 1)
+                return ci, occ
+
             occ0 = jnp.zeros((1, TILE_RAYS), jnp.float32)
-            occ = jax.lax.fori_loop(0, n, chunk_body, occ0)
+            _, occ = jax.lax.while_loop(sh_cond, sh_body,
+                                        (jnp.int32(0), occ0))
             occ_ref[pl.ds(s, 1), :] = occ
             return 0
 
@@ -475,12 +522,13 @@ def _as_pages(mxu):
     return (mxu,) if isinstance(mxu, MXUBVH) else tuple(mxu)
 
 
-def trace_bvh_mxu_paged(mxu, ro, rd, eps: float = EPS) -> Hit:
+def trace_bvh_mxu_paged(mxu, ro, rd, eps: float = EPS,
+                        shared_origin=None, ordered: bool = False) -> Hit:
     """Closest hit across all pages (min-t merge)."""
     pages = _as_pages(mxu)
-    best = trace_bvh_mxu(pages[0], ro, rd, eps)
+    best = trace_bvh_mxu(pages[0], ro, rd, eps, shared_origin, ordered)
     for page in pages[1:]:
-        h = trace_bvh_mxu(page, ro, rd, eps)
+        h = trace_bvh_mxu(page, ro, rd, eps, shared_origin, ordered)
         closer = h.t < best.t
         best = Hit(jnp.where(closer, h.t, best.t),
                    jnp.where(closer[..., None], h.p, best.p),
@@ -534,10 +582,10 @@ def _grid_specs(nt, n_out, n_full_inputs=1, subtiles=SUBTILES):
                             lambda b, *pf: (b, 0),
                             memory_space=pltpu.VMEM)
     return pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
+        num_scalar_prefetch=3,
         grid=(nt // subtiles,),
         in_specs=[
-            pl.BlockSpec((subtiles, 4), lambda b, *pf: (b, 0),
+            pl.BlockSpec((subtiles, 6), lambda b, *pf: (b, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((subtiles, FDIM, TILE_RAYS),
                          lambda b, *pf: (b, 0, 0),
@@ -547,8 +595,11 @@ def _grid_specs(nt, n_out, n_full_inputs=1, subtiles=SUBTILES):
     )
 
 
-def _pack_meta(lo, cn, mlo, mhi):
-    return jnp.stack([lo, cn, mlo, mhi], axis=1)
+def _pack_meta(lo, cn, mlo, mhi, jlo=None, jhi=None):
+    z = jnp.zeros_like(lo)
+    return jnp.stack([lo, cn, mlo, mhi,
+                      z if jlo is None else jlo,
+                      z if jhi is None else jhi], axis=1)
 
 
 def _block_active(cn, nt, subtiles=SUBTILES):
@@ -556,23 +607,62 @@ def _block_active(cn, nt, subtiles=SUBTILES):
             ).astype(jnp.int32)
 
 
-@functools.partial(jax.jit, static_argnames=("eps",))
-def trace_bvh_mxu(mxu: MXUBVH, ro, rd, eps: float = EPS) -> Hit:
-    """Closest-hit via cull + MXU MT.  Contract matches trace_bvh."""
+def _global_chunk_order(mxu: MXUBVH, origin):
+    """Front-to-back chunk permutation + per-position distance lower
+    bounds, valid for rays sharing `origin` (dirs normalized => hit t ==
+    distance).  Tiny [NC] arrays riding scalar prefetch (SMEM)."""
+    bmin = mxu.chunk_bounds[:, 0:3]
+    bmax = mxu.chunk_bounds[:, 3:6]
+    nearest = jnp.minimum(jnp.maximum(origin, bmin), bmax)
+    dist = jnp.sqrt(jnp.sum((nearest - origin) ** 2, axis=1))
+    order = jnp.argsort(dist).astype(jnp.int32)
+    bounds = jnp.sort(dist).astype(jnp.float32)
+    return order, bounds
+
+
+@functools.partial(jax.jit, static_argnames=("eps", "ordered"))
+def trace_bvh_mxu(mxu: MXUBVH, ro, rd, eps: float = EPS,
+                  shared_origin=None, ordered: bool = False) -> Hit:
+    """Closest-hit via cull + MXU MT.  Contract matches trace_bvh.
+
+    With `ordered=True` and `shared_origin` (all rays from one point,
+    e.g. primary rays), chunks walk front-to-back with tile-wide early
+    termination — the closest-hit analog of the reference's near-first +
+    t-pruned stack walk (rt_bvh.glsl:224-239)."""
     shape, n, ro_soa, rd_soa, _ = _pad_tiles(ro, rd)
     nt = ro_soa[0].shape[0] // TILE_RAYS
     lo, cn, mlo, mhi = _tile_chunk_ranges(mxu.chunk_bounds, ro_soa, rd_soa)
     feats = _build_features(ro_soa, rd_soa)
     subtiles = _subtiles_for(nt)
+    nc = mxu.coef.shape[0]
+    if ordered and shared_origin is not None:
+        gorder, gbound = _global_chunk_order(mxu, shared_origin)
+        # Per-tile window of order positions that can hold the tile's
+        # range chunks: jlo/jhi = min/max position of chunks in
+        # [lo, lo+n) under the global permutation.  Distance order is
+        # spatially coherent, so the window is ~n wide — without it the
+        # scalar walk would pay nc iterations per subtile even for
+        # tiles the cull already narrowed to a few chunks.
+        inv = jnp.zeros(nc, jnp.int32).at[gorder].set(
+            jnp.arange(nc, dtype=jnp.int32))
+        cidx = jnp.arange(nc, dtype=jnp.int32)[None, :]
+        in_range = (cidx >= lo[:, None]) & (cidx < (lo + cn)[:, None])
+        jlo = jnp.min(jnp.where(in_range, inv[None, :], nc), axis=1)
+        jhi = jnp.max(jnp.where(in_range, inv[None, :], -1), axis=1) + 1
+    else:
+        gorder = jnp.arange(nc, dtype=jnp.int32)
+        gbound = jnp.zeros(nc, jnp.float32)
+        jlo = jhi = None
 
-    kern = functools.partial(_closest_kernel, eps=eps, subtiles=subtiles)
+    kern = functools.partial(_closest_kernel, eps=eps, subtiles=subtiles,
+                             ordered=ordered and shared_origin is not None)
     t_rows, nx, ny, nz = pl.pallas_call(
         kern,
         grid_spec=_grid_specs(nt, 4, n_full_inputs=2, subtiles=subtiles),
         out_shape=[jax.ShapeDtypeStruct((nt, TILE_RAYS), jnp.float32)] * 4,
         interpret=_use_interpret(),
-    )(_block_active(cn, nt, subtiles), _pack_meta(lo, cn, mlo, mhi), feats,
-      mxu.coef, mxu.norms)
+    )(_block_active(cn, nt, subtiles), gorder, gbound,
+      _pack_meta(lo, cn, mlo, mhi, jlo, jhi), feats, mxu.coef, mxu.norms)
 
     t = t_rows.reshape(-1)[:n].reshape(shape)
     hit = t < INF
@@ -597,13 +687,15 @@ def trace_bvh_shadow_mxu(mxu: MXUBVH, ro, rd, t_max, eps: float = EPS):
     feats = _build_features(ro_soa, rd_soa, tm)
     subtiles = _subtiles_for(nt)
 
+    nc = mxu.coef.shape[0]
     kern = functools.partial(_shadow_kernel, eps=eps, subtiles=subtiles)
     occ_rows = pl.pallas_call(
         kern,
         grid_spec=_grid_specs(nt, 1, n_full_inputs=1, subtiles=subtiles),
         out_shape=jax.ShapeDtypeStruct((nt, TILE_RAYS), jnp.float32),
         interpret=_use_interpret(),
-    )(_block_active(cn, nt, subtiles), _pack_meta(lo, cn, mlo, mhi), feats,
+    )(_block_active(cn, nt, subtiles), jnp.arange(nc, dtype=jnp.int32),
+      jnp.zeros(nc, jnp.float32), _pack_meta(lo, cn, mlo, mhi), feats,
       mxu.coef)
 
     return occ_rows.reshape(-1)[:n].reshape(shape) > 0.5

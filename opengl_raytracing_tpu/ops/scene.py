@@ -102,16 +102,20 @@ class SceneCtx:
 
     # -- trace dispatch --
 
-    def trace(self, ro, rd, eps: float = EPS,
-              coherent: bool = True) -> sa.Hit:
+    def trace(self, ro, rd, eps: float = EPS, coherent: bool = True,
+              shared_origin=None) -> sa.Hit:
         if self.use_bvh:
             # TPU: cull + MXU Moller-Trumbore (paged for arbitrary scene
-            # sizes, direction-sorted for incoherent hemisphere batches);
+            # sizes; front-to-back ordered walk when all rays share one
+            # origin; direction-sorted for incoherent hemisphere batches);
             # elsewhere: jnp skip-link walk.
             if _tpu():
-                fn = (trace_bvh_mxu_paged if coherent
-                      else trace_bvh_mxu_sorted)
-                return fn(self.bvh.mxu, ro, rd, eps)
+                if coherent:
+                    return trace_bvh_mxu_paged(
+                        self.bvh.mxu, ro, rd, eps,
+                        shared_origin=shared_origin,
+                        ordered=shared_origin is not None)
+                return trace_bvh_mxu_sorted(self.bvh.mxu, ro, rd, eps)
             return trace_bvh(self.bvh.arrays, ro, rd, eps)
         return sa.trace_analytic(ro, rd, self.params, self.point_light_pos,
                                  eps)

@@ -118,3 +118,36 @@ def test_paged_tracing_matches_single_page():
     oa = np.asarray(bm.trace_bvh_shadow_mxu_paged(single, ro, rd, t_max))
     ob = np.asarray(bm.trace_bvh_shadow_mxu_paged(paged, ro, rd, t_max))
     np.testing.assert_array_equal(oa, ob)
+
+
+def test_ordered_shared_origin_matches_unordered(scene):
+    """Front-to-back ordered walk (shared camera origin) must produce the
+    identical closest hit as the unordered walk — the early-out only skips
+    chunks that provably cannot improve any ray in the tile."""
+    mxu, tris = scene
+    origin = jnp.asarray(np.array([0.0, 1.0, 0.5], np.float32))
+    xs = np.linspace(-0.7, 0.7, 64, dtype=np.float32)
+    gx, gy = np.meshgrid(xs, xs)
+    rd = np.stack([gx, gy, -np.ones_like(gx)], -1).reshape(-1, 3)
+    rd /= np.linalg.norm(rd, axis=1, keepdims=True)
+    rd = jnp.asarray(rd)
+    ro = jnp.broadcast_to(origin, rd.shape)
+    h0 = trace_bvh_mxu(mxu, ro, rd)
+    h1 = trace_bvh_mxu(mxu, ro, rd, shared_origin=origin, ordered=True)
+    np.testing.assert_array_equal(np.asarray(h0.valid), np.asarray(h1.valid))
+    np.testing.assert_allclose(np.asarray(h0.t), np.asarray(h1.t),
+                               rtol=1e-6, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(h0.n), np.asarray(h1.n), atol=1e-6)
+
+
+def test_ordered_paged_matches(scene):
+    from opengl_raytracing_tpu.ops.bvh_mxu import trace_bvh_mxu_paged
+    mxu, tris = scene
+    origin = jnp.asarray(np.array([0.0, 1.0, 0.5], np.float32))
+    ro, rd = _rays(7)
+    ro = jnp.broadcast_to(origin, rd.shape)
+    h0 = trace_bvh_mxu_paged(mxu, ro, rd)
+    h1 = trace_bvh_mxu_paged(mxu, ro, rd, shared_origin=origin, ordered=True)
+    np.testing.assert_array_equal(np.asarray(h0.valid), np.asarray(h1.valid))
+    np.testing.assert_allclose(np.asarray(h0.t), np.asarray(h1.t),
+                               rtol=1e-6, atol=1e-6)
