@@ -296,9 +296,13 @@ def trace_and_shade(scene: SceneCtx, params: RenderParams, fin: FrameInputs,
     spp = max(int(params.spp_per_frame), 1) if not show_motion else 1
 
     # Primary hit: identical for every SPP sample (deterministic trace).
-    # All primary rays share the camera origin -> ordered front-to-back
-    # chunk walk with early termination on the BVH fast path.
-    h_raw = scene.trace(ro, rd, shared_origin=scene.cam_pos)
+    # All primary rays share the camera origin, so params.ordered_primary
+    # selects the front-to-back chunk walk with tile-wide early
+    # termination on the BVH fast path (big win when the camera is close
+    # to the geometry and the interval cull degenerates).
+    h_raw = scene.trace(
+        ro, rd,
+        shared_origin=scene.cam_pos if params.ordered_primary else None)
     hit_mask = h_raw.valid
     h = _sanitize_hit(h_raw, ro, rd)
 

@@ -72,6 +72,12 @@ class RenderParams:
     point_light_intensity: float = 20.0
     point_light_pos: Color = (0.0, 2.5, -3.0)
     point_light_orbit_enabled: int = 0  # static (host-side orbit anim)
+    # Front-to-back ordered primary chunk walk with tile-wide early
+    # termination (ops/bvh_mxu.py).  1.84x on close-up views where the
+    # interval cull degenerates; a few % slower on far views (the
+    # headline bench camera), hence opt-in.  No reference analog: the
+    # reference's stack walk is always near-first (rt_bvh.glsl:224-239).
+    ordered_primary: int = 0          # static: switches trace kernel
     point_light_orbit_radius: float = 3.5
     point_light_orbit_speed: float = 20.0
     point_light_yaw: float = 0.0
