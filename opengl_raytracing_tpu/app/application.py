@@ -19,6 +19,7 @@ import jax.numpy as jnp
 from ..frame_state import FrameState
 from ..models.pipeline import FrameInputs, render_frame
 from ..models.raster import render_raster
+from ..ops.scene import resolve_ordered_primary
 from ..params import params_changed
 from ..sampling import generate_jitter2d
 from ..utils.log import log
@@ -48,9 +49,17 @@ class Application:
 
     # -- jit cache over static config --
 
-    def _render_fn(self) -> Callable:
+    def _resolve_ordered(self) -> int:
+        """Per-frame host-side resolution of ordered_primary auto (2)
+        from camera-to-scene-AABB distance (ops.scene.resolve_ordered_primary)."""
         app = self.app
-        key = (app.params.spp_per_frame, app.params.enable_jitter,
+        return resolve_ordered_primary(app.params.ordered_primary,
+                                       app.camera.position, app.scene_aabb)
+
+    def _render_fn(self, ordered: int) -> Callable:
+        app = self.app
+        key = (ordered,
+               app.params.spp_per_frame, app.params.enable_jitter,
                app.params.enable_gi, app.params.enable_ao,
                app.params.enable_taa, app.params.enable_svgf,
                app.params.enable_env_map, app.params.sun_enabled,
@@ -100,7 +109,7 @@ class Application:
             app.reset_accumulation("spp change")
         if inp.changed_exposure:
             app.params = app.params.replace(
-                exposure=float(np.clip(inp.exposure, 0.01, 8.0)))
+                exposure=float(np.clip(inp.exposure, 0.05, 8.0)))
         if inp.toggled_motion_debug:
             app.show_motion = not app.show_motion
             app.reset_accumulation("motion debug")
@@ -137,8 +146,10 @@ class Application:
             camera_moved=jnp.int32(1 if camera_moved else 0))
 
         if app.ray_mode:
-            fn = self._render_fn()
-            app.render_state, out = fn(app.params, fin, app.render_state,
+            ordered = self._resolve_ordered()
+            fn = self._render_fn(ordered)
+            eff_params = app.params.replace(ordered_primary=ordered)
+            app.render_state, out = fn(eff_params, fin, app.render_state,
                                        app.env_map, app.bvh)
             self.last_output = out
             image = out.image

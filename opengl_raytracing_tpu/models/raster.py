@@ -26,7 +26,7 @@ from ..ops.intersect import intersect_plane, intersect_sphere
 from ..ops.scene import (SceneCtx, BVHDevice, compute_point_light_world_pos,
                          _tpu)
 from ..ops.bvh_traverse import trace_bvh
-from ..ops.bvh_mxu import trace_bvh_mxu
+from ..ops.bvh_mxu import trace_bvh_mxu_paged
 from ..ops.vecmath import const3
 from .pipeline import FrameInputs, primary_rays
 
@@ -61,7 +61,9 @@ def render_raster(params: RenderParams, fin: FrameInputs,
 
     # Mesh (same BVH arrays as ray mode)
     if bvh is not None:
-        h = (trace_bvh_mxu(bvh.mxu, ro, rd) if _tpu()
+        # bvh.mxu is a tuple of VMEM-sized pages (prepare_bvh ->
+        # build_mxu_paged); the paged wrapper handles both forms.
+        h = (trace_bvh_mxu_paged(bvh.mxu, ro, rd) if _tpu()
              else trace_bvh(bvh.arrays, ro, rd))
         best_t, color = consider(h.t, h.valid, MESH_COLOR, best_t, color)
 

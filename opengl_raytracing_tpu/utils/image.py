@@ -1,9 +1,12 @@
-"""Image IO without external deps: minimal PNG codec + cubemap cross slicer.
+"""Image IO without external deps: PNG codec, baseline JPEG decoder,
+Radiance HDR decoder, and the cubemap cross slicer.
 
 Replaces stb_image + the GL cubemap upload path
 (reference: src/render/stb_image_impl.cpp, src/render/cubemap.cpp:35-106).
-Supports 8-bit RGB/RGBA non-interlaced PNG — enough for the generated
-assets and frame dumps.  A C++ fast path lives in native/.
+Formats match the reference env-picker surface `*.{png,jpg,jpeg,hdr}`
+(reference: src/ui/gui.cpp:806-838); EXR (also listed there) is not
+decoded — the loader reports it cleanly.  A C++ fast path for PNG lives
+in native/.
 """
 
 from __future__ import annotations
@@ -21,8 +24,10 @@ def _chunk(tag: bytes, payload: bytes) -> bytes:
             + struct.pack(">I", zlib.crc32(tag + payload) & 0xFFFFFFFF))
 
 
-def write_png(path: str, img: np.ndarray) -> None:
-    """img: [H,W,3|4] uint8 or float in [0,1] (row 0 = TOP of image)."""
+def encode_png(img: np.ndarray, level: int = 6) -> bytes:
+    """In-memory PNG encode.
+
+    img: [H,W,3|4] uint8 or float in [0,1] (row 0 = TOP of image)."""
     if img.dtype != np.uint8:
         img = np.clip(np.asarray(img, np.float64) * 255.0 + 0.5,
                       0, 255).astype(np.uint8)
@@ -33,11 +38,15 @@ def write_png(path: str, img: np.ndarray) -> None:
     color_type = 2 if c == 3 else 6
     raw = b"".join(b"\x00" + img[y].tobytes() for y in range(h))
     ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    return (_PNG_SIG + _chunk(b"IHDR", ihdr)
+            + _chunk(b"IDAT", zlib.compress(raw, level))
+            + _chunk(b"IEND", b""))
+
+
+def write_png(path: str, img: np.ndarray) -> None:
+    """img: [H,W,3|4] uint8 or float in [0,1] (row 0 = TOP of image)."""
     with open(path, "wb") as fh:
-        fh.write(_PNG_SIG)
-        fh.write(_chunk(b"IHDR", ihdr))
-        fh.write(_chunk(b"IDAT", zlib.compress(raw, 6)))
-        fh.write(_chunk(b"IEND", b""))
+        fh.write(encode_png(img))
 
 
 def _unfilter(raw: np.ndarray, h: int, w: int, c: int) -> np.ndarray:
@@ -106,6 +115,401 @@ def read_png(path: str) -> np.ndarray:
     return _unfilter(raw, h, w, c)
 
 
+# -----------------------------------------------------------------------------
+# Radiance HDR (.hdr) — RGBE with new-style RLE
+# (stb_image's stbi__hdr_load equivalent; reference loads .hdr via stb,
+# src/ui/gui.cpp:806-838, src/render/cubemap.cpp:35-106)
+# -----------------------------------------------------------------------------
+
+def _rgbe_to_float(rgbe: np.ndarray) -> np.ndarray:
+    """[...,4] uint8 RGBE -> [...,3] float32 linear radiance."""
+    r = rgbe.astype(np.float32)
+    scale = np.ldexp(1.0, rgbe[..., 3].astype(np.int32) - 136)  # 2^(e-128-8)
+    out = r[..., :3] * scale[..., None]
+    out[rgbe[..., 3] == 0] = 0.0
+    return out.astype(np.float32)
+
+
+def read_hdr(path: str) -> np.ndarray:
+    """Radiance .hdr -> [H,W,3] float32 linear (row 0 = top)."""
+    with open(path, "rb") as fh:
+        data = fh.read()
+    if not (data.startswith(b"#?RADIANCE") or data.startswith(b"#?RGBE")):
+        raise ValueError("not a Radiance HDR file")
+    pos = data.index(b"\n") + 1
+    # header: key=value lines until blank line
+    while True:
+        end = data.index(b"\n", pos)
+        line = data[pos:end]
+        pos = end + 1
+        if not line:
+            break
+        if line.startswith(b"FORMAT=") and b"32-bit_rle_rgbe" not in line:
+            raise ValueError(f"unsupported HDR format {line!r}")
+    end = data.index(b"\n", pos)
+    dims = data[pos:end].split()
+    pos = end + 1
+    if len(dims) != 4 or dims[0] != b"-Y" or dims[2] != b"+X":
+        raise ValueError(f"unsupported HDR orientation {dims!r}")
+    h, w = int(dims[1]), int(dims[3])
+
+    buf = np.frombuffer(data, np.uint8, offset=pos)
+    out = np.zeros((h, w, 4), np.uint8)
+    p = 0
+    for y in range(h):
+        if (w < 8 or w > 0x7FFF or buf[p] != 2 or buf[p + 1] != 2
+                or (int(buf[p + 2]) << 8 | int(buf[p + 3])) != w):
+            # flat (non-RLE) scanline: w RGBE quads back to back
+            out[y] = buf[p:p + 4 * w].reshape(w, 4)
+            p += 4 * w
+            continue
+        p += 4
+        for c in range(4):  # each channel RLE'd independently
+            x = 0
+            while x < w:
+                count = int(buf[p])
+                if count > 128:  # run
+                    out[y, x:x + count - 128, c] = buf[p + 1]
+                    x += count - 128
+                    p += 2
+                else:            # literal
+                    out[y, x:x + count, c] = buf[p + 1:p + 1 + count]
+                    x += count
+                    p += 1 + count
+    return _rgbe_to_float(out)
+
+
+def write_hdr(path: str, img: np.ndarray) -> None:
+    """[H,W,3] float32 linear -> flat (non-RLE) Radiance .hdr."""
+    img = np.asarray(img, np.float32)
+    h, w = img.shape[:2]
+    m = np.max(img, axis=-1)
+    e = np.zeros((h, w), np.int32)
+    nz = m >= 1e-32
+    _, ex = np.frexp(np.where(nz, m, 1.0))
+    e[nz] = ex[nz]
+    scale = np.ldexp(1.0, -e + 8)  # mantissa in [128, 256)
+    rgbe = np.zeros((h, w, 4), np.uint8)
+    rgbe[..., :3] = np.clip(img * scale[..., None] + 0.5,
+                            0, 255).astype(np.uint8)
+    rgbe[..., 3] = np.where(nz, e + 128, 0).astype(np.uint8)
+    with open(path, "wb") as fh:
+        fh.write(b"#?RADIANCE\nFORMAT=32-bit_rle_rgbe\n\n")
+        fh.write(f"-Y {h} +X {w}\n".encode())
+        fh.write(rgbe.tobytes())
+
+
+# -----------------------------------------------------------------------------
+# Baseline JPEG decoder (SOF0, huffman, 4:4:4 / 4:2:2 / 4:2:0, DRI)
+# (stb_image's stbi__jpeg equivalent)
+# -----------------------------------------------------------------------------
+
+_ZIGZAG = np.array([
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63],
+    np.int32)
+
+# 8-point type-III DCT basis (orthonormal)
+_IDCT_M = np.zeros((8, 8), np.float32)
+for _k in range(8):
+    for _n in range(8):
+        c = np.sqrt(0.125) if _k == 0 else 0.5
+        _IDCT_M[_k, _n] = c * np.cos((2 * _n + 1) * _k * np.pi / 16)
+
+
+class _BitReader:
+    """Entropy-coded segment reader with 0xFF00 unstuffing and RST skip."""
+
+    def __init__(self, data: bytes, pos: int):
+        self.data = data
+        self.pos = pos
+        self.acc = 0
+        self.nbits = 0
+        self.marker = None
+
+    def _fill(self):
+        while self.nbits <= 24:
+            if self.marker is not None:
+                self.acc = (self.acc << 8) & 0xFFFFFFFF
+                self.nbits += 8
+                continue
+            b = self.data[self.pos]
+            self.pos += 1
+            if b == 0xFF:
+                nxt = self.data[self.pos]
+                if nxt == 0x00:
+                    self.pos += 1
+                else:
+                    self.marker = nxt
+                    self.pos -= 1
+                    b = 0
+            self.acc = ((self.acc << 8) | b) & 0xFFFFFFFF
+            self.nbits += 8
+
+    def peek16(self) -> int:
+        if self.nbits < 16:
+            self._fill()
+        return (self.acc >> (self.nbits - 16)) & 0xFFFF
+
+    def drop(self, n: int):
+        self.nbits -= n
+
+    def receive(self, n: int) -> int:
+        if n == 0:
+            return 0
+        if self.nbits < n:
+            self._fill()
+        v = (self.acc >> (self.nbits - n)) & ((1 << n) - 1)
+        self.nbits -= n
+        return v
+
+    def reset_at_rst(self):
+        """Consume an RSTn marker and restart the bitstream."""
+        # realign: discard partial bits, expect FF Dn at self.pos
+        self.acc = 0
+        self.nbits = 0
+        self.marker = None
+        while self.data[self.pos] == 0xFF and \
+                self.data[self.pos + 1] == 0xFF:
+            self.pos += 1
+        if self.data[self.pos] == 0xFF and \
+                0xD0 <= self.data[self.pos + 1] <= 0xD7:
+            self.pos += 2
+
+
+def _build_huff(bits, vals):
+    """JPEG huffman table -> dict mapping (code << 5 | length) via a
+    16-bit peek lookup: returns (lookup_value, lookup_len) arrays where
+    lookup is indexed by the next 16 bits."""
+    # canonical codes
+    codes = []
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            codes.append((code, length, vals[k]))
+            code += 1
+            k += 1
+        code <<= 1
+    lut_val = np.zeros(1 << 16, np.uint8)
+    lut_len = np.zeros(1 << 16, np.uint8)
+    for code, length, val in codes:
+        lo = code << (16 - length)
+        hi = (code + 1) << (16 - length)
+        lut_val[lo:hi] = val
+        lut_len[lo:hi] = length
+    return lut_val, lut_len
+
+
+def _decode_block(br: _BitReader, lut_dc, lut_ac, qt, pred):
+    """One 8x8 block -> (coef zigzag->natural f32 [8,8], new DC pred)."""
+    v = br.peek16()
+    s = int(lut_dc[0][v])
+    ln = int(lut_dc[1][v])
+    if ln == 0:
+        raise ValueError("bad DC huffman code")
+    br.drop(ln)
+    diff = br.receive(s)
+    if s and diff < (1 << (s - 1)):
+        diff -= (1 << s) - 1
+    pred += diff
+    coef = np.zeros(64, np.float32)
+    coef[0] = pred * qt[0]
+    k = 1
+    while k < 64:
+        v = br.peek16()
+        rs = int(lut_ac[0][v])
+        ln = int(lut_ac[1][v])
+        if ln == 0:
+            raise ValueError("bad AC huffman code")
+        br.drop(ln)
+        r, s = rs >> 4, rs & 15
+        if s == 0:
+            if r == 15:
+                k += 16
+                continue
+            break  # EOB
+        k += r
+        if k > 63:
+            raise ValueError("AC index overflow")
+        val = br.receive(s)
+        if val < (1 << (s - 1)):
+            val -= (1 << s) - 1
+        coef[k] = val * qt[k]
+        k += 1
+    out = np.zeros(64, np.float32)
+    out[_ZIGZAG] = coef
+    return out.reshape(8, 8), pred
+
+
+def read_jpeg(path: str) -> np.ndarray:
+    """Baseline sequential JPEG -> [H,W,3] uint8 (row 0 = top).
+
+    Supports SOF0, 8-bit, 1 or 3 components, 4:4:4/4:2:2/4:2:0 sampling,
+    restart intervals.  Progressive (SOF2) is rejected with a clear error.
+    """
+    with open(path, "rb") as fh:
+        data = fh.read()
+    if data[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG (missing SOI)")
+    pos = 2
+    qts = {}
+    huff_dc, huff_ac = {}, {}
+    comps = None
+    h = w = 0
+    restart_interval = 0
+    while pos < len(data):
+        if data[pos] != 0xFF:
+            pos += 1
+            continue
+        marker = data[pos + 1]
+        pos += 2
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+            continue
+        ln = struct.unpack(">H", data[pos:pos + 2])[0]
+        seg = data[pos + 2:pos + ln]
+        if marker == 0xDB:  # DQT
+            s = 0
+            while s < len(seg):
+                pq, tq = seg[s] >> 4, seg[s] & 15
+                if pq:
+                    qts[tq] = np.frombuffer(
+                        seg, ">u2", 64, s + 1).astype(np.float32)
+                    s += 129
+                else:
+                    qts[tq] = np.frombuffer(
+                        seg, np.uint8, 64, s + 1).astype(np.float32)
+                    s += 65
+        elif marker == 0xC4:  # DHT
+            s = 0
+            while s < len(seg):
+                tc, th = seg[s] >> 4, seg[s] & 15
+                bits = list(seg[s + 1:s + 17])
+                n = sum(bits)
+                vals = list(seg[s + 17:s + 17 + n])
+                (huff_dc if tc == 0 else huff_ac)[th] = _build_huff(bits,
+                                                                    vals)
+                s += 17 + n
+        elif marker == 0xC0 or marker == 0xC1:  # SOF0/1 baseline
+            h, w = struct.unpack(">HH", seg[1:5])
+            nc = seg[5]
+            comps = []
+            for i in range(nc):
+                cid, sf, tq = seg[6 + 3 * i:9 + 3 * i]
+                comps.append({"id": cid, "hs": sf >> 4, "vs": sf & 15,
+                              "tq": tq})
+        elif marker == 0xC2:
+            raise ValueError("progressive JPEG not supported (baseline only)")
+        elif 0xC3 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+            raise ValueError(f"unsupported JPEG SOF{marker - 0xC0}")
+        elif marker == 0xDD:  # DRI
+            restart_interval = struct.unpack(">H", seg[:2])[0]
+        elif marker == 0xDA:  # SOS
+            ns = seg[0]
+            scan = []
+            for i in range(ns):
+                cs, td_ta = seg[1 + 2 * i:3 + 2 * i]
+                comp = next(c for c in comps if c["id"] == cs)
+                comp["dc"] = huff_dc[td_ta >> 4]
+                comp["ac"] = huff_ac[td_ta & 15]
+                scan.append(comp)
+            pos += ln
+            return _decode_scan(data, pos, w, h, scan, qts,
+                                restart_interval)
+        pos += ln
+    raise ValueError("no SOS marker found")
+
+
+def _upsample2(p: np.ndarray, axis: int, times: int) -> np.ndarray:
+    """libjpeg-style "fancy" (triangle filter) 2x chroma upsampling:
+    each output sample = (3*nearer + farther) / 4, edges clamped.  Only
+    2x is triangle-filtered (the 4:2:0/4:2:2 cases); other factors fall
+    back to replication."""
+    if times == 1:
+        return p
+    if times != 2:
+        return np.repeat(p, times, axis=axis)
+    if axis == 1:
+        p = p.T
+    lo = np.concatenate([p[:1], p[:-1]], axis=0)      # row above
+    hi = np.concatenate([p[1:], p[-1:]], axis=0)      # row below
+    out = np.empty((p.shape[0] * 2, p.shape[1]), np.float32)
+    out[0::2] = (3.0 * p + lo) * 0.25
+    out[1::2] = (3.0 * p + hi) * 0.25
+    return out.T if axis == 1 else out
+
+
+def _decode_scan(data, pos, w, h, comps, qts, restart_interval):
+    hmax = max(c["hs"] for c in comps)
+    vmax = max(c["vs"] for c in comps)
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    for c in comps:
+        c["w"] = mcux * 8 * c["hs"]
+        c["h"] = mcuy * 8 * c["vs"]
+        c["plane"] = np.zeros((c["h"], c["w"]), np.float32)
+        c["pred"] = 0
+        c["qt"] = qts[c["tq"]]
+    br = _BitReader(data + b"\xff\xd9", pos)
+    n_mcu = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if restart_interval and n_mcu and \
+                    n_mcu % restart_interval == 0:
+                br.reset_at_rst()
+                for c in comps:
+                    c["pred"] = 0
+            for c in comps:
+                for by in range(c["vs"]):
+                    for bx in range(c["hs"]):
+                        coef, c["pred"] = _decode_block(
+                            br, c["dc"], c["ac"], c["qt"], c["pred"])
+                        blk = _IDCT_M.T @ coef @ _IDCT_M
+                        y0 = (my * c["vs"] + by) * 8
+                        x0 = (mx * c["hs"] + bx) * 8
+                        c["plane"][y0:y0 + 8, x0:x0 + 8] = blk
+            n_mcu += 1
+    planes = []
+    for c in comps:
+        p = c["plane"] + 128.0
+        if c["vs"] != vmax:
+            p = _upsample2(p, axis=0, times=vmax // c["vs"])
+        if c["hs"] != hmax:
+            p = _upsample2(p, axis=1, times=hmax // c["hs"])
+        planes.append(p[:h, :w])
+    if len(planes) == 1:
+        g = np.clip(planes[0], 0, 255).astype(np.uint8)
+        return np.stack([g, g, g], axis=-1)
+    y, cb, cr = planes[0], planes[1] - 128.0, planes[2] - 128.0
+    r = y + 1.402 * cr
+    g = y - 0.344136 * cb - 0.714136 * cr
+    b = y + 1.772 * cb
+    return np.clip(np.stack([r, g, b], axis=-1) + 0.5,
+                   0, 255).astype(np.uint8)
+
+
+# -----------------------------------------------------------------------------
+# Unified loader + cubemap slicing
+# -----------------------------------------------------------------------------
+
+def read_image(path: str) -> np.ndarray:
+    """Decode by magic bytes: PNG/JPEG -> [H,W,C] uint8, HDR -> [H,W,3]
+    float32 linear.  The stb_image dispatch equivalent."""
+    with open(path, "rb") as fh:
+        magic = fh.read(11)
+    if magic[:8] == _PNG_SIG:
+        return read_png(path)
+    if magic[:2] == b"\xff\xd8":
+        return read_jpeg(path)
+    if magic[:2] == b"#?":  # Radiance (#?RADIANCE / #?RGBE)
+        return read_hdr(path)
+    if magic[:4] == b"\x76\x2f\x31\x01":
+        raise ValueError(f"EXR decode not supported: {path}")
+    raise ValueError(f"unrecognized image format: {path}")
+
+
 # Cross layout tile positions (col, row) per face, GL order
 # +X,-X,+Y,-Y,+Z,-Z (reference: src/render/cubemap.cpp:86-91).
 CROSS_LAYOUT = ((2, 1), (0, 1), (1, 0), (1, 2), (1, 1), (3, 1))
@@ -131,6 +535,8 @@ def slice_cubemap_cross(img: np.ndarray) -> np.ndarray:
 
 
 def load_cubemap_cross(path: str) -> np.ndarray:
-    """PNG cross -> [6,F,F,3] float32 (GL t axis = image rows, top-first,
-    matching the reference's stb upload without vertical flip)."""
-    return slice_cubemap_cross(read_png(path))
+    """Image cross (png/jpg/jpeg/hdr) -> [6,F,F,3] float32 (GL t axis =
+    image rows, top-first, matching the reference's stb upload without
+    vertical flip; reference: src/render/cubemap.cpp:35-106).  HDR input
+    stays linear radiance (values may exceed 1)."""
+    return slice_cubemap_cross(read_image(path))

@@ -58,8 +58,9 @@ def main():
         mesh = make_bunny(4)
         tris = gather_triangles(mesh, model_transform((-2, 1.5, 0), 0.5))
         bvh = prepare_bvh(tris)
-        log("BVH", "built %d chunks / %d tris in %.2fs",
-            bvh.mxu.coef.shape[0], tris.shape[0], time.time() - t0)
+        log("BVH", "built %d chunks (%d pages) / %d tris in %.2fs",
+            sum(p.coef.shape[0] for p in bvh.mxu), len(bvh.mxu),
+            tris.shape[0], time.time() - t0)
 
     render = make_render_fn(params, H, W, use_bvh=use_bvh, donate=False)
     fs = FrameState.initial(cam.view_projection(), cam.position)

@@ -1,0 +1,105 @@
+"""Run the MXU kernel oracle comparisons on REAL TPU hardware.
+
+tests/test_bvh_mxu.py guards the kernel logic in interpret mode on CPU;
+this script runs the same comparisons compiled by Mosaic on the actual
+chip (where layout/miscompile bugs live).  Exit code 0 = all checks pass.
+
+Usage: timeout 600 python scripts/tpu_checks.py
+"""
+
+import sys
+
+sys.path.insert(0, ".")
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+
+def brute_force_closest(tris, ro, rd, eps=1e-4):
+    """NumPy Moller-Trumbore closest hit over all triangles."""
+    v0, e1, e2 = tris[:, 0:3], tris[:, 3:6], tris[:, 6:9]
+    ro = np.asarray(ro, np.float64)[:, None, :]
+    rd = np.asarray(rd, np.float64)[:, None, :]
+    p = np.cross(rd, e2[None])
+    det = np.sum(e1[None] * p, axis=-1)
+    ok = np.abs(det) >= 1e-8
+    inv = 1.0 / np.where(ok, det, 1.0)
+    tv = ro - v0[None]
+    u = np.sum(tv * p, axis=-1) * inv
+    q = np.cross(tv, e1[None])
+    v = np.sum(rd * q, axis=-1) * inv
+    t = np.sum(e2[None] * q, axis=-1) * inv
+    acc = ok & (u >= 0) & (u <= 1) & (v >= 0) & (u + v <= 1) & (t >= eps)
+    t = np.where(acc, t, np.inf)
+    return t.min(axis=1)
+
+
+def main():
+    from opengl_raytracing_tpu.scene import make_bunny, gather_triangles
+    from opengl_raytracing_tpu.scene.geometry import model_transform
+    from opengl_raytracing_tpu.ops.scene import prepare_bvh
+    from opengl_raytracing_tpu.ops.bvh_mxu import (
+        trace_bvh_mxu_paged, trace_bvh_shadow_mxu_paged)
+
+    if jax.default_backend() != "tpu":
+        print("WARNING: backend is", jax.default_backend(),
+              "- checks exercise interpret mode, not Mosaic")
+
+    tris = np.asarray(gather_triangles(
+        make_bunny(3), model_transform((-2, 1.5, 0), 0.5)))
+    bvh = prepare_bvh(tris)
+
+    rng = np.random.default_rng(7)
+    n = 4096
+    ro = np.array([0.0, 2.0, 8.0], np.float32) + rng.normal(
+        0, 0.5, (n, 3)).astype(np.float32)
+    target = np.array([-2.0, 1.5, 0.0], np.float32) + rng.normal(
+        0, 1.5, (n, 3)).astype(np.float32)
+    rd = target - ro
+    rd /= np.linalg.norm(rd, axis=1, keepdims=True)
+
+    failures = 0
+
+    # closest hit vs brute force
+    h = trace_bvh_mxu_paged(bvh.mxu, jnp.asarray(ro), jnp.asarray(rd))
+    t_ref = brute_force_closest(tris, ro, rd)
+    t_got = np.asarray(h.t, np.float64)
+    t_got = np.where(np.asarray(h.valid), t_got, np.inf)
+    both_hit = np.isfinite(t_ref) & np.isfinite(t_got)
+    agree = (np.isfinite(t_ref) == np.isfinite(t_got))
+    ok_t = np.allclose(t_ref[both_hit], t_got[both_hit], rtol=2e-4,
+                       atol=2e-4)
+    print(f"closest-hit: hit-agreement {agree.mean():.4f}, "
+          f"t match {ok_t} ({both_hit.sum()} hits)")
+    if agree.mean() < 0.999 or not ok_t:
+        failures += 1
+
+    # ordered walk (shared origin) == unordered, up to t ties
+    org = np.array([0.0, 2.0, 8.0], np.float32)
+    ro1 = np.broadcast_to(org, rd.shape)
+    h_u = trace_bvh_mxu_paged(bvh.mxu, jnp.asarray(ro1), jnp.asarray(rd))
+    h_o = trace_bvh_mxu_paged(bvh.mxu, jnp.asarray(ro1), jnp.asarray(rd),
+                              shared_origin=jnp.asarray(org), ordered=True)
+    t_same = np.allclose(np.asarray(h_u.t), np.asarray(h_o.t),
+                         rtol=1e-6, atol=1e-6, equal_nan=True)
+    print(f"ordered vs unordered t: {t_same}")
+    if not t_same:
+        failures += 1
+
+    # shadow any-hit vs closest-hit-derived occlusion
+    t_max = jnp.full((n,), 6.0, jnp.float32)
+    occ = np.asarray(trace_bvh_shadow_mxu_paged(
+        bvh.mxu, jnp.asarray(ro), jnp.asarray(rd), t_max))
+    occ_ref = t_ref <= 6.0
+    shadow_agree = (occ == occ_ref).mean()
+    print(f"shadow any-hit agreement: {shadow_agree:.4f}")
+    if shadow_agree < 0.999:
+        failures += 1
+
+    print("PASS" if failures == 0 else f"FAIL ({failures})")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

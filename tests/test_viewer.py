@@ -55,3 +55,78 @@ def test_viewer_serves_frames_and_actions(tmp_path):
     finally:
         vs.running = False
         server.shutdown()
+
+
+def test_viewer_panel_endpoints(tmp_path):
+    """Control-panel surface: schema, pickers, console, mouse look/zoom
+    forwarding, server-side /set clamping (reference: src/ui/gui.cpp
+    sections + src/io/input.cpp:147-206)."""
+    from opengl_raytracing_tpu.utils.log import log
+
+    app = Application(state=AppState(height=24, width=32,
+                                     params=preset("baseline")), jit=False)
+    vs = ViewerState(app)
+    server = ThreadingHTTPServer(("127.0.0.1", 0), make_handler(vs))
+    port = server.server_address[1]
+    st = threading.Thread(target=server.serve_forever, daemon=True)
+    st.start()
+
+    def get(path):
+        return urllib.request.urlopen(
+            f"http://127.0.0.1:{port}{path}", timeout=10).read()
+
+    try:
+        # page carries the panel + console + pointer-lock wiring
+        page = get("/").decode()
+        for marker in ("pick_model", "pick_env", "conlog",
+                       "requestPointerLock", "wheel", "keymap"):
+            assert marker in page, marker
+
+        # schema covers every section the reference panel has
+        schema = json.loads(get("/schema"))
+        sections = [s[0] for s in schema]
+        for want in ("Core", "Materials", "Environment", "Jitter",
+                     "Global illumination", "Ambient occlusion", "TAA",
+                     "SVGF"):
+            assert want in sections
+        # every schema field exists on RenderParams
+        for _, fields in schema:
+            for name, *_ in fields:
+                assert hasattr(app.app.params, name), name
+
+        # state exposes the full params dict + picker listings
+        state = json.loads(get("/state"))
+        assert "params" in state and "spp_per_frame" in state["params"]
+        assert isinstance(state["model_entries"], list)
+
+        # mouse look + scroll zoom forward through /act (URL-encoded)
+        yaw0 = app.app.camera.yaw
+        fov0 = app.app.camera.fov
+        assert json.loads(get("/act?name=look%2012%200"))["ok"]
+        assert json.loads(get("/act?name=zoom%201"))["ok"]
+        assert app.app.camera.yaw != yaw0
+        assert app.app.camera.fov != fov0
+
+        # /set clamps to the reference's ranges (input.cpp:147-153)
+        get("/set?exposure=99")
+        assert float(np.asarray(app.app.params.exposure)) == 8.0
+        get("/set?exposure=0.001")
+        assert float(np.asarray(app.app.params.exposure)) == 0.05
+        # color tuple set
+        get("/set?sun_color=1,0.5,0.25")
+        assert app.app.params.sun_color == (1.0, 0.5, 0.25)
+        # unknown field is a clean error, not a 500
+        assert not json.loads(get("/set?notafield=1"))["ok"]
+
+        # picker request flags a reload for the app loop
+        if app.app.model_picker.entries:
+            r = json.loads(get("/pick?kind=model&index=0"))
+            assert r["ok"] and app.app.model_picker.reload_requested
+
+        # console scrollback with filter (gui.cpp:16-104)
+        log("GUI", "viewer-test marker %d", 42)
+        out = json.loads(get("/log?n=50&filter=viewer-test"))
+        assert any("viewer-test marker 42" in ln for ln in out["lines"])
+    finally:
+        vs.running = False
+        server.shutdown()
