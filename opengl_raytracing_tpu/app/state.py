@@ -29,6 +29,15 @@ from ..utils.log import log
 from ..utils.paths import resolve_dir
 
 
+def _tris_aabb(tris: np.ndarray):
+    """World-space AABB of a [T,9] (v0,e1,e2) triangle array."""
+    t = np.asarray(tris, np.float64)
+    v0, v1, v2 = t[:, 0:3], t[:, 0:3] + t[:, 3:6], t[:, 0:3] + t[:, 6:9]
+    pts = np.concatenate([v0, v1, v2], axis=0)
+    return pts.min(axis=0).astype(np.float32), \
+        pts.max(axis=0).astype(np.float32)
+
+
 @dataclasses.dataclass
 class PickerState:
     """Directory-scan asset picker (reference: src/ui/gui.cpp:721-887)."""
@@ -76,12 +85,18 @@ class AppState:
         self.bvh: Optional[BVHDevice] = None
         self.bvh_node_count = 0
         self.bvh_tri_count = 0
+        self.scene_aabb = None  # (bmin, bmax) numpy, for ordered auto
         self.env_map = None  # [6,F,F,3] or None
 
         # Pickers (reference: gui.cpp:721-799 models, :804-887 cubemaps)
         self.model_picker = PickerState(resolve_dir("models"), ("*.obj",))
-        self.env_picker = PickerState(resolve_dir("cubemaps"),
-                                      ("*.png", "*.PNG"))
+        # same pattern surface as the reference env picker
+        # (gui.cpp:806-838); .exr entries list but fail gracefully on
+        # load, like stb does there.
+        self.env_picker = PickerState(
+            resolve_dir("cubemaps"),
+            ("*.png", "*.PNG", "*.jpg", "*.jpeg", "*.JPG", "*.JPEG",
+             "*.hdr", "*.HDR", "*.exr", "*.EXR"))
         self.model_picker.scan()
         self.env_picker.scan()
 
@@ -106,6 +121,7 @@ class AppState:
             self.bvh = prepare_bvh(tris)
             self.bvh_tri_count = int(tris.shape[0])
             self.bvh_node_count = int(self.bvh.arrays.bounds.shape[0])
+            self.scene_aabb = _tris_aabb(tris)
             log("BVH", "loaded %s: %d tris, %d nodes", path,
                 self.bvh_tri_count, self.bvh_node_count)
             return True
@@ -117,15 +133,18 @@ class AppState:
         self.bvh = prepare_bvh(tris)
         self.bvh_tri_count = int(tris.shape[0])
         self.bvh_node_count = int(self.bvh.arrays.bounds.shape[0])
+        self.scene_aabb = _tris_aabb(tris)
 
     def load_env_map(self, path: str) -> bool:
-        """Load a 4x3-cross PNG; keep previous texture on failure
+        """Load a 4x3-cross image (png/jpg/jpeg/hdr); keep previous
+        texture on failure
         (reference: src/app/application.cpp:300-304,513-515)."""
         try:
             from .. import native
-            from ..utils.image import read_png, slice_cubemap_cross
-            img = read_png(path)
-            faces = (native.slice_cubemap_cross(img) if native.available()
+            from ..utils.image import read_image, slice_cubemap_cross
+            img = read_image(path)
+            faces = (native.slice_cubemap_cross(img)
+                     if native.available() and img.dtype == np.uint8
                      else slice_cubemap_cross(img))
             import jax.numpy as jnp
             self.env_map = jnp.asarray(faces)

@@ -59,7 +59,8 @@ def face_dirs(face: int, size: int):
     return d / np.linalg.norm(d, axis=-1, keepdims=True)
 
 
-def sky_color(d, sun_dir, horizon, zenith, sun_col, sun_sharp=400.0):
+def sky_color(d, sun_dir, horizon, zenith, sun_col, sun_sharp=400.0,
+              clip=True):
     y = np.clip(d[..., 1], -1, 1)
     t = np.clip(0.5 * (y + 1.0), 0, 1) ** 0.8
     base = horizon[None, None] * (1 - t[..., None]) + zenith[None, None] * t[..., None]
@@ -68,20 +69,26 @@ def sky_color(d, sun_dir, horizon, zenith, sun_col, sun_sharp=400.0):
     ground = (np.array([0.25, 0.22, 0.2])[None, None]
               * (0.4 + 0.6 * np.clip(-y, 0, 1))[..., None])
     base = np.where(y[..., None] < 0, ground, base)
-    return np.clip(base + sun, 0, 1)
+    out = base + sun
+    return np.clip(out, 0, 1) if clip else out
 
 
 def write_cross(path, size, sun_dir, horizon, zenith, sun_col):
     cross = np.zeros((3 * size, 4 * size, 3), np.float32)
     sun_dir = np.asarray(sun_dir, np.float64)
     sun_dir /= np.linalg.norm(sun_dir)
+    hdr = path.endswith(".hdr")
     for face in range(6):
         d = face_dirs(face, size)
         img = sky_color(d, sun_dir, np.asarray(horizon), np.asarray(zenith),
-                        np.asarray(sun_col))
+                        np.asarray(sun_col), clip=not hdr)
         cx, cy = CROSS_LAYOUT[face]
         cross[cy * size:(cy + 1) * size, cx * size:(cx + 1) * size] = img
-    write_png(path, cross)
+    if path.endswith(".hdr"):
+        from opengl_raytracing_tpu.utils.image import write_hdr
+        write_hdr(path, cross)  # linear radiance, no 8-bit clip
+    else:
+        write_png(path, cross)
 
 
 def main():
@@ -96,7 +103,11 @@ def main():
                 (0.75, 0.85, 0.95), (0.25, 0.45, 0.85), (2.0, 1.9, 1.6))
     write_cross("cubemaps/sky_dusk.png", 64, (0.8, 0.15, 0.2),
                 (0.9, 0.55, 0.35), (0.15, 0.15, 0.4), (2.2, 1.2, 0.7))
-    log("ENV", "wrote cubemaps/{sky_day,sky_dusk}.png (4x3 cross, 64px)")
+    # HDR variant: sun radiance well above 1.0 survives (linear RGBE)
+    write_cross("cubemaps/sky_noon.hdr", 64, (0.1, 0.9, 0.2),
+                (0.8, 0.88, 0.97), (0.3, 0.5, 0.9), (6.0, 5.6, 4.8))
+    log("ENV", "wrote cubemaps/{sky_day,sky_dusk}.png + sky_noon.hdr "
+        "(4x3 cross, 64px)")
 
 
 if __name__ == "__main__":

@@ -1,0 +1,146 @@
+"""JPEG + Radiance HDR decoders vs third-party oracles.
+
+Production decoding is self-contained (utils/image.py plays the vendored
+stb_image role, reference: src/render/stb_image_impl.cpp); PIL/cv2 are
+used here ONLY as encoders/reference decoders for fixtures.
+"""
+
+import numpy as np
+import pytest
+
+from opengl_raytracing_tpu.utils.image import (read_jpeg, read_hdr,
+                                               write_hdr, read_image,
+                                               slice_cubemap_cross,
+                                               encode_png)
+
+PIL = pytest.importorskip("PIL.Image")
+cv2 = pytest.importorskip("cv2")
+
+
+def _pattern(h, w):
+    """Smooth-ish RGB test card (JPEG-friendly)."""
+    y, x = np.mgrid[0:h, 0:w].astype(np.float32)
+    r = 127 + 120 * np.sin(x / 17.0)
+    g = 127 + 120 * np.cos(y / 23.0)
+    b = 127 + 120 * np.sin((x + y) / 31.0)
+    return np.clip(np.stack([r, g, b], -1), 0, 255).astype(np.uint8)
+
+
+@pytest.mark.parametrize("subsampling,size", [(0, (64, 48)),   # 4:4:4
+                                              (1, (80, 56)),   # 4:2:2
+                                              (2, (120, 90))])  # 4:2:0
+def test_jpeg_decode_matches_pil(tmp_path, subsampling, size):
+    w, h = size
+    img = _pattern(h, w)
+    path = str(tmp_path / "t.jpg")
+    PIL.fromarray(img).save(path, quality=92, subsampling=subsampling)
+    ours = read_jpeg(path)
+    ref = np.asarray(PIL.open(path).convert("RGB"))
+    assert ours.shape == ref.shape == (h, w, 3)
+    # decoders may differ by a hair in IDCT rounding
+    assert np.mean(np.abs(ours.astype(int) - ref.astype(int))) < 1.0
+    assert np.max(np.abs(ours.astype(int) - ref.astype(int))) <= 4
+
+
+def test_jpeg_grayscale_and_odd_size(tmp_path):
+    img = _pattern(37, 53)[..., 0]
+    path = str(tmp_path / "g.jpg")
+    PIL.fromarray(img, mode="L").save(path, quality=90)
+    ours = read_jpeg(path)
+    ref = np.asarray(PIL.open(path).convert("RGB"))
+    assert ours.shape == (37, 53, 3)
+    assert np.max(np.abs(ours.astype(int) - ref.astype(int))) <= 4
+
+
+def test_jpeg_restart_markers(tmp_path):
+    img = _pattern(96, 128)
+    path = str(tmp_path / "r.jpg")
+    ok = cv2.imwrite(path, img[..., ::-1],
+                     [cv2.IMWRITE_JPEG_QUALITY, 90,
+                      cv2.IMWRITE_JPEG_RST_INTERVAL, 4])
+    assert ok
+    with open(path, "rb") as fh:
+        assert b"\xff\xdd" in fh.read()  # DRI present
+    ours = read_jpeg(path)
+    ref = np.asarray(PIL.open(path).convert("RGB"))
+    assert np.max(np.abs(ours.astype(int) - ref.astype(int))) <= 4
+
+
+def test_jpeg_progressive_rejected(tmp_path):
+    img = _pattern(32, 32)
+    path = str(tmp_path / "p.jpg")
+    PIL.fromarray(img).save(path, quality=90, progressive=True)
+    with pytest.raises(ValueError, match="progressive"):
+        read_jpeg(path)
+
+
+def test_hdr_roundtrip_and_cv2_oracle(tmp_path):
+    rng = np.random.default_rng(3)
+    hdrimg = (rng.random((24, 32, 3)).astype(np.float32) * 4.0) ** 2
+    # our flat writer -> our reader
+    p1 = str(tmp_path / "a.hdr")
+    write_hdr(p1, hdrimg)
+    back = read_hdr(p1)
+    # RGBE shares one exponent across channels: error bound is relative
+    # to the per-pixel MAX channel (1/256 of it after round-to-nearest)
+    tol = hdrimg.max(axis=-1, keepdims=True) / 200.0 + 1e-5
+    assert np.all(np.abs(back - hdrimg) <= tol)
+    # cv2 writer (RLE scanlines) -> our reader
+    p2 = str(tmp_path / "b.hdr")
+    assert cv2.imwrite(p2, hdrimg[..., ::-1])
+    ours = read_hdr(p2)
+    ref = cv2.imread(p2, cv2.IMREAD_UNCHANGED)[..., ::-1]
+    assert np.allclose(ours, ref, rtol=1e-5, atol=1e-6)
+    tol = hdrimg.max(axis=-1, keepdims=True) / 120.0 + 1e-5
+    assert np.all(np.abs(ours - hdrimg) <= tol)
+
+
+def test_read_image_dispatch(tmp_path):
+    img = _pattern(12, 16)
+    png = tmp_path / "x.png"
+    png.write_bytes(encode_png(img))
+    assert read_image(str(png)).shape == (12, 16, 3)
+    jpg = str(tmp_path / "x.jpg")
+    PIL.fromarray(img).save(jpg, quality=95)
+    assert read_image(jpg).dtype == np.uint8
+    hdr = str(tmp_path / "x.hdr")
+    write_hdr(hdr, img.astype(np.float32) / 255.0)
+    assert read_image(hdr).dtype == np.float32
+    bogus = tmp_path / "x.bin"
+    bogus.write_bytes(b"\x00" * 32)
+    with pytest.raises(ValueError, match="unrecognized"):
+        read_image(str(bogus))
+
+
+def test_hdr_cubemap_renders_through_pipeline():
+    """The shipped .hdr cross loads via the env picker surface and drives
+    a full frame (reference env flow: gui.cpp:806-838 -> cubemap.cpp)."""
+    from opengl_raytracing_tpu.app import Application, AppState
+    from opengl_raytracing_tpu.models.presets import preset
+
+    st = AppState(height=16, width=24, params=preset("baseline"))
+    hdrs = [e for e in st.env_picker.entries if e.endswith(".hdr")]
+    if not hdrs:
+        pytest.skip("no .hdr asset in cubemaps/")
+    assert st.load_env_map(hdrs[0])
+    assert float(st.env_map.max()) > 1.0  # linear radiance survived
+    app = Application(state=st, jit=False)
+    img = np.asarray(app.step())
+    assert img.shape == (16, 24, 3)
+    assert np.isfinite(img).all() and img.max() > 0.05
+
+
+def test_hdr_cubemap_cross_slices_linear(tmp_path):
+    """An .hdr 4x3 cross keeps linear >1 radiance through the slicer."""
+    f = 8
+    cross = np.zeros((3 * f, 4 * f, 3), np.float32)
+    vals = [1.5, 2.5, 3.5, 4.5, 5.5, 6.5]
+    layout = ((2, 1), (0, 1), (1, 0), (1, 2), (1, 1), (3, 1))
+    for i, (cx, cy) in enumerate(layout):
+        cross[cy * f:(cy + 1) * f, cx * f:(cx + 1) * f] = vals[i]
+    path = str(tmp_path / "c.hdr")
+    write_hdr(path, cross)
+    faces = slice_cubemap_cross(read_image(path))
+    assert faces.shape == (6, f, f, 3)
+    for i, v in enumerate(vals):
+        assert np.allclose(faces[i], v, rtol=0.01)
