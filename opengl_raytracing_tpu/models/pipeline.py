@@ -135,64 +135,6 @@ def _sanitize_hit(h: Hit, ro, rd) -> Hit:
                h.mat)
 
 
-def _compact_masked_eval(shade_fn, mask, radiance, lanes, budget_div=8):
-    """Evaluate an expensive shading branch only on masked lanes.
-
-    The reference shades glass/mirror inline per fragment
-    (rt.frag:125-131); under vectorized masking every pixel would pay for
-    the 3-4 nested secondary direct-light evaluations.  Instead: compact
-    the masked lane indices, then a `while_loop` processes fixed-size
-    chunks until the (data-dependent) count is covered — identical values
-    (the RNG is a pure function of pixel/seed), a fraction of the work
-    when the branch covers few pixels, and the same worst case when it
-    covers all of them.
-
-    shade_fn(sub_lanes: dict of [B//128,128] comps) -> [B//128,128,3];
-    lanes: dict of flat 1D [R] component planes (NEVER [R,3] — flat
-    rank-2 vec3 arrays lane-pad 43x on TPU).
-    """
-    shape = mask.shape
-    r = int(np.prod(shape))
-    b = max(1024, -(-r // budget_div // 1024) * 1024)
-    b = min(b, r)
-
-    mask_f = mask.reshape(r)
-    count = jnp.sum(mask_f.astype(jnp.int32))
-    pos = jnp.cumsum(mask_f.astype(jnp.int32)) - 1
-    # idx_buf[k] = flat lane index of the k-th masked lane; sentinel r
-    idx_buf = jnp.full(r, r, jnp.int32)
-    idx_buf = idx_buf.at[jnp.where(mask_f, pos, r)].set(
-        jnp.arange(r, dtype=jnp.int32), mode="drop")
-
-    # radiance carried as three 1D planes (+1 dummy slot for dropped lanes)
-    def chan(k):
-        return jnp.concatenate([radiance[..., k].reshape(r),
-                                jnp.zeros((1,), jnp.float32)])
-    rad = (chan(0), chan(1), chan(2))
-
-    def cond(st):
-        return st[0] * b < count
-
-    def body(st):
-        c, rr, rg, rb = st
-        take = jax.lax.dynamic_slice(idx_buf, (c * b,), (b,))
-        safe = jnp.minimum(take, r - 1)
-        sub = {k: v[safe].reshape(b // TILE, TILE)
-               for k, v in lanes.items()}
-        val = shade_fn(sub)                     # [b//TILE, TILE, 3]
-        rr = rr.at[take].set(val[..., 0].reshape(b), mode="drop")
-        rg = rg.at[take].set(val[..., 1].reshape(b), mode="drop")
-        rb = rb.at[take].set(val[..., 2].reshape(b), mode="drop")
-        return c + 1, rr, rg, rb
-
-    _, rr, rg, rb = jax.lax.while_loop(cond, body, (jnp.int32(0),) + rad)
-    return jnp.stack([rr[:r].reshape(shape), rg[:r].reshape(shape),
-                      rb[:r].reshape(shape)], axis=-1)
-
-
-TILE = 128  # lane width for compacted sub-batches
-
-
 def _shade_analytic(scene: SceneCtx, h: Hit, seed, frame_index, vdir, px, py):
     """Analytic-scene material dispatch (reference: rt.frag:119-162)."""
     params = scene.params
@@ -220,10 +162,10 @@ def _shade_analytic(scene: SceneCtx, h: Hit, seed, frame_index, vdir, px, py):
 
     # Glass/mirror secondary bounces: computed for all lanes and masked
     # in, exactly like the fragment shader's divergent branches.  A
-    # compacted-wavefront variant exists (_compact_masked_eval) but
-    # measured SLOWER on the tunneled dev slice — its scatter/gather
-    # lowering costs more than the masked over-compute it saves (157ms vs
-    # 41ms at 1080p baseline); revisit on hardware with full HBM bandwidth.
+    # compacted-wavefront variant (experiments/compaction.py) measured
+    # SLOWER on the tunneled dev slice — its scatter/gather lowering
+    # costs more than the masked over-compute it saves (157ms vs 41ms at
+    # 1080p baseline); revisit on hardware with full HBM bandwidth.
     if params.mat_mirror_enabled:
         mirror_r = lt.shade_mirror(scene, h, vdir, mat, seed, frame_index,
                                    px, py)
@@ -237,17 +179,23 @@ def _shade_analytic(scene: SceneCtx, h: Hit, seed, frame_index, vdir, px, py):
     return radiance
 
 
-def _shade_bvh(scene: SceneCtx, h: Hit, seed, frame_index, vdir, px, py):
-    """BVH-scene shading (reference: rt.frag:105-117)."""
+def _shade_bvh(scene: SceneCtx, h: Hit, seed, frame_index, vdir, px, py,
+               active=None):
+    """BVH-scene shading (reference: rt.frag:105-117).
+
+    `active` marks lanes whose radiance survives the final sky select;
+    sky lanes skip the shadow/GI/AO wavefront work tile-by-tile (their
+    values are unspecified and discarded)."""
     params = scene.params
-    radiance = lt.direct_light_bvh(scene, h, seed, frame_index, vdir, px, py)
+    radiance = lt.direct_light_bvh(scene, h, seed, frame_index, vdir, px, py,
+                                   active=active)
     if params.enable_gi:
         radiance = radiance + (
             jnp.float32(params.gi_scale_bvh)
             * lt.one_bounce_gi_bvh(scene, h, frame_index, seed, frame_index,
-                                   px, py))
+                                   px, py, active=active))
     if params.enable_ao:
-        ao = lt.compute_ao(scene, h, frame_index, px, py)
+        ao = lt.compute_ao(scene, h, frame_index, px, py, active=active)
         radiance = radiance * ao[..., None]
     return radiance
 
@@ -296,13 +244,16 @@ def trace_and_shade(scene: SceneCtx, params: RenderParams, fin: FrameInputs,
     spp = max(int(params.spp_per_frame), 1) if not show_motion else 1
 
     # Primary hit: identical for every SPP sample (deterministic trace).
-    # All primary rays share the camera origin, so params.ordered_primary
+    # All primary rays share the camera origin, so ordered_primary == 1
     # selects the front-to-back chunk walk with tile-wide early
     # termination on the BVH fast path (big win when the camera is close
-    # to the geometry and the interval cull degenerates).
+    # to the geometry and the interval cull degenerates).  The auto value
+    # (2) must be resolved to 0/1 by the caller from host-side camera/AABB
+    # knowledge (ops.scene.resolve_ordered_primary); unresolved it means
+    # "unordered" here.
     h_raw = scene.trace(
         ro, rd,
-        shared_origin=scene.cam_pos if params.ordered_primary else None)
+        shared_origin=scene.cam_pos if params.ordered_primary == 1 else None)
     hit_mask = h_raw.valid
     h = _sanitize_hit(h_raw, ro, rd)
 
@@ -331,6 +282,7 @@ def trace_and_shade(scene: SceneCtx, params: RenderParams, fin: FrameInputs,
     if spp == 1:
         seeds = frame_index * spp
         h_b, px_b, py_b, vdir_b = h, px, py, vdir
+        mask_b = hit_mask
     else:
         seeds = (frame_index * spp
                  + jnp.arange(spp, dtype=jnp.int32))[:, None, None]
@@ -338,10 +290,11 @@ def trace_and_shade(scene: SceneCtx, params: RenderParams, fin: FrameInputs,
         px_b = bshape(px)
         py_b = bshape(py)
         vdir_b = bshape(vdir)
+        mask_b = bshape(hit_mask)
 
     if use_bvh:
         shaded = _shade_bvh(scene, h_b, seeds, frame_index, vdir_b,
-                            px_b, py_b)
+                            px_b, py_b, active=mask_b)
     else:
         shaded = _shade_analytic(scene, h_b, seeds, frame_index, vdir_b,
                                  px_b, py_b)

@@ -59,6 +59,25 @@ FDIM = 8             # materialized per-ray planes: o(3), d(3), tmax, pad —
                      # m = o x d, the ones row, and padding are built
                      # in-kernel to halve the dominant HBM stream
 
+# MXU passes per f32 matmul: HIGHEST = 6 bf16 passes, DEFAULT = 1
+# (Mosaic supports only these two).  Closest-hit keeps HIGHEST
+# (barycentric-scale precision shifts silhouette/t winners — CLAUDE.md);
+# the shadow any-hit is a binary test whose boundaries tolerate 1-pass
+# bf16 error: measured 13.5ms faster per baseline frame with 0.06%
+# checksum drift (boundary flips only) — see PERF.md round 2.
+_PREC = {"default": jax.lax.Precision.DEFAULT,
+         "highest": jax.lax.Precision.HIGHEST}
+MT_PRECISION = _PREC[os.environ.get("ORT_MT_PRECISION", "highest")]
+SHADOW_PRECISION = _PREC[os.environ.get("ORT_SHADOW_PRECISION", "default")]
+
+# Chunks per kernel loop step (unordered walks).  Each scalar-core loop
+# iteration costs ~450ns — comparable to the 512x16x128 matmul itself —
+# so the unordered kernels fuse GROUP consecutive chunks into ONE
+# [GROUP*512,16]x[16,128] matmul per step, amortizing the control-flow
+# overhead GROUPx.  Must divide PAGE_CHUNKS; group bitmasks need
+# ceil(PAGE_CHUNKS/GROUP) <= 32.
+GROUP = int(os.environ.get("ORT_CHUNK_GROUP", "4"))
+
 
 def _subtiles_for(nt: int) -> int:
     # Large batched ray streams (multi-sample shadow wavefronts) amortize
@@ -103,6 +122,9 @@ def build_mxu_arrays(bvh: BVH) -> MXUBVH:
     tris = np.asarray(bvh.tris, np.float32)
     t = tris.shape[0]
     nc = max((t + CHUNK - 1) // CHUNK, 1)
+    nc = -(-nc // 8) * 8  # pad to a chunk-group multiple (GROUP <= 8);
+    # padded chunks have zero coef (det==0 rejects) and inverted bounds
+    # (the cull never selects them)
     padded = np.zeros((nc * CHUNK, 12), np.float32)
     padded[:t, :9] = tris
 
@@ -213,9 +235,9 @@ def _tile_chunk_ranges(chunk_bounds, ro_soa, rd_soa, t_cap=None):
     hi = jnp.max(jnp.where(hit, cidx + 1, 0), axis=0)
     n = jnp.maximum(hi - lo, 0)
 
-    # Per-tile 64-bit hit bitmask (two int32 words) lets the kernel skip
-    # non-hit chunks inside the contiguous range (~2x fewer matmuls on the
-    # bunny scene).  Scenes with >64 chunks degrade to range-only.
+    # Per-tile 64-bit hit bitmask (two int32 words) lets the ordered
+    # kernel skip non-hit chunks inside the contiguous range.  Scenes
+    # with >64 chunks degrade to range-only (ordered path only).
     if nc <= 64:
         bits = hit.astype(jnp.uint32)
         w_lo = jnp.zeros(nt, jnp.uint32)
@@ -229,7 +251,24 @@ def _tile_chunk_ranges(chunk_bounds, ro_soa, rd_soa, t_cap=None):
         w_hi = jnp.full(nt, 0xFFFFFFFF, jnp.uint32)
     mask_lo = w_lo.astype(jnp.int32)
     mask_hi = w_hi.astype(jnp.int32)
-    return lo.astype(jnp.int32), n.astype(jnp.int32), mask_lo, mask_hi
+
+    # Per-tile GROUP bitmask for the unordered group walk: bit g set iff
+    # any chunk in absolute group [g*GROUP, (g+1)*GROUP) may hit.  Pages
+    # hold <= PAGE_CHUNKS=128-group-padded chunks so ng <= 32 always.
+    ng = -(-nc // GROUP)
+    assert ng <= 32, f"page too large for group mask ({nc} chunks)"
+    pad = ng * GROUP - nc
+    hit_p = jnp.pad(hit, ((0, pad), (0, 0))) if pad else hit
+    ghit = jnp.any(hit_p.reshape(ng, GROUP, nt), axis=1)
+    gmask = jnp.zeros(nt, jnp.uint32)
+    for g in range(ng):
+        gmask = gmask | (ghit[g].astype(jnp.uint32) << jnp.uint32(g))
+    glo = lo // GROUP
+    ghi_g = -(-(lo + n) // GROUP)
+    gn = jnp.where(n > 0, ghi_g - glo, 0)
+    return (lo.astype(jnp.int32), n.astype(jnp.int32), mask_lo, mask_hi,
+            glo.astype(jnp.int32), gn.astype(jnp.int32),
+            gmask.astype(jnp.int32))
 
 
 def _build_features(ro_soa, rd_soa, extra=None):
@@ -312,12 +351,10 @@ def _closest_kernel(active_ref, gorder_ref, gbound_ref, meta_ref, f_ref,
             mhi = meta_ref[s, 3]
 
             # All-f32 epilogue (Mosaic mishandles packed-i1 keepdims
-            # reductions).
-            def chunk_work(ci, carry):
+            # reductions).  `out` is a 512-row det|u|v|t block; `nsel` the
+            # matching [128,8] normal rows.
+            def merge_block(out, nsel, carry):
                 t_best, nx, ny, nz = carry     # [1,128] f32
-                c = coef_ref[lo + ci]          # [512,16]
-                out = jnp.dot(c, f, preferred_element_type=jnp.float32,
-                              precision=jax.lax.Precision.HIGHEST)
                 t, acc = _epilogue_inputs(out, eps)
                 acc = acc & (t < t_best)       # [128,128] tri x ray
                 tc = jnp.where(acc, t, INF)
@@ -326,7 +363,6 @@ def _closest_kernel(active_ref, gorder_ref, gbound_ref, meta_ref, f_ref,
                 itri = jnp.max(win, axis=0, keepdims=True) - 1.0   # [1,128]
                 # one-hot row of the winning triangle per ray
                 onehot = jnp.where(tri_f == itri, 1.0, 0.0)        # [128,128]
-                nsel = norms_ref[lo + ci]      # [128,8]
                 nx_w = jnp.sum(onehot * nsel[:, 0:1], axis=0, keepdims=True)
                 ny_w = jnp.sum(onehot * nsel[:, 1:2], axis=0, keepdims=True)
                 nz_w = jnp.sum(onehot * nsel[:, 2:3], axis=0, keepdims=True)
@@ -337,6 +373,12 @@ def _closest_kernel(active_ref, gorder_ref, gbound_ref, meta_ref, f_ref,
                 ny = upd * ny_w + (1.0 - upd) * ny
                 nz = upd * nz_w + (1.0 - upd) * nz
                 return t_best, nx, ny, nz
+
+            def chunk_work(ci, carry):
+                c = coef_ref[lo + ci]          # [512,16]
+                out = jnp.dot(c, f, preferred_element_type=jnp.float32,
+                              precision=MT_PRECISION)
+                return merge_block(out, norms_ref[lo + ci], carry)
 
             t0 = jnp.full((1, TILE_RAYS), INF, jnp.float32)
             z0 = jnp.zeros((1, TILE_RAYS), jnp.float32)
@@ -360,7 +402,11 @@ def _closest_kernel(active_ref, gorder_ref, gbound_ref, meta_ref, f_ref,
                     j, carry = st
                     gi = gorder_ref[j] - lo
                     word = jnp.where(gi + lo < 32, mlo, mhi)
-                    sh = jnp.where(gi + lo < 32, gi + lo, gi + lo - 32)
+                    # clamp: shift >= 32 on int32 is undefined in XLA/LLVM;
+                    # only reachable when nc > 64 degrades the mask to
+                    # all-ones, where any in-range bit of -1 reads as 1.
+                    sh = jnp.clip(
+                        jnp.where(gi + lo < 32, gi + lo, gi + lo - 32), 0, 31)
                     bit = jnp.where((gi >= 0) & (gi < n),
                                     (word >> sh) & 1, 0)
                     carry = jax.lax.cond(
@@ -374,17 +420,36 @@ def _closest_kernel(active_ref, gorder_ref, gbound_ref, meta_ref, f_ref,
                 _, (t_best, nx, ny, nz) = jax.lax.while_loop(
                     ord_cond, ord_body, (jlo, (t0, z0, z0, z0)))
             else:
-                def chunk_body(ci, carry):
-                    # skip range positions whose cull bit is clear
-                    gi = lo + ci
-                    word = jnp.where(gi < 32, mlo, mhi)
-                    bit = (word >> jnp.where(gi < 32, gi, gi - 32)) & 1
+                # Group walk: GROUP consecutive chunks per step — ONE
+                # [GROUP*512,16]x[16,128] matmul amortizes the ~450ns
+                # scalar loop overhead GROUPx; the group bitmask skips
+                # all-miss groups.
+                glo = meta_ref[s, 6]
+                gn = meta_ref[s, 7]
+                gmask = meta_ref[s, 8]
+
+                def group_work(gi, carry):
+                    base = (glo + gi) * GROUP
+                    cg = coef_ref[pl.ds(base, GROUP)].reshape(
+                        GROUP * 4 * CHUNK, KDIM)
+                    out = jnp.dot(cg, f,
+                                  preferred_element_type=jnp.float32,
+                                  precision=MT_PRECISION)
+                    ng = norms_ref[pl.ds(base, GROUP)]   # [GROUP,128,8]
+                    for g in range(GROUP):               # static unroll
+                        carry = merge_block(
+                            out[g * 512:(g + 1) * 512], ng[g], carry)
+                    return carry
+
+                def group_body(gi, carry):
+                    sh = jnp.clip(glo + gi, 0, 31)
+                    bit = (gmask >> sh) & 1
                     return jax.lax.cond(
-                        bit > 0, lambda cr: chunk_work(ci, cr),
+                        bit > 0, lambda cr: group_work(gi, cr),
                         lambda cr: cr, carry)
 
                 t_best, nx, ny, nz = jax.lax.fori_loop(
-                    0, n, chunk_body, (t0, z0, z0, z0))
+                    0, gn, group_body, (t0, z0, z0, z0))
             t_ref[pl.ds(s, 1), :] = t_best
             nx_ref[pl.ds(s, 1), :] = nx
             ny_ref[pl.ds(s, 1), :] = ny
@@ -404,37 +469,55 @@ def _shadow_kernel(active_ref, gorder_ref, gbound_ref, meta_ref, f_ref,
     def _():
         def subtile_body(s, _):
             f = _expand_features(f_ref[s])
-            lo = meta_ref[s, 0]
-            n = meta_ref[s, 1]
-            mlo = meta_ref[s, 2]
-            mhi = meta_ref[s, 3]
+            glo = meta_ref[s, 6]
+            gn = meta_ref[s, 7]
+            gmask = meta_ref[s, 8]
             tmax = f[10:11, :]                 # [1,128]
 
-            def chunk_work(ci, occ):
-                c = coef_ref[lo + ci]
-                out = jnp.dot(c, f, preferred_element_type=jnp.float32,
-                              precision=jax.lax.Precision.HIGHEST)
-                t, acc = _epilogue_inputs(out, eps)
-                acc = acc & (t <= tmax)
-                acc_f = jnp.where(acc, 1.0, 0.0)
-                return jnp.maximum(occ, jnp.max(acc_f, axis=0, keepdims=True))
+            def group_work(gi, occ):
+                base = (glo + gi) * GROUP
+                cg = coef_ref[pl.ds(base, GROUP)].reshape(
+                    GROUP * 4 * CHUNK, KDIM)
+                out = jnp.dot(cg, f, preferred_element_type=jnp.float32,
+                              precision=SHADOW_PRECISION)
+                for g in range(GROUP):         # static unroll
+                    blk = out[g * 512:(g + 1) * 512]
+                    # Division-free acceptance: any-hit only needs SIGN
+                    # tests, so multiply u/v/t numerators by sign(det)
+                    # and compare against |det|-scaled bounds (a VPU
+                    # divide costs ~10x a multiply).  Semantics identical
+                    # to the reference's tests (rt_bvh.glsl:154-170) for
+                    # det != 0.
+                    det = blk[0:128, :]
+                    sgn = jnp.where(det >= 0.0, 1.0, -1.0)
+                    adet = jnp.abs(det)
+                    ok_det = adet >= 1e-8
+                    u_n = blk[128:256, :] * sgn
+                    v_n = blk[256:384, :] * sgn
+                    t_n = blk[384:512, :] * sgn
+                    acc = (ok_det & (u_n >= 0.0) & (u_n <= adet)
+                           & (v_n >= 0.0) & (u_n + v_n <= adet)
+                           & (t_n >= eps * adet) & (t_n <= tmax * adet))
+                    acc_f = jnp.where(acc, 1.0, 0.0)
+                    occ = jnp.maximum(occ, jnp.max(acc_f, axis=0,
+                                                   keepdims=True))
+                return occ
 
-            def chunk_body(ci, occ):
-                gi = lo + ci
-                word = jnp.where(gi < 32, mlo, mhi)
-                bit = (word >> jnp.where(gi < 32, gi, gi - 32)) & 1
-                return jax.lax.cond(bit > 0, lambda oc: chunk_work(ci, oc),
+            def group_body(gi, occ):
+                sh = jnp.clip(glo + gi, 0, 31)
+                bit = (gmask >> sh) & 1
+                return jax.lax.cond(bit > 0, lambda oc: group_work(gi, oc),
                                     lambda oc: oc, occ)
 
             # while-loop with all-occluded early exit
             def sh_cond(st):
-                return st[0] < n
+                return st[0] < gn
 
             def sh_body(st):
-                ci, occ = st
-                occ = chunk_body(ci, occ)
-                ci = jnp.where(jnp.min(occ) >= 1.0, n, ci + 1)
-                return ci, occ
+                gi, occ = st
+                occ = group_body(gi, occ)
+                gi = jnp.where(jnp.min(occ) >= 1.0, gn, gi + 1)
+                return gi, occ
 
             occ0 = jnp.zeros((1, TILE_RAYS), jnp.float32)
             _, occ = jax.lax.while_loop(sh_cond, sh_body,
@@ -474,13 +557,20 @@ def _direction_keys_soa(dx, dy, dz):
     return octant * 8 + dom * 4 + sub
 
 
-def sorted_trace(trace_fn, mxu, ro, rd, *extra, eps: float = EPS):
+def sorted_trace(trace_fn, mxu, ro, rd, *extra, eps: float = EPS,
+                 active=None):
     """Run an MXU trace with rays stable-sorted by direction coherence.
 
     trace_fn(mxu, ro, rd, *extra) must accept flat [R,...] rays; results
     are inverse-permuted back to caller order.  Sorting costs one argsort
     + two gathers and typically pays for itself on hemisphere-sampled
-    batches (GI/AO)."""
+    batches (GI/AO).
+
+    `active=None` or a bool mask of the ray batch shape: inactive rays
+    (results discarded by the caller) sort to the END as a dedicated run
+    of degenerate far-away rays, so their tiles cull to empty ranges and
+    the kernel skips them block-wise — without widening the origin
+    intervals of the tiles that hold real rays."""
     shape = jnp.broadcast_shapes(jnp.shape(ro)[:-1], jnp.shape(rd)[:-1])
     ro_b = jnp.broadcast_to(ro, shape + (3,))
     rd_b = jnp.broadcast_to(rd, shape + (3,))
@@ -488,13 +578,19 @@ def sorted_trace(trace_fn, mxu, ro, rd, *extra, eps: float = EPS):
     dyf = rd_b[..., 1].reshape(-1)
     dzf = rd_b[..., 2].reshape(-1)
     keys = _direction_keys_soa(dxf, dyf, dzf)
+    comps = [ro_b[..., k].reshape(-1) for k in range(3)] + [dxf, dyf, dzf]
+    if active is not None:
+        act = jnp.broadcast_to(active, shape).reshape(-1)
+        keys = jnp.where(act, keys, 1 << 10)
+        # same degenerate geometry as the tracer's pad rays
+        gate_vals = (1e8, 1e8, 1e8, 1.0, 0.0, 0.0)
+        comps = [jnp.where(act, c, g) for c, g in zip(comps, gate_vals)]
     perm = jnp.argsort(keys, stable=True)
     inv = jnp.argsort(perm)
     extra_s = [jnp.broadcast_to(e, shape).reshape(-1)[perm] for e in extra]
     # permute per 1D component (packed layouts), re-assemble [R,3] views
-    ro_p = jnp.stack([ro_b[..., k].reshape(-1)[perm] for k in range(3)],
-                     axis=-1)
-    rd_p = jnp.stack([dxf[perm], dyf[perm], dzf[perm]], axis=-1)
+    ro_p = jnp.stack([comps[k][perm] for k in range(3)], axis=-1)
+    rd_p = jnp.stack([comps[3 + k][perm] for k in range(3)], axis=-1)
     out = trace_fn(mxu, ro_p, rd_p, *extra_s, eps=eps)
     if isinstance(out, Hit):
         return Hit(out.t[inv].reshape(shape),
@@ -504,13 +600,15 @@ def sorted_trace(trace_fn, mxu, ro, rd, *extra, eps: float = EPS):
     return out[inv].reshape(shape)
 
 
-def trace_bvh_mxu_sorted(mxu, ro, rd, eps: float = EPS) -> Hit:
-    return sorted_trace(trace_bvh_mxu_paged, mxu, ro, rd, eps=eps)
+def trace_bvh_mxu_sorted(mxu, ro, rd, eps: float = EPS, active=None) -> Hit:
+    return sorted_trace(trace_bvh_mxu_paged, mxu, ro, rd, eps=eps,
+                        active=active)
 
 
-def trace_bvh_shadow_mxu_sorted(mxu, ro, rd, t_max, eps: float = EPS):
+def trace_bvh_shadow_mxu_sorted(mxu, ro, rd, t_max, eps: float = EPS,
+                                active=None):
     return sorted_trace(trace_bvh_shadow_mxu_paged, mxu, ro, rd, t_max,
-                        eps=eps)
+                        eps=eps, active=active)
 
 
 # -----------------------------------------------------------------------------
@@ -574,6 +672,12 @@ def _pad_tiles(ro, rd, extra=None):
     return shape, n, ro_soa, rd_soa, e
 
 
+# The GROUP-chunk matmul block ([GROUP*512,128] out + epilogue temps)
+# overflows the default 16MB scoped-VMEM stack by a hair; give the
+# kernels explicit headroom.
+_COMPILER_PARAMS = pltpu.CompilerParams(vmem_limit_bytes=64 * 1024 * 1024)
+
+
 def _grid_specs(nt, n_out, n_full_inputs=1, subtiles=SUBTILES):
     # Only the tiny per-block active flags ride scalar prefetch (SMEM);
     # per-tile metadata is a blocked VMEM operand — huge batched ray
@@ -585,7 +689,7 @@ def _grid_specs(nt, n_out, n_full_inputs=1, subtiles=SUBTILES):
         num_scalar_prefetch=3,
         grid=(nt // subtiles,),
         in_specs=[
-            pl.BlockSpec((subtiles, 6), lambda b, *pf: (b, 0),
+            pl.BlockSpec((subtiles, META_W), lambda b, *pf: (b, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((subtiles, FDIM, TILE_RAYS),
                          lambda b, *pf: (b, 0, 0),
@@ -595,11 +699,16 @@ def _grid_specs(nt, n_out, n_full_inputs=1, subtiles=SUBTILES):
     )
 
 
-def _pack_meta(lo, cn, mlo, mhi, jlo=None, jhi=None):
+META_W = 10  # lo, n, mlo, mhi, jlo, jhi, glo, gn, gmask, pad
+
+
+def _pack_meta(cull, jlo=None, jhi=None):
+    lo, cn, mlo, mhi, glo, gn, gmask = cull
     z = jnp.zeros_like(lo)
     return jnp.stack([lo, cn, mlo, mhi,
                       z if jlo is None else jlo,
-                      z if jhi is None else jhi], axis=1)
+                      z if jhi is None else jhi,
+                      glo, gn, gmask, z], axis=1)
 
 
 def _block_active(cn, nt, subtiles=SUBTILES):
@@ -628,10 +737,18 @@ def trace_bvh_mxu(mxu: MXUBVH, ro, rd, eps: float = EPS,
     With `ordered=True` and `shared_origin` (all rays from one point,
     e.g. primary rays), chunks walk front-to-back with tile-wide early
     termination — the closest-hit analog of the reference's near-first +
-    t-pruned stack walk (rt_bvh.glsl:224-239)."""
+    t-pruned stack walk (rt_bvh.glsl:224-239).
+
+    Tie caveat: the strict `t < t_best` update rule means two triangles
+    in DIFFERENT chunks at exactly equal t resolve to the winner of the
+    chunk visited first, and ordered/unordered walks visit chunks in
+    different orders — bit-identical output between the two modes is
+    guaranteed only for tie-free scenes (any non-degenerate mesh; shared
+    edges hit exactly on the edge can differ in the winning normal)."""
     shape, n, ro_soa, rd_soa, _ = _pad_tiles(ro, rd)
     nt = ro_soa[0].shape[0] // TILE_RAYS
-    lo, cn, mlo, mhi = _tile_chunk_ranges(mxu.chunk_bounds, ro_soa, rd_soa)
+    cull = _tile_chunk_ranges(mxu.chunk_bounds, ro_soa, rd_soa)
+    lo, cn = cull[0], cull[1]
     feats = _build_features(ro_soa, rd_soa)
     subtiles = _subtiles_for(nt)
     nc = mxu.coef.shape[0]
@@ -661,8 +778,9 @@ def trace_bvh_mxu(mxu: MXUBVH, ro, rd, eps: float = EPS,
         grid_spec=_grid_specs(nt, 4, n_full_inputs=2, subtiles=subtiles),
         out_shape=[jax.ShapeDtypeStruct((nt, TILE_RAYS), jnp.float32)] * 4,
         interpret=_use_interpret(),
+        compiler_params=_COMPILER_PARAMS,
     )(_block_active(cn, nt, subtiles), gorder, gbound,
-      _pack_meta(lo, cn, mlo, mhi, jlo, jhi), feats, mxu.coef, mxu.norms)
+      _pack_meta(cull, jlo, jhi), feats, mxu.coef, mxu.norms)
 
     t = t_rows.reshape(-1)[:n].reshape(shape)
     hit = t < INF
@@ -682,8 +800,8 @@ def trace_bvh_shadow_mxu(mxu: MXUBVH, ro, rd, t_max, eps: float = EPS):
     shape, n, ro_soa, rd_soa, tm = _pad_tiles(ro, rd, t_max)
     nt = ro_soa[0].shape[0] // TILE_RAYS
     t_cap = jnp.max(tm.reshape(nt, TILE_RAYS), axis=1)
-    lo, cn, mlo, mhi = _tile_chunk_ranges(mxu.chunk_bounds, ro_soa, rd_soa,
-                                          t_cap)
+    cull = _tile_chunk_ranges(mxu.chunk_bounds, ro_soa, rd_soa, t_cap)
+    cn = cull[1]
     feats = _build_features(ro_soa, rd_soa, tm)
     subtiles = _subtiles_for(nt)
 
@@ -694,8 +812,9 @@ def trace_bvh_shadow_mxu(mxu: MXUBVH, ro, rd, t_max, eps: float = EPS):
         grid_spec=_grid_specs(nt, 1, n_full_inputs=1, subtiles=subtiles),
         out_shape=jax.ShapeDtypeStruct((nt, TILE_RAYS), jnp.float32),
         interpret=_use_interpret(),
+        compiler_params=_COMPILER_PARAMS,
     )(_block_active(cn, nt, subtiles), jnp.arange(nc, dtype=jnp.int32),
-      jnp.zeros(nc, jnp.float32), _pack_meta(lo, cn, mlo, mhi), feats,
+      jnp.zeros(nc, jnp.float32), _pack_meta(cull), feats,
       mxu.coef)
 
     return occ_rows.reshape(-1)[:n].reshape(shape) > 0.5

@@ -238,13 +238,20 @@ def direct_light(scene: SceneCtx, h, rng_frame, frame_index, vdir, px, py):
 
 
 def direct_light_bvh(scene: SceneCtx, h, rng_frame, frame_index, vdir,
-                     px, py):
+                     px, py, active=None):
     """Direct lighting for BVH triangles: hard-coded white plastic
     (reference: rt_lighting.glsl:405-460).
 
     ALL shadow queries (4 disk + sun + point) go through ONE batched
     any-hit kernel call — the TPU wavefront restructuring of the
-    reference's six sequential shadow traces."""
+    reference's six sequential shadow traces.
+
+    `active` (bool, shape of h.t) marks lanes whose radiance is consumed
+    by the caller (primary/GI hits).  Inactive lanes — sky pixels, whose
+    result is discarded by a downstream select — get a collapsed shadow
+    window (-1) so the cull pre-pass empties their tiles and whole sky
+    blocks skip the any-hit kernel.  Values on inactive lanes are
+    unspecified."""
     n = normalize(h.n)
     v = normalize(vdir)
     shape = jnp.shape(h.t)
@@ -272,6 +279,8 @@ def direct_light_bvh(scene: SceneCtx, h, rng_frame, frame_index, vdir,
             origins.append(o)
             dirs.append(d)
             wins.append(w)
+        if active is not None:
+            wins = [jnp.where(active, w, -1.0) for w in wins]
         occ = scene.trace_shadow_any(jnp.stack(origins), jnp.stack(dirs),
                                      jnp.stack(wins))
         occ_disk = occ[:SOFT_SHADOW_SAMPLES]
@@ -318,9 +327,12 @@ def one_bounce_gi_analytic(scene: SceneCtx, h0, rng_frame, seed, frame_index,
 
 
 def one_bounce_gi_bvh(scene: SceneCtx, h0, rng_frame, seed, frame_index,
-                      px, py):
+                      px, py, active=None):
     """BVH GI with grazing-angle cut and firefly luminance clamp
-    (reference: rt_lighting.glsl:515-561)."""
+    (reference: rt_lighting.glsl:515-561).
+
+    Inactive lanes (sky pixels) trace degenerate far-away rays that the
+    cull drops, and their (discarded) secondary lighting is gated too."""
     so = jnp.asarray(seed * 19).astype(jnp.float32)
     so2 = jnp.asarray(seed * 41).astype(jnp.float32)
     ux = rand(px + so, py + so, rng_frame)
@@ -329,8 +341,10 @@ def one_bounce_gi_bvh(scene: SceneCtx, h0, rng_frame, seed, frame_index,
     wi = sample_hemisphere_cosine(n0, ux, uy)
     cos_theta = jnp.maximum(dot(n0, wi), 0.0)
     origin = h0.p + n0 * EPS
-    h1 = scene.trace(origin, wi, coherent=False)
-    li_hit = direct_light_bvh(scene, h1, rng_frame, frame_index, -wi, px, py)
+    h1 = scene.trace(origin, wi, coherent=False, active=active)
+    act1 = h1.valid if active is None else (active & h1.valid)
+    li_hit = direct_light_bvh(scene, h1, rng_frame, frame_index, -wi, px, py,
+                              active=act1)
     li = jnp.where(h1.valid[..., None], li_hit, scene.sky(wi))
     contrib = const3(BVH_ALBEDO) * (cos_theta / PI)[..., None] * li
     lum = dot(contrib, const3(YCOEFF))
@@ -408,7 +422,7 @@ def shade_mirror(scene: SceneCtx, h, wo, mat, seed, frame_index, px, py):
     return col * mat.albedo
 
 
-def compute_ao(scene: SceneCtx, h, frame_index, px, py):
+def compute_ao(scene: SceneCtx, h, frame_index, px, py, active=None):
     """Cosine-hemisphere ambient occlusion, radius-limited, remapped to
     [ao_min, 1] (reference: rt_lighting.glsl:721-757)."""
     params = scene.params
@@ -422,7 +436,8 @@ def compute_ao(scene: SceneCtx, h, frame_index, px, py):
         dirs.append(sample_hemisphere_cosine(n, ux, uy))
     d_all = jnp.stack(dirs, axis=0)                    # [S,...,3]
     org = (h.p + n * params.ao_bias)[None]
-    tmp = scene.trace(org, d_all, coherent=False)      # one batched trace
+    tmp = scene.trace(org, d_all, coherent=False,      # one batched trace
+                      active=None if active is None else active[None])
     occluded = jnp.sum(
         jnp.where(tmp.valid & (tmp.t < params.ao_radius), 1.0, 0.0), axis=0)
     occ = occluded / float(params.ao_samples)

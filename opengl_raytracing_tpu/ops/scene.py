@@ -48,6 +48,37 @@ def _tpu() -> bool:
     return jax.default_backend() == "tpu"
 
 
+# Auto ordered-primary threshold: the close-up regime (where the ordered
+# walk measured 1.84x) starts when the camera is within this many scene
+# radii of the AABB; beyond it the unordered walk's cheaper scalar loop
+# wins by a few % (PERF.md close/far table).
+ORDERED_AUTO_FACTOR = 1.5
+
+
+def resolve_ordered_primary(flag: int, cam_pos, aabb) -> int:
+    """Resolve RenderParams.ordered_primary (0/1/2=auto) to 0 or 1.
+
+    Host-side, per frame: `aabb` is an (bmin, bmax) numpy pair of the BVH
+    scene bounds (None when no BVH is loaded).  Auto turns the ordered
+    front-to-back walk on when the camera is close to the geometry — the
+    regime where the interval cull degenerates (every tile's frustum
+    overlaps most chunks) and near-first + tile-wide early termination
+    pays (the reference's stack walk is always near-first,
+    rt_bvh.glsl:224-239)."""
+    import numpy as np
+    if flag != 2:
+        return int(flag)
+    if aabb is None:
+        return 0
+    bmin, bmax = (np.asarray(aabb[0], np.float64),
+                  np.asarray(aabb[1], np.float64))
+    c = np.asarray(cam_pos, np.float64)
+    nearest = np.clip(c, bmin, bmax)
+    dist = float(np.linalg.norm(nearest - c))
+    radius = 0.5 * float(np.linalg.norm(bmax - bmin))
+    return 1 if dist < ORDERED_AUTO_FACTOR * radius else 0
+
+
 def dir_from_yaw_pitch(yaw_deg, pitch_deg):
     """Direction from yaw/pitch degrees (reference: src/render/render.cpp:35-51)."""
     yaw = jnp.deg2rad(jnp.asarray(yaw_deg, jnp.float32))
@@ -103,7 +134,10 @@ class SceneCtx:
     # -- trace dispatch --
 
     def trace(self, ro, rd, eps: float = EPS, coherent: bool = True,
-              shared_origin=None) -> sa.Hit:
+              shared_origin=None, active=None) -> sa.Hit:
+        """`active`: optional bool mask — lanes whose hit result the
+        caller discards; the sorted MXU path skips their tiles (values on
+        inactive lanes are unspecified on TPU, exact elsewhere)."""
         if self.use_bvh:
             # TPU: cull + MXU Moller-Trumbore (paged for arbitrary scene
             # sizes; front-to-back ordered walk when all rays share one
@@ -115,7 +149,8 @@ class SceneCtx:
                         self.bvh.mxu, ro, rd, eps,
                         shared_origin=shared_origin,
                         ordered=shared_origin is not None)
-                return trace_bvh_mxu_sorted(self.bvh.mxu, ro, rd, eps)
+                return trace_bvh_mxu_sorted(self.bvh.mxu, ro, rd, eps,
+                                            active=active)
             return trace_bvh(self.bvh.arrays, ro, rd, eps)
         return sa.trace_analytic(ro, rd, self.params, self.point_light_pos,
                                  eps)

@@ -1,0 +1,163 @@
+"""Stage-by-stage ablation of the baseline BVH frame on TPU.
+
+Finds where the frame time actually goes: each case jits a pipeline
+prefix chained REPS times device-side (one dispatch), so the ~30ms
+tunnel dispatch cost amortizes to ~2ms/rep.  Run cases in child
+processes (the worker can wedge); each prints one JSON line.
+
+Usage: python scripts/ablate.py [--case KEY]
+"""
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+H, W = 1080, 1920
+REPS = int(os.environ.get("ABLATE_REPS", "16"))
+
+CASES = [
+    "noop",            # dispatch + readback floor
+    "raygen",          # primary ray directions only
+    "primary",         # + MXU closest-hit trace
+    "gbuffer",         # + motion/gbuffer/sky selects
+    "shade_noshadow",  # + direct light math with shadows forced visible
+    "shade",           # + real shadow wavefront (full trace_and_shade)
+    "taa",             # + TAA resolve
+    "frame",           # + present (= render_frame)
+]
+
+
+def _setup():
+    import jax.numpy as jnp
+    from opengl_raytracing_tpu import Camera
+    from opengl_raytracing_tpu.models import FrameInputs, RenderState, preset
+    from opengl_raytracing_tpu.scene import make_bunny, gather_triangles
+    from opengl_raytracing_tpu.scene.geometry import model_transform
+    from opengl_raytracing_tpu.ops.scene import prepare_bvh
+
+    params = preset("baseline")
+    tris = gather_triangles(make_bunny(4), model_transform((-2, 1.5, 0), 0.5))
+    bvh = prepare_bvh(tris)
+    cam = Camera()
+    cam.aspect = W / H
+    right, up, fwd, thf = cam.basis()
+    vp = cam.view_projection()
+    fin = FrameInputs(jnp.asarray(cam.position), jnp.asarray(right),
+                      jnp.asarray(up), jnp.asarray(fwd), jnp.float32(thf),
+                      jnp.float32(cam.aspect), jnp.zeros(2, jnp.float32),
+                      jnp.asarray(vp), jnp.asarray(vp), jnp.int32(0))
+    return params, bvh, fin, RenderState.create(H, W)
+
+
+def child(key: str) -> None:
+    import jax
+    import jax.numpy as jnp
+    from opengl_raytracing_tpu.models import pipeline as pl
+    from opengl_raytracing_tpu.models.pipeline import (RenderState,
+                                                       primary_rays)
+    from opengl_raytracing_tpu.ops.scene import SceneCtx
+    from opengl_raytracing_tpu.ops import lighting as lt
+    from opengl_raytracing_tpu.ops.taa import resolve_taa
+    from opengl_raytracing_tpu.ops.svgf import present
+    from opengl_raytracing_tpu.sampling import ndc_from_world
+    from opengl_raytracing_tpu.ops.vecmath import normalize
+
+    params, bvh, fin, state = _setup()
+
+    def prefix(i, upto: str):
+        """One iteration of the pipeline prefix; returns a scalar."""
+        scene = SceneCtx.create(params, fin.cam_pos, env_map=None,
+                                use_bvh=True, bvh=bvh)
+        px, py, rd = primary_rays(H, W, fin, params)
+        rd = rd + i * 1e-7  # defeat CSE across reps
+        if upto == "raygen":
+            return jnp.sum(rd)
+        ro = jnp.broadcast_to(fin.cam_pos, rd.shape)
+        h_raw = scene.trace(ro, rd)
+        if upto == "primary":
+            return jnp.sum(h_raw.t.clip(0, 1e3))
+        hit_mask = h_raw.valid
+        h = pl._sanitize_hit(h_raw, ro, rd)
+        ndc_prev = ndc_from_world(h.p, fin.prev_view_proj)
+        ndc_curr = ndc_from_world(h.p, fin.curr_view_proj)
+        motion = ndc_curr - ndc_prev
+        sky_radiance = scene.sky(rd)
+        if upto == "gbuffer":
+            return (jnp.sum(motion) + jnp.sum(sky_radiance)
+                    + jnp.sum(h.p.clip(-1e3, 1e3)))
+        seeds = jnp.int32(i)
+        if upto == "shade_noshadow":
+            # direct light with all shadow windows collapsed: the any-hit
+            # kernel sees empty tiles everywhere -> measures pure shading
+            # math + wavefront construction + cull pre-pass
+            shaded = lt.direct_light_bvh(
+                scene, h, seeds, jnp.int32(i), -rd, px, py,
+                active=jnp.zeros_like(hit_mask))
+            return jnp.sum(jnp.where(hit_mask[..., None], shaded,
+                                     sky_radiance))
+        shaded = pl._shade_bvh(scene, h, seeds, jnp.int32(i), -rd, px, py,
+                               active=hit_mask)
+        curr = jnp.where(hit_mask[..., None], shaded, sky_radiance)
+        if upto == "shade":
+            return jnp.sum(curr)
+        accum = resolve_taa(curr, motion * 0, state.accum, jnp.int32(i),
+                            params)
+        if upto == "taa":
+            return jnp.sum(accum)
+        gpos = jnp.where(hit_mask[..., None], h.p, 0.0)
+        gnrm = jnp.where(hit_mask[..., None], normalize(h.n), 0.0)
+        img = present(accum, motion, gpos, gnrm, params, show_motion=False)
+        return jnp.sum(img)
+
+    if key == "noop":
+        @jax.jit
+        def fn(x):
+            return jnp.sum(x) * 1e-9
+        arg = state.accum
+    else:
+        @jax.jit
+        def fn(x):
+            s = 0.
+            for i in range(REPS):
+                s = s + prefix(x + i, key)
+            return s
+        arg = jnp.float32(0.0)
+
+    s = fn(arg)
+    chk = float(s)
+    t0 = time.time()
+    float(fn(arg))
+    dt = time.time() - t0
+    per = dt / (1 if key == "noop" else REPS)
+    print(json.dumps({"key": key, "ms": round(per * 1e3, 2),
+                      "total_ms": round(dt * 1e3, 1), "reps": REPS,
+                      "checksum": chk}))
+
+
+def main() -> int:
+    results = {}
+    for key in CASES:
+        try:
+            out = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--case", key],
+                capture_output=True, timeout=560, text=True)
+            lines = [ln for ln in out.stdout.splitlines()
+                     if ln.startswith("{")]
+            results[key] = (json.loads(lines[-1]) if lines
+                            else {"error": f"rc={out.returncode}",
+                                  "stderr": out.stderr[-400:]})
+        except subprocess.TimeoutExpired:
+            results[key] = {"error": "timeout (tpu wedged?)"}
+        print(key, results[key], flush=True)
+    return 0
+
+
+if __name__ == "__main__":
+    if "--case" in sys.argv:
+        child(sys.argv[sys.argv.index("--case") + 1])
+    else:
+        sys.exit(main())
