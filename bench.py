@@ -1,20 +1,28 @@
-"""Headline benchmark: primary-ray throughput on the bunny BVH scene.
+"""Benchmark matrix: the reference's published table on TPU.
 
-Prints ONE JSON line:
-  {"metric": "...", "value": N, "unit": "Mrays/s", "vs_baseline": N}
+Measures every preset the reference reports (baseline/realistic/full/
+heavy, OpenGL_RTGP_RayTracing.pdf p.16 Tables 1-2) plus the BVH-heavy
+close/far camera pair (pdf p.16 "BVH-heavy scenes"), each as one JSON
+line; the FINAL line is the headline record (baseline preset) with the
+whole matrix embedded, so drivers that keep only the last line still
+capture everything:
 
-Matches the reference's headline measurement (1920x1080, 1 SPP, FPS after
-TAA stabilization — OpenGL_RTGP_RayTracing.pdf §8; see BASELINE.md).
-`vs_baseline` is relative to the reference's best derived primary-ray
-throughput, ~300 Mrays/s on the display-capped RTX 5090.
+  {"metric": "...", "value": N, "unit": "Mrays/s", "vs_baseline": N,
+   "presets": {...}, "close_far": {...}}
 
 Robustness: the tunneled TPU worker occasionally wedges on large
-compiles, so the measurement runs in a child process under a timeout and
-retries at reduced resolution; a JSON line is ALWAYS printed.
+compiles, so each measurement runs in a child process under a timeout
+(failed cases record an error and the sweep continues), and the whole
+sweep respects a global budget BENCH_BUDGET (seconds).
 
 Timing notes (see CLAUDE.md): block_until_ready is unreliable on the
-axon platform and single dispatches cost ~30ms over the tunnel, so frames
-are chained device-side and a scalar checksum forces completion.
+axon platform and single dispatches cost ~30ms over the tunnel, so
+frames are chained device-side (lax.scan) and a scalar checksum forces
+completion.
+
+Env knobs: BENCH_FRAMES, BENCH_HEIGHT/WIDTH, BENCH_PRESET (headline),
+BENCH_CASES (comma list to restrict), BENCH_TIMEOUT (per child),
+BENCH_BUDGET (whole sweep).
 """
 
 import json
@@ -32,54 +40,63 @@ W = int(os.environ.get("BENCH_WIDTH", "1920"))
 FRAMES = int(os.environ.get("BENCH_FRAMES", "8"))
 PRESET = os.environ.get("BENCH_PRESET", "baseline")
 TIMEOUT_S = int(os.environ.get("BENCH_TIMEOUT", "480"))
+BUDGET_S = int(os.environ.get("BENCH_BUDGET", "2400"))
+
+PRESET_CASES = ["baseline", "realistic", "full", "heavy"]
+CLOSEFAR_CASES = ["close", "far"]
+
+# BVH-heavy stress scene: 81,920-tri displaced icosphere (the reference's
+# "BVH-heavy" rows are high-poly meshes at 1080p, pdf p.16).
+HEAVY_SUBDIV = 6
+CLOSE_POS = (-2.0, 1.6, 1.2)
+FAR_POS = (0.0, 2.0, 8.0)
+LOOK_AT = (-2.0, 1.5, 0.0)
 
 
-def measure(height: int, width: int, frames: int, preset_name: str) -> dict:
-    import numpy as np
-    import jax
-    import jax.numpy as jnp
-
-    from opengl_raytracing_tpu import Camera
-    from opengl_raytracing_tpu.models import (FrameInputs, RenderState,
-                                              render_frame, preset)
-    from opengl_raytracing_tpu.sampling import generate_jitter2d
+def _scene(subdiv: int = 4):
     from opengl_raytracing_tpu.scene import make_bunny, gather_triangles
-    from opengl_raytracing_tpu.ops.scene import prepare_bvh
     from opengl_raytracing_tpu.scene.geometry import model_transform
+    from opengl_raytracing_tpu.ops.scene import prepare_bvh
     from opengl_raytracing_tpu.constants import (DEFAULT_BVH_TRANSLATE,
                                                  DEFAULT_BVH_SCALE)
-
-    params = preset(preset_name)
-    spp = params.spp_per_frame
-
-    tris = gather_triangles(make_bunny(4),
+    tris = gather_triangles(make_bunny(subdiv),
                             model_transform(DEFAULT_BVH_TRANSLATE,
                                             DEFAULT_BVH_SCALE))
-    bvh = prepare_bvh(tris)
+    return tris, prepare_bvh(tris)
 
-    cam = Camera()
-    cam.aspect = width / height
+
+def _fin(cam):
+    import jax.numpy as jnp
+    from opengl_raytracing_tpu.models import FrameInputs
     right, up, fwd, thf = cam.basis()
     vp = cam.view_projection()
-
-    jitters = jnp.asarray(
-        np.stack([generate_jitter2d(i) * params.jitter_still_scale
-                  for i in range(frames)]), jnp.float32)
-
-    base_fin = FrameInputs(
+    return FrameInputs(
         cam_pos=jnp.asarray(cam.position), cam_right=jnp.asarray(right),
         cam_up=jnp.asarray(up), cam_fwd=jnp.asarray(fwd),
         tan_half_fov=jnp.float32(thf), aspect=jnp.float32(cam.aspect),
         jitter=jnp.zeros(2, jnp.float32), curr_view_proj=jnp.asarray(vp),
         prev_view_proj=jnp.asarray(vp), camera_moved=jnp.int32(0))
 
+
+def _run_frames(params, bvh, fin, height, width, frames):
+    """Chained frame scan; returns (seconds_per_frame, checksum)."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    from opengl_raytracing_tpu.models import (FrameInputs, RenderState,
+                                              render_frame)
+    from opengl_raytracing_tpu.sampling import generate_jitter2d
+
+    jitters = jnp.asarray(
+        np.stack([generate_jitter2d(i) * params.jitter_still_scale
+                  for i in range(frames)]), jnp.float32)
+
     def one_frame(state, jitter):
-        fin = FrameInputs(
-            base_fin.cam_pos, base_fin.cam_right, base_fin.cam_up,
-            base_fin.cam_fwd, base_fin.tan_half_fov, base_fin.aspect,
-            jitter, base_fin.curr_view_proj, base_fin.prev_view_proj,
-            base_fin.camera_moved)
-        st, out = render_frame(params, fin, state, None, bvh,
+        f = FrameInputs(fin.cam_pos, fin.cam_right, fin.cam_up, fin.cam_fwd,
+                        fin.tan_half_fov, fin.aspect, jitter,
+                        fin.curr_view_proj, fin.prev_view_proj,
+                        fin.camera_moved)
+        st, out = render_frame(params, f, state, None, bvh,
                                height=height, width=width, use_bvh=True)
         return st, jnp.sum(out.image)
 
@@ -89,20 +106,30 @@ def measure(height: int, width: int, frames: int, preset_name: str) -> dict:
         return st, jnp.sum(sums)
 
     state = RenderState.create(height, width)
-    state, s = run(state, jitters)
-    _ = float(s)  # warmup / compile
+    _ = float(run(state, jitters)[1])  # warmup / compile
 
     state = RenderState.create(height, width)
     t0 = time.time()
-    state, s = run(state, jitters)
+    _, s = run(state, jitters)
     checksum = float(s)
     dt = time.time() - t0
+    return dt / frames, checksum
 
-    rays = height * width * spp * frames
-    mrays = rays / dt / 1e6
-    # total rays actually traced per frame (primary + shadow wavefronts),
-    # same accounting the reference's FPS->rays derivation ignores
+
+def measure_preset(height, width, frames, preset_name) -> dict:
+    from opengl_raytracing_tpu import Camera
+    from opengl_raytracing_tpu.models import preset
     from opengl_raytracing_tpu.utils.profiling import RayCounter
+
+    params = preset(preset_name)
+    spp = params.spp_per_frame
+    _, bvh = _scene()
+    cam = Camera()
+    cam.aspect = width / height
+
+    sec, checksum = _run_frames(params, bvh, _fin(cam), height, width,
+                                frames)
+    mrays = height * width * spp / sec / 1e6
     total = RayCounter(height, width).rays_per_frame(params)["total"]
     return {
         "metric": (f"primary Mrays/s/chip, bunny BVH scene, "
@@ -110,45 +137,130 @@ def measure(height: int, width: int, frames: int, preset_name: str) -> dict:
         "value": round(mrays, 2),
         "unit": "Mrays/s",
         "vs_baseline": round(mrays / BASELINE_MRAYS, 4),
-        "ms_per_frame": round(dt / frames * 1e3, 2),
-        "fps": round(frames / dt, 1),
-        "total_mrays_per_s": round(total * frames / dt / 1e6, 1),
+        "ms_per_frame": round(sec * 1e3, 2),
+        "fps": round(1.0 / sec, 1),
+        "total_mrays_per_s": round(total / sec / 1e6, 1),
         "frames": frames,
         "checksum": round(checksum, 1),
     }
 
 
+def measure_closefar(height, width, frames, case) -> dict:
+    """BVH-heavy scene (81,920 tris), baseline preset, close/far camera.
+
+    ordered_primary resolves via the production auto heuristic
+    (ops.scene.resolve_ordered_primary) from the camera/AABB distance —
+    the close camera selects the ordered front-to-back walk."""
+    import numpy as np
+    from opengl_raytracing_tpu import Camera
+    from opengl_raytracing_tpu.models import preset
+    from opengl_raytracing_tpu.ops.scene import resolve_ordered_primary
+    from opengl_raytracing_tpu.app.state import _tris_aabb
+
+    params = preset("baseline")
+    tris, bvh = _scene(HEAVY_SUBDIV)
+    pos = CLOSE_POS if case == "close" else FAR_POS
+
+    cam = Camera(position=np.asarray(pos, np.float32))
+    cam.aspect = width / height
+    cam.point_at(LOOK_AT)
+
+    ordered = resolve_ordered_primary(2, pos, _tris_aabb(tris))
+    params = params.replace(ordered_primary=ordered)
+
+    sec, checksum = _run_frames(params, bvh, _fin(cam), height, width,
+                                frames)
+    return {
+        "metric": (f"BVH-heavy ({tris.shape[0]} tris) camera-{case}, "
+                   f"{width}x{height} 1spp, preset=baseline"),
+        "ms_per_frame": round(sec * 1e3, 2),
+        "fps": round(1.0 / sec, 1),
+        "mrays": round(height * width / sec / 1e6, 2),
+        "ordered_primary": ordered,
+        "frames": frames,
+        "checksum": round(checksum, 1),
+    }
+
+
+def child(case: str) -> None:
+    if case in PRESET_CASES:
+        rec = measure_preset(H, W, FRAMES, case)
+    else:
+        rec = measure_closefar(H, W, FRAMES, case.replace("cf_", ""))
+    print(json.dumps(rec))
+
+
+def _run_child(case: str, env, timeout_s: float):
+    try:
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--child", case],
+            env=env, capture_output=True, timeout=timeout_s, text=True)
+        for line in out.stdout.splitlines():
+            line = line.strip()
+            if line.startswith("{"):
+                return json.loads(line)
+        return {"error": f"rc={out.returncode}",
+                "stderr": out.stderr.strip().splitlines()[-1][-300:]
+                if out.stderr.strip() else ""}
+    except subprocess.TimeoutExpired:
+        return {"error": "timeout (tpu wedged?)"}
+    except Exception as exc:  # pragma: no cover
+        return {"error": repr(exc)[:200]}
+
+
 def main() -> int:
     if "--child" in sys.argv:
-        print(json.dumps(measure(H, W, FRAMES, PRESET)))
+        child(sys.argv[sys.argv.index("--child") + 1])
         return 0
 
+    t_start = time.time()
     env = dict(os.environ)
-    attempts = [(H, W), (540, 960)]
-    for h, w in attempts:
-        env["BENCH_HEIGHT"], env["BENCH_WIDTH"] = str(h), str(w)
-        try:
-            out = subprocess.run(
-                [sys.executable, os.path.abspath(__file__), "--child"],
-                env=env, capture_output=True, timeout=TIMEOUT_S, text=True)
-            for line in out.stdout.splitlines():
-                line = line.strip()
-                if line.startswith("{"):
-                    rec = json.loads(line)
-                    if (h, w) != (H, W):
-                        rec["note"] = (f"fell back to {w}x{h}; "
-                                       f"{W}x{H} run failed/timed out")
-                    print(json.dumps(rec))
-                    return 0
-        except subprocess.TimeoutExpired:
-            continue
-        except Exception:
-            continue
-    print(json.dumps({
-        "metric": (f"primary Mrays/s/chip, bunny BVH scene, {W}x{H} 1spp, "
-                   f"preset={PRESET}"),
-        "value": 0.0, "unit": "Mrays/s", "vs_baseline": 0.0,
-        "error": "TPU unavailable or wedged during benchmark"}))
+    cases = (os.environ["BENCH_CASES"].split(",")
+             if "BENCH_CASES" in os.environ
+             else PRESET_CASES + ["cf_close", "cf_far"])
+
+    presets, close_far = {}, {}
+    headline = None
+    for case in cases:
+        remaining = BUDGET_S - (time.time() - t_start)
+        if remaining < 60:
+            rec = {"error": "skipped (bench budget exhausted)"}
+        else:
+            rec = _run_child(case, env, min(TIMEOUT_S, remaining))
+        line = dict(rec)
+        line.setdefault("case", case)
+        print(json.dumps(line), flush=True)
+        if case.startswith("cf_"):
+            close_far[case[3:]] = rec
+        else:
+            presets[case] = rec
+            if case == PRESET:
+                headline = rec
+
+    if headline is None or "error" in headline:
+        # fall back to reduced resolution for the headline so the driver
+        # always gets a real number
+        env["BENCH_HEIGHT"], env["BENCH_WIDTH"] = "540", "960"
+        rec = _run_child(PRESET, env, TIMEOUT_S)
+        if "error" not in rec:
+            rec["note"] = f"fell back to 960x540; {W}x{H} run failed"
+            headline = rec
+    if headline is None or "error" in headline:
+        headline = {
+            "metric": (f"primary Mrays/s/chip, bunny BVH scene, {W}x{H} "
+                       f"1spp, preset={PRESET}"),
+            "value": 0.0, "unit": "Mrays/s", "vs_baseline": 0.0,
+            "error": "TPU unavailable or wedged during benchmark"}
+
+    final = dict(headline)
+    final["presets"] = {k: {kk: v[kk] for kk in
+                            ("ms_per_frame", "fps", "value", "error")
+                            if kk in v} for k, v in presets.items()}
+    final["close_far"] = {k: {kk: v[kk] for kk in
+                              ("ms_per_frame", "fps", "mrays",
+                               "ordered_primary", "error") if kk in v}
+                          for k, v in close_far.items()}
+    print(json.dumps(final))
     return 0
 
 

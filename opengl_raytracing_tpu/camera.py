@@ -105,6 +105,12 @@ class Camera:
         fwd = -normalize(v[2, :3])
         return right, up, fwd, math.tan(math.radians(self.fov) * 0.5)
 
+    def point_at(self, target) -> None:
+        """Aim the camera at a world-space point (sets yaw/pitch)."""
+        d = normalize(np.asarray(target, np.float32) - self.position)
+        self.pitch = math.degrees(math.asin(float(np.clip(d[1], -1, 1))))
+        self.yaw = math.degrees(math.atan2(float(d[2]), float(d[0])))
+
     # -- input-equivalent actions (reference: src/io/Camera.cpp:18-51) --
 
     def move(self, forward=0.0, strafe=0.0, vertical=0.0, dt=1.0 / 60.0):

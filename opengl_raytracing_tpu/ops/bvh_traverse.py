@@ -10,8 +10,9 @@ a single int32 cursor:
 
 The whole ray batch advances one node per `while_loop` iteration via HBM
 gathers; leaf triangle tests are unrolled to LEAF_MAX with masks.  This is
-the portable/correctness path — ops/bvh_pallas.py holds the
-performance kernel (shared-cursor packet traversal in VMEM).
+the portable/correctness path — ops/bvh_mxu.py holds the TPU production
+kernels (cull + MXU matmul); experiments/bvh_pallas.py archives the
+packet-walk alternative (measured slower on the dev slice).
 
 Parity notes: identical hit criteria (slab test with tmin>=0, Moller-
 Trumbore with eps/t_max window, t-pruning `tmin > t_best` skip), identical

@@ -74,10 +74,14 @@ class RenderParams:
     point_light_orbit_enabled: int = 0  # static (host-side orbit anim)
     # Front-to-back ordered primary chunk walk with tile-wide early
     # termination (ops/bvh_mxu.py).  1.84x on close-up views where the
-    # interval cull degenerates; a few % slower on far views (the
-    # headline bench camera), hence opt-in.  No reference analog: the
-    # reference's stack walk is always near-first (rt_bvh.glsl:224-239).
-    ordered_primary: int = 0          # static: switches trace kernel
+    # interval cull degenerates; a few % slower on far views.  0 = off,
+    # 1 = on, 2 = auto: the app layer resolves per frame from the
+    # camera-to-scene-AABB distance (Application._resolve_ordered) — the
+    # analog of the reference's always-on near-first + t-pruned stack
+    # walk (rt_bvh.glsl:224-239), applied only where it wins on TPU.
+    # Excluded from the params_changed accumulation-reset diff (it never
+    # changes radiance, only the traversal schedule).
+    ordered_primary: int = 2          # static: switches trace kernel
     point_light_orbit_radius: float = 3.5
     point_light_orbit_speed: float = 20.0
     point_light_yaw: float = 0.0
@@ -141,6 +145,8 @@ def params_changed(a: RenderParams, b: RenderParams, tol: float = 1e-5) -> bool:
     float fields compare with |x - y| > 1e-5.
     """
     for f in dataclasses.fields(RenderParams):
+        if f.name == "ordered_primary":
+            continue  # traversal schedule only — never changes radiance
         va, vb = getattr(a, f.name), getattr(b, f.name)
         if f.name in _META_FIELDS:
             if int(va) != int(vb):

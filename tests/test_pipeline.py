@@ -99,7 +99,10 @@ def test_spp_loop_changes_noise():
 
 
 def test_compact_masked_eval_edges():
-    from opengl_raytracing_tpu.models.pipeline import _compact_masked_eval
+    # archived experiment (PERF.md negative result); kept runnable for
+    # full-HBM hardware where the tradeoff may flip
+    from opengl_raytracing_tpu.experiments.compaction import (
+        compact_masked_eval as _compact_masked_eval)
     shape = (8, 16)
     rad = jnp.zeros(shape + (3,))
     lanes = {"v": jnp.arange(128, dtype=jnp.float32)}
