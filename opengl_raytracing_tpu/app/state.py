@@ -22,8 +22,8 @@ from ..frame_state import FrameState
 from ..params import RenderParams
 from ..models.pipeline import RenderState
 from ..ops.scene import BVHDevice, prepare_bvh
-from ..scene.geometry import (load_obj_fast, gather_triangles,
-                              model_transform)
+from ..scene.geometry import gather_triangles, model_transform
+from ..scene.importers import load_model, MODEL_EXTENSIONS
 from ..constants import DEFAULT_BVH_TRANSLATE, DEFAULT_BVH_SCALE
 from ..utils.log import log
 from ..utils.paths import resolve_dir
@@ -88,8 +88,12 @@ class AppState:
         self.scene_aabb = None  # (bmin, bmax) numpy, for ordered auto
         self.env_map = None  # [6,F,F,3] or None
 
-        # Pickers (reference: gui.cpp:721-799 models, :804-887 cubemaps)
-        self.model_picker = PickerState(resolve_dir("models"), ("*.obj",))
+        # Pickers (reference: gui.cpp:721-799 models, :804-887 cubemaps).
+        # The model surface covers every importer format (assimp analog,
+        # reference: include/scene/model.h:108-115).
+        self.model_picker = PickerState(
+            resolve_dir("models"),
+            tuple("*" + ext for ext in MODEL_EXTENSIONS))
         # same pattern surface as the reference env picker
         # (gui.cpp:806-838); .exr entries list but fail gracefully on
         # load, like stb does there.
@@ -109,10 +113,11 @@ class AppState:
 
     def load_bvh_model(self, path: str,
                        transform: Optional[np.ndarray] = None) -> bool:
-        """Load an OBJ, build + upload the BVH; keep old state on failure
+        """Load a model (obj/stl/ply/gltf/glb), build + upload the BVH;
+        keep old state on failure
         (reference: src/app/application.cpp:496-499)."""
         try:
-            mesh = load_obj_fast(path)
+            mesh = load_model(path)
             if mesh[1].shape[0] == 0:
                 raise ValueError("no faces")
             m = transform if transform is not None else model_transform(

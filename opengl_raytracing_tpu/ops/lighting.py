@@ -14,6 +14,8 @@ Naming of the RNG arguments follows the GLSL call chain:
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import jax.numpy as jnp
 
@@ -40,6 +42,11 @@ _LB = np.cross(_KN, _LT)
 LIGHT_N = _KN.astype(np.float32)
 LIGHT_T = _LT.astype(np.float32)
 LIGHT_B = _LB.astype(np.float32)
+
+# Shadow rays from GI bounce hits have scattered origins; route them
+# through the direction-sorted any-hit path by default (A/B knob —
+# PERF.md records the measurement behind the default).
+_GI_SHADOW_COHERENT = os.environ.get("ORT_GI_SHADOW_COHERENT", "0") == "1"
 
 
 def _segment_shadow_query(p, q):
@@ -238,7 +245,7 @@ def direct_light(scene: SceneCtx, h, rng_frame, frame_index, vdir, px, py):
 
 
 def direct_light_bvh(scene: SceneCtx, h, rng_frame, frame_index, vdir,
-                     px, py, active=None):
+                     px, py, active=None, coherent=True):
     """Direct lighting for BVH triangles: hard-coded white plastic
     (reference: rt_lighting.glsl:405-460).
 
@@ -251,7 +258,11 @@ def direct_light_bvh(scene: SceneCtx, h, rng_frame, frame_index, vdir,
     result is discarded by a downstream select — get a collapsed shadow
     window (-1) so the cull pre-pass empties their tiles and whole sky
     blocks skip the any-hit kernel.  Values on inactive lanes are
-    unspecified."""
+    unspecified.
+
+    `coherent=False` marks shadow origins as scattered (e.g. GI bounce
+    hits): the batched any-hit call goes through the direction-sorted
+    tracer instead of the screen-tile one."""
     n = normalize(h.n)
     v = normalize(vdir)
     shape = jnp.shape(h.t)
@@ -281,8 +292,11 @@ def direct_light_bvh(scene: SceneCtx, h, rng_frame, frame_index, vdir,
             wins.append(w)
         if active is not None:
             wins = [jnp.where(active, w, -1.0) for w in wins]
+        act = None if active is None else jnp.broadcast_to(
+            active[None], (len(origins),) + jnp.shape(h.t))
         occ = scene.trace_shadow_any(jnp.stack(origins), jnp.stack(dirs),
-                                     jnp.stack(wins))
+                                     jnp.stack(wins), coherent=coherent,
+                                     active=act)
         occ_disk = occ[:SOFT_SHADOW_SAMPLES]
         k = SOFT_SHADOW_SAMPLES
         if params.sun_enabled:
@@ -344,7 +358,7 @@ def one_bounce_gi_bvh(scene: SceneCtx, h0, rng_frame, seed, frame_index,
     h1 = scene.trace(origin, wi, coherent=False, active=active)
     act1 = h1.valid if active is None else (active & h1.valid)
     li_hit = direct_light_bvh(scene, h1, rng_frame, frame_index, -wi, px, py,
-                              active=act1)
+                              active=act1, coherent=_GI_SHADOW_COHERENT)
     li = jnp.where(h1.valid[..., None], li_hit, scene.sky(wi))
     contrib = const3(BVH_ALBEDO) * (cos_theta / PI)[..., None] * li
     lum = dot(contrib, const3(YCOEFF))
@@ -424,7 +438,12 @@ def shade_mirror(scene: SceneCtx, h, wo, mat, seed, frame_index, px, py):
 
 def compute_ao(scene: SceneCtx, h, frame_index, px, py, active=None):
     """Cosine-hemisphere ambient occlusion, radius-limited, remapped to
-    [ao_min, 1] (reference: rt_lighting.glsl:721-757)."""
+    [ao_min, 1] (reference: rt_lighting.glsl:721-757).
+
+    BVH mode uses the ANY-hit kernel with window ao_radius — boolean-
+    identical to the reference's closest-hit-then-compare (a hit exists
+    within the radius iff the closest hit is within it) but with any-hit
+    early-out, t-capped culling, and no normal/winner bookkeeping."""
     params = scene.params
     n = normalize(h.n)
     dirs = []
@@ -436,10 +455,21 @@ def compute_ao(scene: SceneCtx, h, frame_index, px, py, active=None):
         dirs.append(sample_hemisphere_cosine(n, ux, uy))
     d_all = jnp.stack(dirs, axis=0)                    # [S,...,3]
     org = (h.p + n * params.ao_bias)[None]
-    tmp = scene.trace(org, d_all, coherent=False,      # one batched trace
-                      active=None if active is None else active[None])
-    occluded = jnp.sum(
-        jnp.where(tmp.valid & (tmp.t < params.ao_radius), 1.0, 0.0), axis=0)
+    act = None if active is None else jnp.broadcast_to(
+        active[None], d_all.shape[:-1])
+    if scene.use_bvh:
+        win = jnp.full(d_all.shape[:-1], params.ao_radius, jnp.float32)
+        if act is not None:
+            win = jnp.where(act, win, -1.0)
+        occ_hit = scene.trace_shadow_any(org, d_all, win, coherent=False,
+                                         active=act)
+        occluded = jnp.sum(jnp.where(occ_hit, 1.0, 0.0), axis=0)
+    else:
+        tmp = scene.trace(org, d_all, coherent=False,  # one batched trace
+                          active=act)
+        occluded = jnp.sum(
+            jnp.where(tmp.valid & (tmp.t < params.ao_radius), 1.0, 0.0),
+            axis=0)
     occ = occluded / float(params.ao_samples)
     ao = 1.0 - occ
     ao = jnp.clip(params.ao_min + (1.0 - params.ao_min) * ao,

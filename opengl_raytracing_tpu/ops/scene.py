@@ -164,12 +164,17 @@ class SceneCtx:
             ro, rd, self.params, self.point_light_pos, eps)
 
     def trace_shadow_any(self, ro, rd, t_max, eps: float = EPS,
-                         coherent: bool = True):
-        """Any occluder strictly before t_max (BVH mode only path)."""
+                         coherent: bool = True, active=None):
+        """Any occluder strictly before t_max (BVH mode only path).
+
+        `active` gates the incoherent (sorted) path tile-wise, like
+        trace(); coherent callers gate via collapsed windows instead."""
         if _tpu():
-            fn = (trace_bvh_shadow_mxu_paged if coherent
-                  else trace_bvh_shadow_mxu_sorted)
-            return fn(self.bvh.mxu, ro, rd, t_max, eps)
+            if coherent:
+                return trace_bvh_shadow_mxu_paged(self.bvh.mxu, ro, rd,
+                                                  t_max, eps)
+            return trace_bvh_shadow_mxu_sorted(self.bvh.mxu, ro, rd, t_max,
+                                               eps, active=active)
         return trace_bvh_shadow(self.bvh.arrays, ro, rd, t_max, eps)
 
     def sky(self, d):

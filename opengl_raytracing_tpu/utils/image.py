@@ -1,12 +1,12 @@
 """Image IO without external deps: PNG codec, baseline JPEG decoder,
-Radiance HDR decoder, and the cubemap cross slicer.
+Radiance HDR decoder, OpenEXR scanline decoder, and the cubemap cross
+slicer.
 
 Replaces stb_image + the GL cubemap upload path
 (reference: src/render/stb_image_impl.cpp, src/render/cubemap.cpp:35-106).
-Formats match the reference env-picker surface `*.{png,jpg,jpeg,hdr}`
-(reference: src/ui/gui.cpp:806-838); EXR (also listed there) is not
-decoded — the loader reports it cleanly.  A C++ fast path for PNG lives
-in native/.
+Formats cover the full reference env-picker surface
+`*.{png,jpg,jpeg,hdr,exr}` (reference: src/ui/gui.cpp:806-838).  A C++
+fast path for PNG lives in native/.
 """
 
 from __future__ import annotations
@@ -491,12 +491,194 @@ def _decode_scan(data, pos, w, h, comps, qts, restart_interval):
 
 
 # -----------------------------------------------------------------------------
+# OpenEXR (single-part scanline; NONE / ZIPS / ZIP compression;
+# HALF / FLOAT / UINT channels)
+# -----------------------------------------------------------------------------
+
+_EXR_MAGIC = b"\x76\x2f\x31\x01"
+_EXR_PIXTYPE = {0: np.dtype("<u4"), 1: np.dtype("<f2"), 2: np.dtype("<f4")}
+# block heights per compression id (NONE=1, RLE=1, ZIPS=1, ZIP=16)
+_EXR_BLOCK_LINES = {0: 1, 2: 1, 3: 16}
+
+
+def _exr_read_cstr(buf: bytes, pos: int):
+    end = buf.index(b"\0", pos)
+    return buf[pos:end].decode("ascii", "replace"), end + 1
+
+
+def _exr_unpredict(data: bytes) -> bytes:
+    """OpenEXR ZIP post-decompress reconstruction: undo the delta
+    predictor, then de-interleave the two halves."""
+    t = np.frombuffer(data, np.uint8).astype(np.int32)
+    t = np.cumsum(np.concatenate([t[:1], t[1:] - 128]) % 256) % 256
+    t = t.astype(np.uint8)
+    out = np.zeros_like(t)
+    half = (len(t) + 1) // 2
+    out[0::2] = t[:half]
+    out[1::2] = t[half:]
+    return out.tobytes()
+
+
+def read_exr(path: str) -> np.ndarray:
+    """Minimal OpenEXR scanline decoder -> [H,W,3] float32 linear.
+
+    Covers the files stb-adjacent tooling writes most often: single-part
+    scanline images, NONE/ZIPS/ZIP compression, HALF or FLOAT R/G/B
+    channels (extra channels like A are skipped), increasing line order.
+    The reference lists *.exr in its env picker (gui.cpp:806-838) via
+    stb, which actually fails on EXR too — we go one better and decode.
+    """
+    with open(path, "rb") as fh:
+        buf = fh.read()
+    if buf[:4] != _EXR_MAGIC:
+        raise ValueError(f"not an EXR file: {path}")
+    version = struct.unpack_from("<I", buf, 4)[0]
+    if version & 0x200:  # multi-part bit
+        raise ValueError(f"multi-part EXR not supported: {path}")
+    if version & 0x800:
+        raise ValueError(f"deep-data EXR not supported: {path}")
+
+    pos = 8
+    channels = []  # (name, dtype)
+    compression = None
+    data_window = None
+    tiled = bool(version & 0x400)
+    while True:
+        if buf[pos:pos + 1] == b"\0":
+            pos += 1
+            break
+        name, pos = _exr_read_cstr(buf, pos)
+        atype, pos = _exr_read_cstr(buf, pos)
+        size = struct.unpack_from("<i", buf, pos)[0]
+        pos += 4
+        payload = buf[pos:pos + size]
+        pos += size
+        if name == "channels" and atype == "chlist":
+            p = 0
+            while payload[p:p + 1] != b"\0":
+                cname, p = _exr_read_cstr(payload, p)
+                ptype = struct.unpack_from("<i", payload, p)[0]
+                p += 16  # pixel type + pLinear/reserved + x/y sampling
+                channels.append((cname, _EXR_PIXTYPE[ptype]))
+        elif name == "compression":
+            compression = payload[0]
+        elif name == "dataWindow":
+            data_window = struct.unpack("<4i", payload)
+    if tiled:
+        raise ValueError(f"tiled EXR not supported: {path}")
+    if compression not in _EXR_BLOCK_LINES:
+        raise ValueError(
+            f"EXR compression id {compression} not supported: {path}")
+    x0, y0, x1, y1 = data_window
+    w, h = x1 - x0 + 1, y1 - y0 + 1
+    block_lines = _EXR_BLOCK_LINES[compression]
+    n_blocks = -(-h // block_lines)
+    # channels are stored sorted by name within each scanline
+    chans = sorted(channels, key=lambda c: c[0])
+    line_bytes = sum(w * dt.itemsize for _, dt in chans)
+
+    offsets = struct.unpack_from(f"<{n_blocks}q", buf, pos)
+    planes = {name: np.zeros((h, w), np.float32) for name, _ in chans}
+    for off in offsets:
+        y = struct.unpack_from("<i", buf, off)[0] - y0
+        size = struct.unpack_from("<i", buf, off + 4)[0]
+        raw = buf[off + 8:off + 8 + size]
+        lines = min(block_lines, h - y)
+        expect = lines * line_bytes
+        if compression in (2, 3) and size < expect:  # ZIPS / ZIP
+            raw = zlib.decompress(raw)
+            if len(raw) < expect:
+                raise ValueError(f"short EXR block at y={y}: {path}")
+            raw = _exr_unpredict(raw)
+        # else: block stored raw (spec: raw wins when zlib doesn't shrink)
+        p = 0
+        for ly in range(lines):
+            for cname, dt in chans:
+                n = w * dt.itemsize
+                row = np.frombuffer(raw, dt, w, p)
+                planes[cname][y + ly] = row.astype(np.float32)
+                p += n
+    rgb = np.zeros((h, w, 3), np.float32)
+    for k, key in enumerate("RGB"):
+        if key in planes:
+            rgb[..., k] = planes[key]
+        elif "Y" in planes:  # luminance-only
+            rgb[..., k] = planes["Y"]
+    return rgb
+
+
+def write_exr(path: str, img: np.ndarray, half: bool = True,
+              compression: int = 3) -> None:
+    """Minimal EXR writer (fixtures/export): single-part scanline RGB,
+    ZIP (16-line) or NONE compression, HALF or FLOAT pixels."""
+    img = np.asarray(img, np.float32)
+    h, w = img.shape[:2]
+    dt = np.dtype("<f2") if half else np.dtype("<f4")
+    ptype = 1 if half else 2
+    block_lines = _EXR_BLOCK_LINES[compression]
+
+    def attr(name, atype, payload):
+        return (name.encode() + b"\0" + atype.encode() + b"\0"
+                + struct.pack("<i", len(payload)) + payload)
+
+    chl = b""
+    for cname in ("B", "G", "R"):
+        chl += (cname.encode() + b"\0" + struct.pack("<i", ptype)
+                + struct.pack("<i", 0) + struct.pack("<2i", 1, 1))
+    chl += b"\0"
+    box = struct.pack("<4i", 0, 0, w - 1, h - 1)
+    header = (attr("channels", "chlist", chl)
+              + attr("compression", "compression",
+                     struct.pack("<B", compression))
+              + attr("dataWindow", "box2i", box)
+              + attr("displayWindow", "box2i", box)
+              + attr("lineOrder", "lineOrder", b"\0")
+              + attr("pixelAspectRatio", "float", struct.pack("<f", 1.0))
+              + attr("screenWindowCenter", "v2f", struct.pack("<2f", 0, 0))
+              + attr("screenWindowWidth", "float", struct.pack("<f", 1.0))
+              + b"\0")
+
+    blocks = []
+    for y in range(0, h, block_lines):
+        lines = min(block_lines, h - y)
+        raw = b""
+        for ly in range(lines):
+            for k in (2, 1, 0):  # B, G, R sorted order
+                raw += img[y + ly, :, k].astype(dt).tobytes()
+        if compression in (2, 3):
+            t = np.frombuffer(raw, np.uint8)
+            half_n = (len(t) + 1) // 2
+            inter = np.concatenate([t[0::2], t[1::2]])
+            d = inter.astype(np.int32)
+            d = np.concatenate([d[:1], (d[1:] - d[:-1] + 128) % 256])
+            payload = zlib.compress(d.astype(np.uint8).tobytes())
+            if len(payload) >= len(raw):
+                payload = raw  # EXR stores raw when compression loses
+        else:
+            payload = raw
+        blocks.append(struct.pack("<2i", y, len(payload)) + payload)
+
+    n_blocks = len(blocks)
+    base = 8 + len(header) + 8 * n_blocks
+    offsets, acc = [], base
+    for b in blocks:
+        offsets.append(acc)
+        acc += len(b)
+    with open(path, "wb") as fh:
+        fh.write(_EXR_MAGIC + struct.pack("<I", 2))
+        fh.write(header)
+        fh.write(struct.pack(f"<{n_blocks}q", *offsets))
+        for b in blocks:
+            fh.write(b)
+
+
+# -----------------------------------------------------------------------------
 # Unified loader + cubemap slicing
 # -----------------------------------------------------------------------------
 
 def read_image(path: str) -> np.ndarray:
-    """Decode by magic bytes: PNG/JPEG -> [H,W,C] uint8, HDR -> [H,W,3]
-    float32 linear.  The stb_image dispatch equivalent."""
+    """Decode by magic bytes: PNG/JPEG -> [H,W,C] uint8, HDR/EXR ->
+    [H,W,3] float32 linear.  The stb_image dispatch equivalent."""
     with open(path, "rb") as fh:
         magic = fh.read(11)
     if magic[:8] == _PNG_SIG:
@@ -505,8 +687,8 @@ def read_image(path: str) -> np.ndarray:
         return read_jpeg(path)
     if magic[:2] == b"#?":  # Radiance (#?RADIANCE / #?RGBE)
         return read_hdr(path)
-    if magic[:4] == b"\x76\x2f\x31\x01":
-        raise ValueError(f"EXR decode not supported: {path}")
+    if magic[:4] == _EXR_MAGIC:
+        return read_exr(path)
     raise ValueError(f"unrecognized image format: {path}")
 
 

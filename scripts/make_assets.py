@@ -77,7 +77,7 @@ def write_cross(path, size, sun_dir, horizon, zenith, sun_col):
     cross = np.zeros((3 * size, 4 * size, 3), np.float32)
     sun_dir = np.asarray(sun_dir, np.float64)
     sun_dir /= np.linalg.norm(sun_dir)
-    hdr = path.endswith(".hdr")
+    hdr = path.endswith((".hdr", ".exr"))
     for face in range(6):
         d = face_dirs(face, size)
         img = sky_color(d, sun_dir, np.asarray(horizon), np.asarray(zenith),
@@ -87,6 +87,9 @@ def write_cross(path, size, sun_dir, horizon, zenith, sun_col):
     if path.endswith(".hdr"):
         from opengl_raytracing_tpu.utils.image import write_hdr
         write_hdr(path, cross)  # linear radiance, no 8-bit clip
+    elif path.endswith(".exr"):
+        from opengl_raytracing_tpu.utils.image import write_exr
+        write_exr(path, cross)  # linear half-float scanlines, ZIP
     else:
         write_png(path, cross)
 
@@ -106,8 +109,11 @@ def main():
     # HDR variant: sun radiance well above 1.0 survives (linear RGBE)
     write_cross("cubemaps/sky_noon.hdr", 64, (0.1, 0.9, 0.2),
                 (0.8, 0.88, 0.97), (0.3, 0.5, 0.9), (6.0, 5.6, 4.8))
+    # EXR variant: half-float ZIP scanlines through the same picker path
+    write_cross("cubemaps/sky_storm.exr", 64, (-0.5, 0.4, -0.3),
+                (0.45, 0.48, 0.55), (0.12, 0.14, 0.2), (3.5, 3.4, 3.0))
     log("ENV", "wrote cubemaps/{sky_day,sky_dusk}.png + sky_noon.hdr "
-        "(4x3 cross, 64px)")
+        "+ sky_storm.exr (4x3 cross, 64px)")
 
 
 if __name__ == "__main__":

@@ -23,7 +23,11 @@ GOLDEN_DIR = os.path.join("tests", "golden")
 
 
 def golden_configs():
-    """Name -> (kwargs for render) for every golden.  Shared with tests."""
+    """Name -> (kwargs for render) for every golden.  Shared with tests.
+
+    The *_large / motion goldens render at 144x192 — big enough to
+    exercise SVGF edge behavior and TAA reprojection at meaningful
+    scales (the 48x64 set gates broad semantics cheaply)."""
     return {
         "analytic_baseline": dict(preset="baseline"),
         "analytic_full": dict(preset="full"),
@@ -33,7 +37,53 @@ def golden_configs():
         "raster_parity": dict(preset="baseline", raster=True),
         "env_cubemap": dict(preset="full", env=True),
         "heavy_4spp_frame3": dict(preset="heavy", frames=3),
+        # large goldens (reference interactions at useful scales; BVH uses
+        # the baseline preset — a 144x192 GI+AO render on the CPU oracle
+        # walker takes minutes, and GI/AO semantics are gated by bvh_full
+        # + analytic_full_large already)
+        "bvh_baseline_large": dict(preset="baseline", scene="bvh",
+                                   height=144, width=192),
+        "analytic_full_large": dict(preset="full", height=144, width=192,
+                                    frames=2),
+        # camera-in-motion TAA: 4 frames with the camera strafing right,
+        # real motion vectors + reprojection weights exercised end-to-end
+        # (reference: rt_taa.glsl:116-174)
+        "taa_motion_seq": dict(preset="realistic", motion=True, frames=3,
+                               height=144, width=192),
+        # motion-debug HSV wheel view under camera motion
+        # (reference: rt_present.frag:92-104,236-241)
+        "motion_debug": dict(preset="baseline", motion=True, frames=2,
+                             show_motion=True, height=144, width=192),
     }
+
+
+_META_KEYS = ("preset", "scene", "raster", "env", "frames", "height",
+              "width", "motion", "show_motion")
+
+
+def _moving_camera_inputs(width, height, n_frames):
+    """FrameInputs sequence for a camera strafing right 0.06/frame
+    (prev_view_proj trails one frame; camera_moved=1 throughout)."""
+    import jax.numpy as jnp
+    from opengl_raytracing_tpu import Camera
+    from opengl_raytracing_tpu.models import FrameInputs
+
+    cam = Camera()
+    cam.aspect = width / height
+    prev_vp = cam.view_projection()
+    fins = []
+    for _ in range(n_frames):
+        cam.position = cam.position + np.array([0.06, 0.0, 0.0], np.float32)
+        right, up, fwd, thf = cam.basis()
+        vp = cam.view_projection()
+        fins.append(FrameInputs(
+            cam_pos=jnp.asarray(cam.position), cam_right=jnp.asarray(right),
+            cam_up=jnp.asarray(up), cam_fwd=jnp.asarray(fwd),
+            tan_half_fov=jnp.float32(thf), aspect=jnp.float32(cam.aspect),
+            jitter=jnp.zeros(2, jnp.float32), curr_view_proj=jnp.asarray(vp),
+            prev_view_proj=jnp.asarray(prev_vp), camera_moved=jnp.int32(1)))
+        prev_vp = vp
+    return fins
 
 
 def render_config(name, cfg, height=48, width=64):
@@ -47,9 +97,11 @@ def render_config(name, cfg, height=48, width=64):
                                                       model_transform)
     from tests.test_pipeline import make_inputs
 
+    height = cfg.get("height", height)
+    width = cfg.get("width", width)
     params = preset(cfg.get("preset", "baseline"))
     for k, v in cfg.items():
-        if k in ("preset", "scene", "raster", "env", "frames"):
+        if k in _META_KEYS:
             continue
         params = params.replace(**{k: v})
 
@@ -68,16 +120,21 @@ def render_config(name, cfg, height=48, width=64):
         import jax.numpy as jnp
         env = jnp.asarray(env)
 
-    fin = make_inputs()
     if cfg.get("raster"):
-        return np.asarray(render_raster(params, fin, bvh, height=height,
-                                        width=width))
+        return np.asarray(render_raster(params, make_inputs(), bvh,
+                                        height=height, width=width))
+    n_frames = cfg.get("frames", 1)
+    if cfg.get("motion"):
+        fins = _moving_camera_inputs(width, height, n_frames)
+    else:
+        fins = [make_inputs()] * n_frames
     state = RenderState.create(height, width)
     img = None
-    for _ in range(cfg.get("frames", 1)):
+    for fin in fins:
         state, out = render_frame(params, fin, state, env, bvh,
                                   height=height, width=width,
-                                  use_bvh=use_bvh)
+                                  use_bvh=use_bvh,
+                                  show_motion=cfg.get("show_motion", False))
         img = out.image
     return np.asarray(img)
 

@@ -144,3 +144,68 @@ def test_hdr_cubemap_cross_slices_linear(tmp_path):
     assert faces.shape == (6, f, f, 3)
     for i, v in enumerate(vals):
         assert np.allclose(faces[i], v, rtol=0.01)
+
+
+# -----------------------------------------------------------------------------
+# OpenEXR
+# -----------------------------------------------------------------------------
+
+def _hdr_pattern(h, w, scale=8.0):
+    y, x = np.mgrid[0:h, 0:w].astype(np.float32)
+    return np.stack([np.abs(np.sin(x / 7.0)) * scale,
+                     np.abs(np.cos(y / 5.0)) * scale,
+                     (x + y) / (h + w) * scale], -1).astype(np.float32)
+
+
+@pytest.mark.parametrize("half", [True, False])
+@pytest.mark.parametrize("compression", [0, 2, 3])  # NONE, ZIPS, ZIP
+def test_exr_roundtrip(tmp_path, half, compression):
+    from opengl_raytracing_tpu.utils.image import read_exr, write_exr
+    img = _hdr_pattern(33, 20)  # odd height exercises partial ZIP blocks
+    p = str(tmp_path / "t.exr")
+    write_exr(p, img, half=half, compression=compression)
+    back = read_exr(p)
+    assert back.shape == img.shape and back.dtype == np.float32
+    tol = 4e-3 if half else 1e-6
+    assert np.abs(back - img).max() <= tol * img.max()
+
+
+def test_exr_read_image_dispatch_and_unsupported(tmp_path):
+    from opengl_raytracing_tpu.utils.image import write_exr
+    img = _hdr_pattern(6, 8)
+    p = str(tmp_path / "t.exr")
+    write_exr(p, img)
+    assert read_image(p).dtype == np.float32
+    # multi-part bit set -> clean error
+    import struct
+    with open(p, "rb") as fh:
+        blob = bytearray(fh.read())
+    struct.pack_into("<I", blob, 4, struct.unpack_from("<I", blob, 4)[0]
+                     | 0x200)
+    bad = tmp_path / "multi.exr"
+    bad.write_bytes(bytes(blob))
+    from opengl_raytracing_tpu.utils.image import read_exr
+    with pytest.raises(ValueError, match="multi-part"):
+        read_exr(str(bad))
+
+
+def test_exr_cubemap_cross_through_pipeline(tmp_path):
+    """An .exr 4x3 cross loads through AppState.load_env_map and keeps
+    linear >1 radiance (full reference env-picker surface,
+    gui.cpp:806-838)."""
+    from opengl_raytracing_tpu.app.state import AppState
+    from opengl_raytracing_tpu.utils.image import write_exr
+    f = 8
+    cross = np.zeros((3 * f, 4 * f, 3), np.float32)
+    layout = ((2, 1), (0, 1), (1, 0), (1, 2), (1, 1), (3, 1))
+    vals = [1.5, 2.5, 3.5, 4.5, 5.5, 6.5]
+    for i, (cx, cy) in enumerate(layout):
+        cross[cy * f:(cy + 1) * f, cx * f:(cx + 1) * f] = vals[i]
+    p = str(tmp_path / "sky.exr")
+    write_exr(p, cross)
+    st = AppState(height=16, width=24)
+    assert st.load_env_map(p)
+    faces = np.asarray(st.env_map)
+    assert faces.shape == (6, f, f, 3)
+    for i, v in enumerate(vals):
+        assert np.allclose(faces[i], v, rtol=2e-3)

@@ -1,0 +1,155 @@
+"""Multi-format model import tests (assimp-analog surface,
+reference: include/scene/model.h:108-115).
+
+Round-trips procedural meshes through each format's writer/reader and
+asserts the gathered world-space triangle soup is identical (vertex
+sharing may legally differ between formats — STL flattens)."""
+
+import numpy as np
+import pytest
+
+from opengl_raytracing_tpu.scene.geometry import (make_icosphere, save_obj,
+                                                  gather_triangles,
+                                                  model_transform)
+from opengl_raytracing_tpu.scene.importers import (load_model, save_stl,
+                                                   save_ply, save_glb,
+                                                   MODEL_EXTENSIONS)
+
+
+def _tri_soup(mesh):
+    """Canonical sorted triangle soup for comparison across formats."""
+    tris = gather_triangles(mesh, model_transform())
+    order = np.lexsort(tris.T[::-1])
+    return tris[order]
+
+
+@pytest.fixture(scope="module")
+def ref_mesh():
+    return make_icosphere(1.0, 2)
+
+
+def test_stl_roundtrip(tmp_path, ref_mesh):
+    p = str(tmp_path / "m.stl")
+    save_stl(p, ref_mesh)
+    got = load_model(p)
+    assert got[1].shape == (ref_mesh[1].shape[0], 3)
+    np.testing.assert_allclose(_tri_soup(got), _tri_soup(ref_mesh),
+                               atol=1e-6)
+
+
+def test_stl_ascii(tmp_path, ref_mesh):
+    verts, faces = ref_mesh
+    tris = verts[faces]
+    p = tmp_path / "m_ascii.stl"
+    with open(p, "w") as fh:
+        fh.write("solid m\n")
+        for t in tris:
+            fh.write("facet normal 0 0 0\nouter loop\n")
+            for v in t:
+                fh.write(f"vertex {v[0]} {v[1]} {v[2]}\n")
+            fh.write("endloop\nendfacet\n")
+        fh.write("endsolid m\n")
+    got = load_model(str(p))
+    np.testing.assert_allclose(_tri_soup(got), _tri_soup(ref_mesh),
+                               atol=1e-5)
+
+
+@pytest.mark.parametrize("binary", [True, False])
+def test_ply_roundtrip(tmp_path, ref_mesh, binary):
+    p = str(tmp_path / f"m_{binary}.ply")
+    save_ply(p, ref_mesh, binary=binary)
+    got = load_model(p)
+    np.testing.assert_allclose(_tri_soup(got), _tri_soup(ref_mesh),
+                               atol=1e-6)
+
+
+def test_glb_roundtrip(tmp_path, ref_mesh):
+    p = str(tmp_path / "m.glb")
+    save_glb(p, ref_mesh)
+    got = load_model(p)
+    np.testing.assert_allclose(_tri_soup(got), _tri_soup(ref_mesh),
+                               atol=1e-6)
+
+
+def test_gltf_json_with_data_uri(tmp_path, ref_mesh):
+    # .glb -> re-express as .gltf with a base64 data: URI buffer
+    import base64
+    import json
+    import struct
+    p = str(tmp_path / "m.glb")
+    save_glb(p, ref_mesh)
+    with open(p, "rb") as fh:
+        blob = fh.read()
+    (jlen,) = struct.unpack_from("<I", blob, 12)
+    gltf = json.loads(blob[20:20 + jlen].decode("utf-8"))
+    boff = 20 + jlen + 8
+    binv = blob[boff:boff + gltf["buffers"][0]["byteLength"]]
+    gltf["buffers"][0]["uri"] = ("data:application/octet-stream;base64,"
+                                 + base64.b64encode(binv).decode("ascii"))
+    p2 = str(tmp_path / "m.gltf")
+    with open(p2, "w") as fh:
+        json.dump(gltf, fh)
+    got = load_model(p2)
+    np.testing.assert_allclose(_tri_soup(got), _tri_soup(ref_mesh),
+                               atol=1e-6)
+
+
+def test_gltf_node_transform(tmp_path, ref_mesh):
+    """Node TRS must bake into world-space vertices."""
+    import json
+    import struct
+    p = str(tmp_path / "m.glb")
+    save_glb(p, ref_mesh)
+    with open(p, "rb") as fh:
+        blob = fh.read()
+    (jlen,) = struct.unpack_from("<I", blob, 12)
+    gltf = json.loads(blob[20:20 + jlen].decode("utf-8"))
+    gltf["nodes"][0]["translation"] = [1.0, 2.0, 3.0]
+    gltf["nodes"][0]["scale"] = [2.0, 2.0, 2.0]
+    js = json.dumps(gltf).encode("utf-8")
+    js += b" " * (-len(js) % 4)
+    rest = blob[20 + jlen:]
+    total = 12 + 8 + len(js) + len(rest)
+    p2 = str(tmp_path / "m_t.glb")
+    with open(p2, "wb") as fh:
+        fh.write(struct.pack("<4sII", b"glTF", 2, total))
+        fh.write(struct.pack("<II", len(js), 0x4E4F534A))
+        fh.write(js)
+        fh.write(rest)
+    got = load_model(p2)
+    want_v = ref_mesh[0] * 2.0 + np.array([1.0, 2.0, 3.0], np.float32)
+    np.testing.assert_allclose(_tri_soup((got[0], got[1])),
+                               _tri_soup((want_v, ref_mesh[1])), atol=1e-5)
+
+
+def test_obj_through_dispatcher(tmp_path, ref_mesh):
+    p = str(tmp_path / "m.obj")
+    save_obj(p, ref_mesh)
+    got = load_model(p)
+    np.testing.assert_allclose(_tri_soup(got), _tri_soup(ref_mesh),
+                               atol=1e-5)
+
+
+def test_unsupported_extension(tmp_path):
+    p = tmp_path / "m.fbx"
+    p.write_bytes(b"whatever")
+    with pytest.raises(ValueError):
+        load_model(str(p))
+
+
+def test_appstate_loads_every_format(tmp_path, ref_mesh):
+    """AppState.load_bvh_model accepts each importer format and the
+    picker surface lists them (reference picker: gui.cpp:721-799)."""
+    from opengl_raytracing_tpu.app.state import AppState
+    save_stl(str(tmp_path / "a.stl"), ref_mesh)
+    save_ply(str(tmp_path / "b.ply"), ref_mesh)
+    save_glb(str(tmp_path / "c.glb"), ref_mesh)
+    save_obj(str(tmp_path / "d.obj"), ref_mesh)
+    st = AppState(height=24, width=32)
+    st.model_picker.directory = str(tmp_path)
+    st.model_picker.patterns = tuple("*" + e for e in MODEL_EXTENSIONS)
+    entries = st.model_picker.scan()
+    assert len(entries) == 4
+    for e in entries:
+        assert st.load_bvh_model(e), e
+        assert st.bvh_tri_count == ref_mesh[1].shape[0]
