@@ -182,12 +182,21 @@ def _safe_inv(d):
     return 1.0 / jnp.where(d == 0.0, 1e-30, d)
 
 
-def _tile_chunk_ranges(chunk_bounds, ro_soa, rd_soa, t_cap=None):
+def _tile_chunk_ranges(chunk_bounds, ro_soa, rd_soa, t_cap=None, act=None):
     """Conservative per-tile candidate chunk range.
 
     ro_soa/rd_soa: 3 flat [R] component planes each (R = NT*128).
     Returns (lo [NT], n [NT]) int32 such that any triangle intersected by
     any tile ray lies within chunks [lo, lo+n).
+
+    `act` (flat [R] bool or None): lanes whose results the caller
+    discards are EXCLUDED from the tile's interval hull — an all-inactive
+    tile culls to empty (its block is skipped), and a mixed tile's hull
+    stays tight around its real rays.  This is the sort-free form of
+    active gating: the direction-sorted path's argsort + gathers measured
+    ~130-145 ms per 2M rays on TPU (PERF.md round 2), 10x the cost of the
+    whole gated any-hit trace.  Inactive lanes still flow through the
+    kernel (their outputs are garbage); callers must mask.
 
     Everything is SoA with packed layouts — a flat [R,3] array lane-pads
     its minor dim 43x on TPU (measured: each pass over one costs ~7ms at
@@ -195,10 +204,17 @@ def _tile_chunk_ranges(chunk_bounds, ro_soa, rd_soa, t_cap=None):
     """
     nt = ro_soa[0].shape[0] // TILE_RAYS
     nc = chunk_bounds.shape[0]
+    act_t = None if act is None else act.reshape(nt, TILE_RAYS)
 
     def per_axis(k):
         o = ro_soa[k].reshape(nt, TILE_RAYS)
         i = _safe_inv(rd_soa[k].reshape(nt, TILE_RAYS))
+        if act_t is not None:
+            o_lo = jnp.min(jnp.where(act_t, o, INF), axis=1)
+            o_hi = jnp.max(jnp.where(act_t, o, -INF), axis=1)
+            i_lo = jnp.min(jnp.where(act_t, i, INF), axis=1)
+            i_hi = jnp.max(jnp.where(act_t, i, -INF), axis=1)
+            return o_lo, o_hi, i_lo, i_hi
         return (jnp.min(o, axis=1), jnp.max(o, axis=1),
                 jnp.min(i, axis=1), jnp.max(i, axis=1))
 
@@ -229,6 +245,10 @@ def _tile_chunk_ranges(chunk_bounds, ro_soa, rd_soa, t_cap=None):
     hit = tmax_hi >= tmin_lo                     # [NC,NT]
     if t_cap is not None:
         hit = hit & (tmin_lo <= t_cap[None, :])
+    if act_t is not None:
+        # all-inactive tiles have +/-INF hulls whose interval products
+        # degenerate to "pass everything" — gate them off explicitly
+        hit = hit & jnp.any(act_t, axis=1)[None, :]
 
     cidx = jnp.arange(nc, dtype=jnp.int32)[:, None]
     lo = jnp.min(jnp.where(hit, cidx, nc), axis=0)
@@ -340,40 +360,56 @@ def _closest_kernel(active_ref, gorder_ref, gbound_ref, meta_ref, f_ref,
 
     @pl.when(active_ref[b] > 0)
     def _():
+        # All-f32 epilogue (Mosaic mishandles packed-i1 keepdims
+        # reductions).  `out` is a 512-row det|u|v|t block; `nsel` the
+        # matching [128,8] normal rows.
+        def merge_block(out, nsel, carry):
+            t_best, nx, ny, nz = carry     # [1,128] f32
+            t, acc = _epilogue_inputs(out, eps)
+            acc = acc & (t < t_best)       # [128,128] tri x ray
+            tc = jnp.where(acc, t, INF)
+            cmin = jnp.min(tc, axis=0, keepdims=True)          # [1,128]
+            win = jnp.where(tc <= cmin, tri_f + 1.0, 0.0)
+            itri = jnp.max(win, axis=0, keepdims=True) - 1.0   # [1,128]
+            # one-hot row of the winning triangle per ray
+            onehot = jnp.where(tri_f == itri, 1.0, 0.0)        # [128,128]
+            nx_w = jnp.sum(onehot * nsel[:, 0:1], axis=0, keepdims=True)
+            ny_w = jnp.sum(onehot * nsel[:, 1:2], axis=0, keepdims=True)
+            nz_w = jnp.sum(onehot * nsel[:, 2:3], axis=0, keepdims=True)
+            upd = jnp.where(cmin < t_best, 1.0, 0.0)
+            # exact 0/1 select (a + upd*(b-a) cancels at INF magnitudes)
+            t_best = upd * cmin + (1.0 - upd) * t_best
+            nx = upd * nx_w + (1.0 - upd) * nx
+            ny = upd * ny_w + (1.0 - upd) * ny
+            nz = upd * nz_w + (1.0 - upd) * nz
+            return t_best, nx, ny, nz
+
         # fori over subtiles (dynamic reads/writes) keeps the kernel IR a
         # single copy of the body — a python-unrolled SUBTILES loop blows
         # Mosaic compile time up.
         def subtile_body(s, _):
-            f = _expand_features(f_ref[s])     # [8,128] -> [16,128]
             lo = meta_ref[s, 0]
             n = meta_ref[s, 1]
             mlo = meta_ref[s, 2]
             mhi = meta_ref[s, 3]
 
-            # All-f32 epilogue (Mosaic mishandles packed-i1 keepdims
-            # reductions).  `out` is a 512-row det|u|v|t block; `nsel` the
-            # matching [128,8] normal rows.
-            def merge_block(out, nsel, carry):
-                t_best, nx, ny, nz = carry     # [1,128] f32
-                t, acc = _epilogue_inputs(out, eps)
-                acc = acc & (t < t_best)       # [128,128] tri x ray
-                tc = jnp.where(acc, t, INF)
-                cmin = jnp.min(tc, axis=0, keepdims=True)          # [1,128]
-                win = jnp.where(tc <= cmin, tri_f + 1.0, 0.0)
-                itri = jnp.max(win, axis=0, keepdims=True) - 1.0   # [1,128]
-                # one-hot row of the winning triangle per ray
-                onehot = jnp.where(tri_f == itri, 1.0, 0.0)        # [128,128]
-                nx_w = jnp.sum(onehot * nsel[:, 0:1], axis=0, keepdims=True)
-                ny_w = jnp.sum(onehot * nsel[:, 1:2], axis=0, keepdims=True)
-                nz_w = jnp.sum(onehot * nsel[:, 2:3], axis=0, keepdims=True)
-                upd = jnp.where(cmin < t_best, 1.0, 0.0)
-                # exact 0/1 select (a + upd*(b-a) cancels at INF magnitudes)
-                t_best = upd * cmin + (1.0 - upd) * t_best
-                nx = upd * nx_w + (1.0 - upd) * nx
-                ny = upd * ny_w + (1.0 - upd) * ny
-                nz = upd * nz_w + (1.0 - upd) * nz
-                return t_best, nx, ny, nz
+            # Per-subtile empty gate: sky/window-collapsed subtiles skip
+            # the feature expansion, the walk, and the row writes (the
+            # block-wide miss init already covers them) — mixed blocks
+            # at object silhouettes are mostly empty subtiles.
+            if ordered:
+                st_active = meta_ref[s, 5] > meta_ref[s, 4]   # jhi > jlo
+            else:
+                st_active = meta_ref[s, 7] > 0                # gn > 0
 
+            @pl.when(st_active)
+            def _work():
+                f = _expand_features(f_ref[s])   # [8,128] -> [16,128]
+                walk(s, f, lo, n, mlo, mhi)
+
+            return 0
+
+        def walk(s, f, lo, n, mlo, mhi):
             def chunk_work(ci, carry):
                 c = coef_ref[lo + ci]          # [512,16]
                 out = jnp.dot(c, f, preferred_element_type=jnp.float32,
@@ -454,7 +490,6 @@ def _closest_kernel(active_ref, gorder_ref, gbound_ref, meta_ref, f_ref,
             nx_ref[pl.ds(s, 1), :] = nx
             ny_ref[pl.ds(s, 1), :] = ny
             nz_ref[pl.ds(s, 1), :] = nz
-            return 0
 
         jax.lax.fori_loop(0, subtiles, subtile_body, 0)
 
@@ -468,10 +503,20 @@ def _shadow_kernel(active_ref, gorder_ref, gbound_ref, meta_ref, f_ref,
     @pl.when(active_ref[b] > 0)
     def _():
         def subtile_body(s, _):
-            f = _expand_features(f_ref[s])
             glo = meta_ref[s, 6]
             gn = meta_ref[s, 7]
             gmask = meta_ref[s, 8]
+
+            # Per-subtile empty gate (see _closest_kernel): subtiles whose
+            # cull emptied (sky lanes, collapsed windows) keep the
+            # block-wide zero init and skip all vector work.
+            @pl.when(gn > 0)
+            def _work():
+                walk(s, glo, gn, gmask)
+            return 0
+
+        def walk(s, glo, gn, gmask):
+            f = _expand_features(f_ref[s])
             tmax = f[10:11, :]                 # [1,128]
 
             def group_work(gi, occ):
@@ -523,7 +568,6 @@ def _shadow_kernel(active_ref, gorder_ref, gbound_ref, meta_ref, f_ref,
             _, occ = jax.lax.while_loop(sh_cond, sh_body,
                                         (jnp.int32(0), occ0))
             occ_ref[pl.ds(s, 1), :] = occ
-            return 0
 
         jax.lax.fori_loop(0, subtiles, subtile_body, 0)
 
@@ -586,7 +630,10 @@ def sorted_trace(trace_fn, mxu, ro, rd, *extra, eps: float = EPS,
         gate_vals = (1e8, 1e8, 1e8, 1.0, 0.0, 0.0)
         comps = [jnp.where(act, c, g) for c, g in zip(comps, gate_vals)]
     perm = jnp.argsort(keys, stable=True)
-    inv = jnp.argsort(perm)
+    # inverse permutation via scatter (a second full sort costs ~an
+    # argsort; the scatter is one pass)
+    inv = jnp.zeros_like(perm).at[perm].set(
+        jnp.arange(perm.shape[0], dtype=perm.dtype))
     extra_s = [jnp.broadcast_to(e, shape).reshape(-1)[perm] for e in extra]
     # permute per 1D component (packed layouts), re-assemble [R,3] views
     ro_p = jnp.stack([comps[k][perm] for k in range(3)], axis=-1)
@@ -621,12 +668,15 @@ def _as_pages(mxu):
 
 
 def trace_bvh_mxu_paged(mxu, ro, rd, eps: float = EPS,
-                        shared_origin=None, ordered: bool = False) -> Hit:
+                        shared_origin=None, ordered: bool = False,
+                        active=None) -> Hit:
     """Closest hit across all pages (min-t merge)."""
     pages = _as_pages(mxu)
-    best = trace_bvh_mxu(pages[0], ro, rd, eps, shared_origin, ordered)
+    best = trace_bvh_mxu(pages[0], ro, rd, eps, shared_origin, ordered,
+                         active)
     for page in pages[1:]:
-        h = trace_bvh_mxu(page, ro, rd, eps, shared_origin, ordered)
+        h = trace_bvh_mxu(page, ro, rd, eps, shared_origin, ordered,
+                          active)
         closer = h.t < best.t
         best = Hit(jnp.where(closer, h.t, best.t),
                    jnp.where(closer[..., None], h.p, best.p),
@@ -635,18 +685,20 @@ def trace_bvh_mxu_paged(mxu, ro, rd, eps: float = EPS,
     return best
 
 
-def trace_bvh_shadow_mxu_paged(mxu, ro, rd, t_max, eps: float = EPS):
+def trace_bvh_shadow_mxu_paged(mxu, ro, rd, t_max, eps: float = EPS,
+                               active=None):
     """Any hit across all pages (or merge)."""
     pages = _as_pages(mxu)
-    occ = trace_bvh_shadow_mxu(pages[0], ro, rd, t_max, eps)
+    occ = trace_bvh_shadow_mxu(pages[0], ro, rd, t_max, eps, active)
     for page in pages[1:]:
-        occ = occ | trace_bvh_shadow_mxu(page, ro, rd, t_max, eps)
+        occ = occ | trace_bvh_shadow_mxu(page, ro, rd, t_max, eps, active)
     return occ
 
 
-def _pad_tiles(ro, rd, extra=None):
+def _pad_tiles(ro, rd, extra=None, active=None):
     """[...,3] rays -> 1D SoA component planes, padded to a tile-group
-    multiple.  Dummy rays point +x from far away (terminate in O(1))."""
+    multiple.  Dummy rays point +x from far away (terminate in O(1));
+    pad lanes are inactive when an `active` mask is given."""
     shape = jnp.broadcast_shapes(jnp.shape(ro)[:-1], jnp.shape(rd)[:-1])
     ro_b = jnp.broadcast_to(ro, shape + (3,))
     rd_b = jnp.broadcast_to(rd, shape + (3,))
@@ -669,7 +721,13 @@ def _pad_tiles(ro, rd, extra=None):
             e = jnp.concatenate([e, jnp.zeros(n_pad, e.dtype)])
     else:
         e = None
-    return shape, n, ro_soa, rd_soa, e
+    if active is not None:
+        act = jnp.broadcast_to(active, shape).reshape(-1)
+        if n_pad:
+            act = jnp.concatenate([act, jnp.zeros(n_pad, jnp.bool_)])
+    else:
+        act = None
+    return shape, n, ro_soa, rd_soa, e, act
 
 
 # The GROUP-chunk matmul block ([GROUP*512,128] out + epilogue temps)
@@ -731,7 +789,8 @@ def _global_chunk_order(mxu: MXUBVH, origin):
 
 @functools.partial(jax.jit, static_argnames=("eps", "ordered"))
 def trace_bvh_mxu(mxu: MXUBVH, ro, rd, eps: float = EPS,
-                  shared_origin=None, ordered: bool = False) -> Hit:
+                  shared_origin=None, ordered: bool = False,
+                  active=None) -> Hit:
     """Closest-hit via cull + MXU MT.  Contract matches trace_bvh.
 
     With `ordered=True` and `shared_origin` (all rays from one point,
@@ -744,10 +803,15 @@ def trace_bvh_mxu(mxu: MXUBVH, ro, rd, eps: float = EPS,
     chunk visited first, and ordered/unordered walks visit chunks in
     different orders — bit-identical output between the two modes is
     guaranteed only for tie-free scenes (any non-degenerate mesh; shared
-    edges hit exactly on the edge can differ in the winning normal)."""
-    shape, n, ro_soa, rd_soa, _ = _pad_tiles(ro, rd)
+    edges hit exactly on the edge can differ in the winning normal).
+
+    `active` (bool mask of the ray batch shape or None): inactive lanes
+    are excluded from the tile cull hulls — all-inactive tiles are
+    skipped block-wise, and their OUTPUT IS GARBAGE (arbitrary finite
+    hit/miss); the caller must mask.  The sort-free gating path."""
+    shape, n, ro_soa, rd_soa, _, act = _pad_tiles(ro, rd, active=active)
     nt = ro_soa[0].shape[0] // TILE_RAYS
-    cull = _tile_chunk_ranges(mxu.chunk_bounds, ro_soa, rd_soa)
+    cull = _tile_chunk_ranges(mxu.chunk_bounds, ro_soa, rd_soa, act=act)
     lo, cn = cull[0], cull[1]
     feats = _build_features(ro_soa, rd_soa)
     subtiles = _subtiles_for(nt)
@@ -795,12 +859,21 @@ def trace_bvh_mxu(mxu: MXUBVH, ro, rd, eps: float = EPS,
 
 
 @functools.partial(jax.jit, static_argnames=("eps",))
-def trace_bvh_shadow_mxu(mxu: MXUBVH, ro, rd, t_max, eps: float = EPS):
-    """Any-hit with per-ray window via cull + MXU MT.  Returns bool mask."""
-    shape, n, ro_soa, rd_soa, tm = _pad_tiles(ro, rd, t_max)
+def trace_bvh_shadow_mxu(mxu: MXUBVH, ro, rd, t_max, eps: float = EPS,
+                         active=None):
+    """Any-hit with per-ray window via cull + MXU MT.  Returns bool mask.
+
+    `active` tightens the tile cull hulls to real lanes (see
+    trace_bvh_mxu); inactive lanes additionally get a collapsed window so
+    their output is a guaranteed False rather than garbage."""
+    if active is not None:
+        t_max = jnp.where(active, t_max, -1.0)
+    shape, n, ro_soa, rd_soa, tm, act = _pad_tiles(ro, rd, t_max,
+                                                   active=active)
     nt = ro_soa[0].shape[0] // TILE_RAYS
     t_cap = jnp.max(tm.reshape(nt, TILE_RAYS), axis=1)
-    cull = _tile_chunk_ranges(mxu.chunk_bounds, ro_soa, rd_soa, t_cap)
+    cull = _tile_chunk_ranges(mxu.chunk_bounds, ro_soa, rd_soa, t_cap,
+                              act=act)
     cn = cull[1]
     feats = _build_features(ro_soa, rd_soa, tm)
     subtiles = _subtiles_for(nt)

@@ -14,8 +14,6 @@ Naming of the RNG arguments follows the GLSL call chain:
 
 from __future__ import annotations
 
-import os
-
 import numpy as np
 import jax.numpy as jnp
 
@@ -42,11 +40,6 @@ _LB = np.cross(_KN, _LT)
 LIGHT_N = _KN.astype(np.float32)
 LIGHT_T = _LT.astype(np.float32)
 LIGHT_B = _LB.astype(np.float32)
-
-# Shadow rays from GI bounce hits have scattered origins; route them
-# through the direction-sorted any-hit path by default (A/B knob —
-# PERF.md records the measurement behind the default).
-_GI_SHADOW_COHERENT = os.environ.get("ORT_GI_SHADOW_COHERENT", "0") == "1"
 
 
 def _segment_shadow_query(p, q):
@@ -245,7 +238,7 @@ def direct_light(scene: SceneCtx, h, rng_frame, frame_index, vdir, px, py):
 
 
 def direct_light_bvh(scene: SceneCtx, h, rng_frame, frame_index, vdir,
-                     px, py, active=None, coherent=True):
+                     px, py, active=None):
     """Direct lighting for BVH triangles: hard-coded white plastic
     (reference: rt_lighting.glsl:405-460).
 
@@ -255,14 +248,10 @@ def direct_light_bvh(scene: SceneCtx, h, rng_frame, frame_index, vdir,
 
     `active` (bool, shape of h.t) marks lanes whose radiance is consumed
     by the caller (primary/GI hits).  Inactive lanes — sky pixels, whose
-    result is discarded by a downstream select — get a collapsed shadow
-    window (-1) so the cull pre-pass empties their tiles and whole sky
-    blocks skip the any-hit kernel.  Values on inactive lanes are
-    unspecified.
-
-    `coherent=False` marks shadow origins as scattered (e.g. GI bounce
-    hits): the batched any-hit call goes through the direction-sorted
-    tracer instead of the screen-tile one."""
+    result is discarded by a downstream select — are excluded from the
+    tile cull hulls and get a collapsed shadow window (-1), so all-sky
+    tiles skip the any-hit kernel subtile-wise.  Values on inactive
+    lanes are unspecified."""
     n = normalize(h.n)
     v = normalize(vdir)
     shape = jnp.shape(h.t)
@@ -290,13 +279,10 @@ def direct_light_bvh(scene: SceneCtx, h, rng_frame, frame_index, vdir,
             origins.append(o)
             dirs.append(d)
             wins.append(w)
-        if active is not None:
-            wins = [jnp.where(active, w, -1.0) for w in wins]
         act = None if active is None else jnp.broadcast_to(
             active[None], (len(origins),) + jnp.shape(h.t))
         occ = scene.trace_shadow_any(jnp.stack(origins), jnp.stack(dirs),
-                                     jnp.stack(wins), coherent=coherent,
-                                     active=act)
+                                     jnp.stack(wins), active=act)
         occ_disk = occ[:SOFT_SHADOW_SAMPLES]
         k = SOFT_SHADOW_SAMPLES
         if params.sun_enabled:
@@ -358,7 +344,7 @@ def one_bounce_gi_bvh(scene: SceneCtx, h0, rng_frame, seed, frame_index,
     h1 = scene.trace(origin, wi, coherent=False, active=active)
     act1 = h1.valid if active is None else (active & h1.valid)
     li_hit = direct_light_bvh(scene, h1, rng_frame, frame_index, -wi, px, py,
-                              active=act1, coherent=_GI_SHADOW_COHERENT)
+                              active=act1)
     li = jnp.where(h1.valid[..., None], li_hit, scene.sky(wi))
     contrib = const3(BVH_ALBEDO) * (cos_theta / PI)[..., None] * li
     lum = dot(contrib, const3(YCOEFF))
@@ -459,10 +445,7 @@ def compute_ao(scene: SceneCtx, h, frame_index, px, py, active=None):
         active[None], d_all.shape[:-1])
     if scene.use_bvh:
         win = jnp.full(d_all.shape[:-1], params.ao_radius, jnp.float32)
-        if act is not None:
-            win = jnp.where(act, win, -1.0)
-        occ_hit = scene.trace_shadow_any(org, d_all, win, coherent=False,
-                                         active=act)
+        occ_hit = scene.trace_shadow_any(org, d_all, win, active=act)
         occluded = jnp.sum(jnp.where(occ_hit, 1.0, 0.0), axis=0)
     else:
         tmp = scene.trace(org, d_all, coherent=False,  # one batched trace

@@ -22,8 +22,7 @@ from ..scene.bvh import BVH, BVHArrays, build_bvh_fast, bvh_to_arrays
 from . import scene_analytic as sa
 from .bvh_traverse import trace_bvh, trace_bvh_shadow
 from .bvh_mxu import (MXUBVH, build_mxu_paged, trace_bvh_mxu_paged,
-                      trace_bvh_shadow_mxu_paged, trace_bvh_mxu_sorted,
-                      trace_bvh_shadow_mxu_sorted)
+                      trace_bvh_shadow_mxu_paged)
 from .vecmath import normalize, v3
 
 
@@ -136,21 +135,23 @@ class SceneCtx:
     def trace(self, ro, rd, eps: float = EPS, coherent: bool = True,
               shared_origin=None, active=None) -> sa.Hit:
         """`active`: optional bool mask — lanes whose hit result the
-        caller discards; the sorted MXU path skips their tiles (values on
-        inactive lanes are unspecified on TPU, exact elsewhere)."""
+        caller discards.  On TPU they are excluded from the tile cull
+        hulls (all-inactive tiles skip block-wise) and their output is
+        garbage; values on inactive lanes are unspecified on TPU, exact
+        elsewhere.  The `coherent` flag is kept for call-site
+        documentation: both regimes use the pixel-order masked-cull
+        kernel — direction sorting measured 10x SLOWER than the work it
+        saves (argsort + gathers ~130-145 ms per 2M rays, PERF.md r2)."""
         if self.use_bvh:
             # TPU: cull + MXU Moller-Trumbore (paged for arbitrary scene
             # sizes; front-to-back ordered walk when all rays share one
-            # origin; direction-sorted for incoherent hemisphere batches);
-            # elsewhere: jnp skip-link walk.
+            # origin); elsewhere: jnp skip-link walk.
             if _tpu():
-                if coherent:
-                    return trace_bvh_mxu_paged(
-                        self.bvh.mxu, ro, rd, eps,
-                        shared_origin=shared_origin,
-                        ordered=shared_origin is not None)
-                return trace_bvh_mxu_sorted(self.bvh.mxu, ro, rd, eps,
-                                            active=active)
+                return trace_bvh_mxu_paged(
+                    self.bvh.mxu, ro, rd, eps,
+                    shared_origin=shared_origin,
+                    ordered=shared_origin is not None,
+                    active=active)
             return trace_bvh(self.bvh.arrays, ro, rd, eps)
         return sa.trace_analytic(ro, rd, self.params, self.point_light_pos,
                                  eps)
@@ -167,14 +168,11 @@ class SceneCtx:
                          coherent: bool = True, active=None):
         """Any occluder strictly before t_max (BVH mode only path).
 
-        `active` gates the incoherent (sorted) path tile-wise, like
-        trace(); coherent callers gate via collapsed windows instead."""
+        `active` tightens the tile cull hulls AND collapses inactive
+        windows (guaranteed False on inactive lanes)."""
         if _tpu():
-            if coherent:
-                return trace_bvh_shadow_mxu_paged(self.bvh.mxu, ro, rd,
-                                                  t_max, eps)
-            return trace_bvh_shadow_mxu_sorted(self.bvh.mxu, ro, rd, t_max,
-                                               eps, active=active)
+            return trace_bvh_shadow_mxu_paged(self.bvh.mxu, ro, rd,
+                                              t_max, eps, active=active)
         return trace_bvh_shadow(self.bvh.arrays, ro, rd, t_max, eps)
 
     def sky(self, d):

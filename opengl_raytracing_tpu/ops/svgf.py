@@ -123,7 +123,9 @@ def present(accum, motion, gpos, gnrm, params: RenderParams,
     if params.enable_svgf:
         import os
         import jax
-        use_pallas = (os.environ.get("ORT_SVGF_PALLAS", "0") == "1"
+        # Pallas banded-halo stencil measured 13.8 vs 17.3 ms (jnp) at
+        # 1080p (PERF.md) — default on TPU; ORT_SVGF_PALLAS=0 reverts.
+        use_pallas = (os.environ.get("ORT_SVGF_PALLAS", "1") == "1"
                       and jax.default_backend() == "tpu")
         if use_pallas:
             from .svgf_pallas import svgf_filter_pallas

@@ -23,13 +23,14 @@ H, W = 1080, 1920
 REPS = int(os.environ.get("PROBE_REPS", "8"))
 
 CASES = [
-    "ao_sorted",        # any-hit, direction-sorted (status quo after r2 fix)
-    "ao_coherent",      # any-hit, pixel order (coherent origins + t cap)
-    "gi_sorted",        # closest-hit, direction-sorted (status quo)
-    "gi_coherent",      # closest-hit, pixel order
+    "ao_sorted",        # any-hit, direction-sorted (round-2 interim)
+    "ao_coherent",      # any-hit, pixel order, masked cull (production)
+    "gi_sorted",        # closest-hit, direction-sorted
+    "gi_coherent",      # closest-hit, pixel order, ungated
+    "gi_masked",        # closest-hit, pixel order, masked cull (production)
     "gi_walk",          # closest-hit, jnp skip-link walk (gather-based)
     "gishadow_sorted",  # 6-ray shadow from GI hits, direction-sorted
-    "gishadow_coherent",  # same rays, pixel order
+    "gishadow_coherent",  # same rays, pixel order, masked cull (production)
 ]
 
 
@@ -96,10 +97,11 @@ def child(key: str) -> None:
                 occ = trace_bvh_shadow_mxu_sorted(bvh.mxu, org, wi, win,
                                                   active=act)
             else:
-                occ = trace_bvh_shadow_mxu_paged(bvh.mxu, org, wi, win)
-            return jnp.sum(jnp.where(occ, 1.0, 0.0))
+                occ = trace_bvh_shadow_mxu_paged(bvh.mxu, org, wi, win,
+                                                 active=act)
+            return jnp.sum(jnp.where(act & occ, 1.0, 0.0))
         if key.startswith("gishadow"):
-            h1 = trace_bvh_mxu_sorted(bvh.mxu, org, wi, active=act)
+            h1 = trace_bvh_mxu_paged(bvh.mxu, org, wi, active=act)
             act1 = act & h1.valid
             xls = lt._disk_samples(jnp.int32(0), jnp.int32(0),
                                    jnp.zeros_like(h.t), jnp.zeros_like(h.t))
@@ -112,19 +114,21 @@ def child(key: str) -> None:
             o_all = jnp.stack(origins)
             d_all = jnp.stack(dirs)
             w_all = jnp.stack(wins)
+            act_b = jnp.broadcast_to(act1[None], w_all.shape)
             if key == "gishadow_sorted":
                 occ = trace_bvh_shadow_mxu_sorted(
-                    bvh.mxu, o_all, d_all, w_all,
-                    active=jnp.broadcast_to(act1[None], w_all.shape))
+                    bvh.mxu, o_all, d_all, w_all, active=act_b)
             else:
                 occ = trace_bvh_shadow_mxu_paged(bvh.mxu, o_all, d_all,
-                                                 w_all)
-            return jnp.sum(jnp.where(occ, 1.0, 0.0))
+                                                 w_all, active=act_b)
+            return jnp.sum(jnp.where(act_b & occ, 1.0, 0.0))
         # gi closest-hit variants
         if key == "gi_sorted":
             h1 = trace_bvh_mxu_sorted(bvh.mxu, org, wi, active=act)
         elif key == "gi_coherent":
             h1 = trace_bvh_mxu_paged(bvh.mxu, org, wi)
+        elif key == "gi_masked":
+            h1 = trace_bvh_mxu_paged(bvh.mxu, org, wi, active=act)
         else:  # gi_walk
             h1 = trace_bvh(bvh.arrays, org, wi)
         return jnp.sum(jnp.where(h1.valid & act, h1.t, 0.0))

@@ -97,6 +97,22 @@ def main():
     if shadow_agree < 0.999:
         failures += 1
 
+    # masked culls: active lanes must match the unmasked result exactly
+    act_np = rng.random(n) > 0.5
+    act = jnp.asarray(act_np)
+    h_m = trace_bvh_mxu_paged(bvh.mxu, jnp.asarray(ro), jnp.asarray(rd),
+                              active=act)
+    t_m = np.where(np.asarray(h_m.valid), np.asarray(h_m.t, np.float64),
+                   np.inf)
+    m_ok = np.allclose(t_got[act_np], t_m[act_np], rtol=1e-6, atol=1e-6,
+                       equal_nan=True)
+    occ_m = np.asarray(trace_bvh_shadow_mxu_paged(
+        bvh.mxu, jnp.asarray(ro), jnp.asarray(rd), t_max, active=act))
+    s_ok = (occ_m[act_np] == occ[act_np]).all() and not occ_m[~act_np].any()
+    print(f"masked cull closest match: {m_ok}, shadow match+gate: {s_ok}")
+    if not (m_ok and s_ok):
+        failures += 1
+
     print("PASS" if failures == 0 else f"FAIL ({failures})")
     return 1 if failures else 0
 

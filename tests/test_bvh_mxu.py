@@ -151,3 +151,51 @@ def test_ordered_paged_matches(scene):
     np.testing.assert_array_equal(np.asarray(h0.valid), np.asarray(h1.valid))
     np.testing.assert_allclose(np.asarray(h0.t), np.asarray(h1.t),
                                rtol=1e-6, atol=1e-6)
+
+
+def test_masked_cull_closest_matches_on_active_lanes(scene):
+    """Active-masked trace must equal the unmasked trace on ACTIVE lanes
+    (inactive lanes are garbage by contract — excluded from the check).
+    Covers the sort-free gating path used for GI rays."""
+    mxu, tris = scene
+    ro, rd = _rays(11)
+    rng = np.random.RandomState(3)
+    act = jnp.asarray(rng.rand(N_RAYS) > 0.6)
+    h0 = trace_bvh_mxu(mxu, ro, rd)
+    h1 = trace_bvh_mxu(mxu, ro, rd, active=act)
+    sel = np.asarray(act)
+    np.testing.assert_array_equal(np.asarray(h0.valid)[sel],
+                                  np.asarray(h1.valid)[sel])
+    hit = sel & np.asarray(h0.valid)
+    np.testing.assert_allclose(np.asarray(h0.t)[hit], np.asarray(h1.t)[hit],
+                               rtol=1e-6, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(h0.n)[hit], np.asarray(h1.n)[hit],
+                               atol=1e-6)
+
+
+def test_masked_cull_shadow_matches_and_inactive_false(scene):
+    """Masked any-hit: equals unmasked on active lanes AND guarantees
+    False on inactive lanes (collapsed window)."""
+    mxu, tris = scene
+    ro, rd = _rays(13)
+    win = jnp.full((N_RAYS,), 5.0, jnp.float32)
+    rng = np.random.RandomState(5)
+    act = jnp.asarray(rng.rand(N_RAYS) > 0.5)
+    s0 = trace_bvh_shadow_mxu(mxu, ro, rd, win)
+    s1 = trace_bvh_shadow_mxu(mxu, ro, rd, win, active=act)
+    sel = np.asarray(act)
+    np.testing.assert_array_equal(np.asarray(s0)[sel], np.asarray(s1)[sel])
+    assert not np.asarray(s1)[~sel].any()
+
+
+def test_masked_cull_all_inactive_tile_skips(scene):
+    """A fully inactive batch must return all-False / all-miss (the +/-INF
+    hull degeneracy is gated off explicitly)."""
+    mxu, tris = scene
+    ro, rd = _rays(17)
+    act = jnp.zeros((N_RAYS,), jnp.bool_)
+    h = trace_bvh_mxu(mxu, ro, rd, active=act)
+    assert not np.asarray(h.valid).any()
+    win = jnp.full((N_RAYS,), 5.0, jnp.float32)
+    s = trace_bvh_shadow_mxu(mxu, ro, rd, win, active=act)
+    assert not np.asarray(s).any()

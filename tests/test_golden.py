@@ -26,8 +26,8 @@ def _configs():
 @pytest.mark.parametrize("name", [
     "analytic_baseline", "analytic_full", "analytic_no_env_gradient_sky",
     "bvh_baseline", "bvh_full", "raster_parity", "env_cubemap",
-    "heavy_4spp_frame3", "bvh_full_large", "taa_motion_seq",
-    "motion_debug"])
+    "heavy_4spp_frame3", "bvh_baseline_large", "analytic_full_large",
+    "taa_motion_seq", "motion_debug"])
 def test_golden(name):
     golden_configs, render_config = _configs()
     path = os.path.join(GOLDEN_DIR, f"{name}.png")
