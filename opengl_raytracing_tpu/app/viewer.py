@@ -33,6 +33,8 @@ from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from urllib.parse import urlparse, parse_qs, unquote
 
 import numpy as np
+import jax
+import jax.numpy as jnp
 
 from ..utils.image import encode_png
 from ..utils.checkpoint import params_to_dict
@@ -337,11 +339,16 @@ class ViewerState:
         self.running = True
 
     def loop(self, target_fps: float = 30.0):
+        # quantize to u8 ON DEVICE: the per-frame readback over the host
+        # link drops 25MB (f32) -> 6MB (u8) at 1080p
+        quant = jax.jit(
+            lambda x: jnp.clip(x * 255.0 + 0.5, 0.0, 255.0
+                               ).astype(jnp.uint8))
         while self.running:
             t0 = time.time()
             with self.lock:
                 img = self.application.step()
-                arr = np.asarray(img)
+                arr = np.asarray(quant(img))
             # fast in-memory encode (level 1: this is a live stream)
             self.png = encode_png(arr[::-1], level=1)
             dt = time.time() - t0

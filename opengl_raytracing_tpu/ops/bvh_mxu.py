@@ -55,9 +55,9 @@ CHUNK = 128          # triangles per chunk
 TILE_RAYS = 128      # rays per tile == lane width
 SUBTILES = int(os.environ.get("ORT_SUBTILES", "32"))  # tiles per grid step
 KDIM = 16            # MT feature dim fed to the matmul (10 used + tmax)
-FDIM = 8             # materialized per-ray planes: o(3), d(3), tmax, pad —
-                     # m = o x d, the ones row, and padding are built
-                     # in-kernel to halve the dominant HBM stream
+# Per-ray data streams into the kernels as separate [NT,128] SoA planes
+# (o(3), d(3) [+ tmax]); m = o x d, the ones row, and padding are built
+# in-kernel, so no concatenated feature buffer is ever materialized.
 
 # MXU passes per f32 matmul: HIGHEST = 6 bf16 passes, DEFAULT = 1
 # (Mosaic supports only these two).  Closest-hit keeps HIGHEST
@@ -291,38 +291,33 @@ def _tile_chunk_ranges(chunk_bounds, ro_soa, rd_soa, t_cap=None, act=None):
             gmask.astype(jnp.int32))
 
 
-def _build_features(ro_soa, rd_soa, extra=None):
-    """Per-ray planes -> [NT, FDIM, 128] (rays on lanes): o(3), d(3),
-    tmax, pad.  The kernel derives the remaining MT features (o x d, the
-    ones row) in-register — materializing all 16 rows would double the
-    dominant HBM stream."""
-    ox, oy, oz = ro_soa
-    dx, dy, dz = rd_soa
-    nt = ox.shape[0] // TILE_RAYS
-
-    def plane(v):
-        return v.reshape(nt, 1, TILE_RAYS)
-
-    planes = [plane(ox), plane(oy), plane(oz),
-              plane(dx), plane(dy), plane(dz)]
-    planes.append(plane(extra) if extra is not None
-                  else jnp.zeros((nt, 1, TILE_RAYS), jnp.float32))
-    planes.append(jnp.zeros((nt, FDIM - 7, TILE_RAYS), jnp.float32))
-    return jnp.concatenate(planes, axis=1)
+def _soa_planes(ro_soa, rd_soa, extra=None):
+    """Per-ray flat planes -> list of [NT, 128] kernel inputs (rays on
+    lanes): ox, oy, oz, dx, dy, dz (+ tmax when given).  Each plane is a
+    free reshape of an already-materialized component stream — the
+    kernels assemble the 16 MT feature rows in-register, so the former
+    [NT, FDIM, 128] concatenated feature buffer (an extra full write +
+    read of the dominant HBM stream) no longer exists."""
+    nt = ro_soa[0].shape[0] // TILE_RAYS
+    planes = [v.reshape(nt, TILE_RAYS) for v in (*ro_soa, *rd_soa)]
+    if extra is not None:
+        planes.append(extra.reshape(nt, TILE_RAYS))
+    return planes
 
 
-def _expand_features(f8):
-    """[8,128] materialized planes -> [16,128] MT feature rows
+def _expand_features(rows, s, with_tmax: bool):
+    """Subtile row s of the SoA plane refs -> [16,128] MT feature rows
     (d, o x d, o, 1, tmax, pad) built on the VPU."""
-    o = f8[0:3, :]
-    d = f8[3:6, :]
-    tmax = f8[6:7, :]
-    mx = o[1:2] * d[2:3] - o[2:3] * d[1:2]
-    my = o[2:3] * d[0:1] - o[0:1] * d[2:3]
-    mz = o[0:1] * d[1:2] - o[1:2] * d[0:1]
+    o = [r[pl.ds(s, 1), :] for r in rows[0:3]]
+    d = [r[pl.ds(s, 1), :] for r in rows[3:6]]
+    tmax = (rows[6][pl.ds(s, 1), :] if with_tmax
+            else jnp.zeros((1, TILE_RAYS), jnp.float32))
+    mx = o[1] * d[2] - o[2] * d[1]
+    my = o[2] * d[0] - o[0] * d[2]
+    mz = o[0] * d[1] - o[1] * d[0]
     ones = jnp.ones((1, TILE_RAYS), jnp.float32)
     zeros = jnp.zeros((KDIM - 11, TILE_RAYS), jnp.float32)
-    return jnp.concatenate([d, mx, my, mz, o, ones, tmax, zeros], axis=0)
+    return jnp.concatenate([*d, mx, my, mz, *o, ones, tmax, zeros], axis=0)
 
 
 # -----------------------------------------------------------------------------
@@ -344,7 +339,8 @@ def _epilogue_inputs(out, eps):
     return t, acc
 
 
-def _closest_kernel(active_ref, gorder_ref, gbound_ref, meta_ref, f_ref,
+def _closest_kernel(active_ref, gorder_ref, gbound_ref, meta_ref,
+                    ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
                     coef_ref, norms_ref, t_ref, nx_ref, ny_ref, nz_ref, *,
                     eps: float, subtiles: int, ordered: bool):
     b = pl.program_id(0)
@@ -404,7 +400,9 @@ def _closest_kernel(active_ref, gorder_ref, gbound_ref, meta_ref, f_ref,
 
             @pl.when(st_active)
             def _work():
-                f = _expand_features(f_ref[s])   # [8,128] -> [16,128]
+                f = _expand_features(
+                    (ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref),
+                    s, with_tmax=False)          # [16,128] in-register
                 walk(s, f, lo, n, mlo, mhi)
 
             return 0
@@ -494,7 +492,8 @@ def _closest_kernel(active_ref, gorder_ref, gbound_ref, meta_ref, f_ref,
         jax.lax.fori_loop(0, subtiles, subtile_body, 0)
 
 
-def _shadow_kernel(active_ref, gorder_ref, gbound_ref, meta_ref, f_ref,
+def _shadow_kernel(active_ref, gorder_ref, gbound_ref, meta_ref,
+                   ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, tm_ref,
                    coef_ref, occ_ref, *, eps: float, subtiles: int,
                    ordered: bool = False):
     b = pl.program_id(0)
@@ -516,7 +515,9 @@ def _shadow_kernel(active_ref, gorder_ref, gbound_ref, meta_ref, f_ref,
             return 0
 
         def walk(s, glo, gn, gmask):
-            f = _expand_features(f_ref[s])
+            f = _expand_features(
+                (ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, tm_ref),
+                s, with_tmax=True)
             tmax = f[10:11, :]                 # [1,128]
 
             def group_work(gi, occ):
@@ -730,16 +731,62 @@ def _pad_tiles(ro, rd, extra=None, active=None):
     return shape, n, ro_soa, rd_soa, e, act
 
 
+def _pad_tiles_multi(ro_seq, rd_seq, extra_seq, active):
+    """Tuple-of-batches form of _pad_tiles: k same-shape ray batches
+    (e.g. the 4-disk + sun + point shadow wavefront) trace as ONE
+    concatenated stream WITHOUT materializing the [k,...,3] stacks the
+    callers used to build — each batch's component plane is sliced
+    straight out of its (fused) producer.  `active` has the per-ITEM
+    shape and is reused for every batch.  Returns the same tuple as
+    _pad_tiles with shape == (k,) + item_shape."""
+    k = len(ro_seq)
+    shape0 = jnp.broadcast_shapes(jnp.shape(ro_seq[0])[:-1],
+                                  jnp.shape(rd_seq[0])[:-1])
+    n_item = int(np.prod(shape0)) if shape0 else 1
+    n = k * n_item
+    group = TILE_RAYS * _subtiles_for(n // TILE_RAYS + 1)
+    n_pad = -n % group
+
+    def comp(seq, kk, pad_val):
+        flats = [jnp.broadcast_to(a, shape0 + (3,))[..., kk].reshape(-1)
+                 for a in seq]
+        if n_pad:
+            flats.append(jnp.full((n_pad,), pad_val, jnp.float32))
+        return jnp.concatenate(flats) if len(flats) > 1 else flats[0]
+
+    ro_soa = (comp(ro_seq, 0, 1e8), comp(ro_seq, 1, 1e8),
+              comp(ro_seq, 2, 1e8))
+    rd_soa = (comp(rd_seq, 0, 1.0), comp(rd_seq, 1, 0.0),
+              comp(rd_seq, 2, 0.0))
+    if extra_seq is not None:
+        flats = [jnp.broadcast_to(x, shape0).reshape(-1) for x in extra_seq]
+        if n_pad:
+            flats.append(jnp.zeros(n_pad, flats[0].dtype))
+        e = jnp.concatenate(flats) if len(flats) > 1 else flats[0]
+    else:
+        e = None
+    if active is not None:
+        af = jnp.broadcast_to(active, shape0).reshape(-1)
+        acts = [af] * k
+        if n_pad:
+            acts.append(jnp.zeros(n_pad, jnp.bool_))
+        act = jnp.concatenate(acts) if len(acts) > 1 else acts[0]
+    else:
+        act = None
+    return (k,) + shape0, n, ro_soa, rd_soa, e, act
+
+
 # The GROUP-chunk matmul block ([GROUP*512,128] out + epilogue temps)
 # overflows the default 16MB scoped-VMEM stack by a hair; give the
 # kernels explicit headroom.
 _COMPILER_PARAMS = pltpu.CompilerParams(vmem_limit_bytes=64 * 1024 * 1024)
 
 
-def _grid_specs(nt, n_out, n_full_inputs=1, subtiles=SUBTILES):
+def _grid_specs(nt, n_out, n_planes, n_full_inputs=1, subtiles=SUBTILES):
     # Only the tiny per-block active flags ride scalar prefetch (SMEM);
     # per-tile metadata is a blocked VMEM operand — huge batched ray
-    # streams (NT ~ 100k tiles) would otherwise overflow SMEM.
+    # streams (NT ~ 100k tiles) would otherwise overflow SMEM.  Ray
+    # components stream as n_planes separate [subtiles,128] blocks.
     out_spec = pl.BlockSpec((subtiles, TILE_RAYS),
                             lambda b, *pf: (b, 0),
                             memory_space=pltpu.VMEM)
@@ -749,10 +796,8 @@ def _grid_specs(nt, n_out, n_full_inputs=1, subtiles=SUBTILES):
         in_specs=[
             pl.BlockSpec((subtiles, META_W), lambda b, *pf: (b, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((subtiles, FDIM, TILE_RAYS),
-                         lambda b, *pf: (b, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ] + [pl.BlockSpec(memory_space=pltpu.VMEM)] * n_full_inputs,
+        ] + [out_spec] * n_planes
+          + [pl.BlockSpec(memory_space=pltpu.VMEM)] * n_full_inputs,
         out_specs=[out_spec] * n_out if n_out > 1 else out_spec,
     )
 
@@ -813,7 +858,7 @@ def trace_bvh_mxu(mxu: MXUBVH, ro, rd, eps: float = EPS,
     nt = ro_soa[0].shape[0] // TILE_RAYS
     cull = _tile_chunk_ranges(mxu.chunk_bounds, ro_soa, rd_soa, act=act)
     lo, cn = cull[0], cull[1]
-    feats = _build_features(ro_soa, rd_soa)
+    planes = _soa_planes(ro_soa, rd_soa)
     subtiles = _subtiles_for(nt)
     nc = mxu.coef.shape[0]
     if ordered and shared_origin is not None:
@@ -839,12 +884,13 @@ def trace_bvh_mxu(mxu: MXUBVH, ro, rd, eps: float = EPS,
                              ordered=ordered and shared_origin is not None)
     t_rows, nx, ny, nz = pl.pallas_call(
         kern,
-        grid_spec=_grid_specs(nt, 4, n_full_inputs=2, subtiles=subtiles),
+        grid_spec=_grid_specs(nt, 4, n_planes=6, n_full_inputs=2,
+                              subtiles=subtiles),
         out_shape=[jax.ShapeDtypeStruct((nt, TILE_RAYS), jnp.float32)] * 4,
         interpret=_use_interpret(),
         compiler_params=_COMPILER_PARAMS,
     )(_block_active(cn, nt, subtiles), gorder, gbound,
-      _pack_meta(cull, jlo, jhi), feats, mxu.coef, mxu.norms)
+      _pack_meta(cull, jlo, jhi), *planes, mxu.coef, mxu.norms)
 
     t = t_rows.reshape(-1)[:n].reshape(shape)
     hit = t < INF
@@ -865,29 +911,41 @@ def trace_bvh_shadow_mxu(mxu: MXUBVH, ro, rd, t_max, eps: float = EPS,
 
     `active` tightens the tile cull hulls to real lanes (see
     trace_bvh_mxu); inactive lanes additionally get a collapsed window so
-    their output is a guaranteed False rather than garbage."""
-    if active is not None:
-        t_max = jnp.where(active, t_max, -1.0)
-    shape, n, ro_soa, rd_soa, tm, act = _pad_tiles(ro, rd, t_max,
-                                                   active=active)
+    their output is a guaranteed False rather than garbage.
+
+    ro/rd/t_max may be TUPLES of k same-shape batches (a multi-light
+    shadow wavefront): traced as one concatenated stream, result shape
+    (k,) + item_shape, with `active` in the per-item shape — this avoids
+    materializing [k,...,3] stacks caller-side."""
+    if isinstance(ro, (list, tuple)):
+        if active is not None:
+            t_max = tuple(jnp.where(active, w, -1.0) for w in t_max)
+        shape, n, ro_soa, rd_soa, tm, act = _pad_tiles_multi(
+            tuple(ro), tuple(rd), tuple(t_max), active)
+    else:
+        if active is not None:
+            t_max = jnp.where(active, t_max, -1.0)
+        shape, n, ro_soa, rd_soa, tm, act = _pad_tiles(ro, rd, t_max,
+                                                       active=active)
     nt = ro_soa[0].shape[0] // TILE_RAYS
     t_cap = jnp.max(tm.reshape(nt, TILE_RAYS), axis=1)
     cull = _tile_chunk_ranges(mxu.chunk_bounds, ro_soa, rd_soa, t_cap,
                               act=act)
     cn = cull[1]
-    feats = _build_features(ro_soa, rd_soa, tm)
+    planes = _soa_planes(ro_soa, rd_soa, tm)
     subtiles = _subtiles_for(nt)
 
     nc = mxu.coef.shape[0]
     kern = functools.partial(_shadow_kernel, eps=eps, subtiles=subtiles)
     occ_rows = pl.pallas_call(
         kern,
-        grid_spec=_grid_specs(nt, 1, n_full_inputs=1, subtiles=subtiles),
+        grid_spec=_grid_specs(nt, 1, n_planes=7, n_full_inputs=1,
+                              subtiles=subtiles),
         out_shape=jax.ShapeDtypeStruct((nt, TILE_RAYS), jnp.float32),
         interpret=_use_interpret(),
         compiler_params=_COMPILER_PARAMS,
     )(_block_active(cn, nt, subtiles), jnp.arange(nc, dtype=jnp.int32),
-      jnp.zeros(nc, jnp.float32), _pack_meta(cull), feats,
+      jnp.zeros(nc, jnp.float32), _pack_meta(cull), *planes,
       mxu.coef)
 
     return occ_rows.reshape(-1)[:n].reshape(shape) > 0.5

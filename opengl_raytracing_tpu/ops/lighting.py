@@ -279,10 +279,10 @@ def direct_light_bvh(scene: SceneCtx, h, rng_frame, frame_index, vdir,
             origins.append(o)
             dirs.append(d)
             wins.append(w)
-        act = None if active is None else jnp.broadcast_to(
-            active[None], (len(origins),) + jnp.shape(h.t))
-        occ = scene.trace_shadow_any(jnp.stack(origins), jnp.stack(dirs),
-                                     jnp.stack(wins), active=act)
+        # tuple-of-batches: one concatenated any-hit stream, no
+        # [k,...,3] stack materialized (bvh_mxu._pad_tiles_multi)
+        occ = scene.trace_shadow_any(tuple(origins), tuple(dirs),
+                                     tuple(wins), active=active)
         occ_disk = occ[:SOFT_SHADOW_SAMPLES]
         k = SOFT_SHADOW_SAMPLES
         if params.sun_enabled:
@@ -439,17 +439,21 @@ def compute_ao(scene: SceneCtx, h, frame_index, px, py, active=None):
         ux = rand(px + o1, py + o1, frame_index)
         uy = rand(py + o2, px + o2, frame_index)
         dirs.append(sample_hemisphere_cosine(n, ux, uy))
-    d_all = jnp.stack(dirs, axis=0)                    # [S,...,3]
-    org = (h.p + n * params.ao_bias)[None]
-    act = None if active is None else jnp.broadcast_to(
-        active[None], d_all.shape[:-1])
+    org = h.p + n * params.ao_bias
     if scene.use_bvh:
-        win = jnp.full(d_all.shape[:-1], params.ao_radius, jnp.float32)
-        occ_hit = scene.trace_shadow_any(org, d_all, win, active=act)
+        # tuple-of-batches: S hemisphere batches share one origin batch
+        # and one window; no [S,...,3] stack is materialized
+        win = jnp.full(jnp.shape(h.t), params.ao_radius, jnp.float32)
+        occ_hit = scene.trace_shadow_any(
+            (org,) * len(dirs), tuple(dirs), (win,) * len(dirs),
+            active=active)
         occluded = jnp.sum(jnp.where(occ_hit, 1.0, 0.0), axis=0)
     else:
-        tmp = scene.trace(org, d_all, coherent=False,  # one batched trace
-                          active=act)
+        d_all = jnp.stack(dirs, axis=0)                # [S,...,3]
+        act = None if active is None else jnp.broadcast_to(
+            active[None], d_all.shape[:-1])
+        tmp = scene.trace(org[None], d_all, coherent=False,
+                          active=act)                  # one batched trace
         occluded = jnp.sum(
             jnp.where(tmp.valid & (tmp.t < params.ao_radius), 1.0, 0.0),
             axis=0)

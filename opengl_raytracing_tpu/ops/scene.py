@@ -169,10 +169,17 @@ class SceneCtx:
         """Any occluder strictly before t_max (BVH mode only path).
 
         `active` tightens the tile cull hulls AND collapses inactive
-        windows (guaranteed False on inactive lanes)."""
+        windows (guaranteed False on inactive lanes).
+
+        ro/rd/t_max may be tuples of k same-shape batches (multi-light
+        wavefront; `active` then has the per-item shape): on TPU they
+        trace as one concatenated stream with no [k,...,3] stack ever
+        materialized; elsewhere they are stacked for the jnp walker."""
         if _tpu():
             return trace_bvh_shadow_mxu_paged(self.bvh.mxu, ro, rd,
                                               t_max, eps, active=active)
+        if isinstance(ro, (list, tuple)):
+            ro, rd, t_max = jnp.stack(ro), jnp.stack(rd), jnp.stack(t_max)
         return trace_bvh_shadow(self.bvh.arrays, ro, rd, t_max, eps)
 
     def sky(self, d):

@@ -199,3 +199,27 @@ def test_masked_cull_all_inactive_tile_skips(scene):
     win = jnp.full((N_RAYS,), 5.0, jnp.float32)
     s = trace_bvh_shadow_mxu(mxu, ro, rd, win, active=act)
     assert not np.asarray(s).any()
+
+
+def test_shadow_tuple_of_batches_matches_stacked(scene):
+    """The tuple-of-batches wavefront form (no [k,...,3] stack) must be
+    bit-identical to tracing the equivalent stacked arrays, including
+    per-item active gating (inactive lanes guaranteed False)."""
+    mxu, tris = scene
+    k = 3
+    batches = [_rays(20 + i) for i in range(k)]
+    wins = [jnp.full((N_RAYS,), 3.0 + i, jnp.float32) for i in range(k)]
+    rng = np.random.RandomState(7)
+    act = jnp.asarray(rng.rand(N_RAYS) > 0.4)
+
+    s_tuple = trace_bvh_shadow_mxu(
+        mxu, tuple(b[0] for b in batches), tuple(b[1] for b in batches),
+        tuple(wins), active=act)
+    assert s_tuple.shape == (k, N_RAYS)
+    s_stack = trace_bvh_shadow_mxu(
+        mxu, jnp.stack([b[0] for b in batches]),
+        jnp.stack([b[1] for b in batches]), jnp.stack(wins),
+        active=jnp.broadcast_to(act[None], (k, N_RAYS)))
+    np.testing.assert_array_equal(np.asarray(s_tuple), np.asarray(s_stack))
+    sel = np.asarray(act)
+    assert not np.asarray(s_tuple)[:, ~sel].any()
