@@ -10,13 +10,14 @@ two-phase plan:
      DFS-contiguous triangles per chunk — spatially compact thanks to the
      BVH leaf remap) yields a contiguous candidate chunk range [lo, lo+n).
   2. **Pallas MXU kernel**: per tile, each candidate chunk is intersected
-     with ONE f32 matmul.  Moller-Trumbore is bilinear in per-ray features
-     F = [d, o x d, o, 1] and per-triangle coefficients, so
-     det/u_num/v_num/t_num for all 128x128 (tri,ray) pairs fall out of
-     `dot(C[512,16], F[16,128])`; acceptance tests and the closest-hit
-     reduction are a short VPU epilogue.  Triangles live on sublanes and
-     rays on lanes, so per-ray reductions are native sublane reduces and
-     results write out as [1,128] rows — no transposes anywhere.
+     with TWO f32 matmuls split by precision class.  Moller-Trumbore is
+     bilinear in per-ray features F = [d, o x d, o, 1] and per-triangle
+     coefficients, so u_num/v_num fall out of `dot(C_uv[256,16], F)` and
+     det/t_num out of `dot(C_dt[256,16], F)` for all 128x128 (tri,ray)
+     pairs; acceptance tests and the closest-hit reduction are a short
+     VPU epilogue.  Triangles live on sublanes and rays on lanes, so
+     per-ray reductions are native sublane reduces and results write out
+     as [1,128] rows — no transposes anywhere.
 
 Derivation (matching reference shaders/rt/rt_bvh.glsl:154-170 exactly):
   pvec  = d x e2,  tvec = o - v0,  qvec = tvec x e1,  n = e1 x e2
@@ -30,8 +31,9 @@ Why this shape: scalar-core control flow and vector<->scalar syncs cost
 hundreds of cycles per node on TPU (measured ~450ns/node on the packet
 walk), while a 512x16x128 f32 matmul costs ~a microsecond — so we spend
 MXU FLOPs to eliminate traversal control entirely.  Incoherent batches
-(GI/AO) degrade to more chunks per tile; they should use the packet-walk
-kernel or be direction-sorted first.
+(GI/AO) degrade to more chunks per tile; they run in pixel order with
+active-masked tile culls (docs/DESIGN.md 4b — direction sorting measured
+10x slower than the gated trace it saves).
 """
 
 from __future__ import annotations
@@ -60,21 +62,26 @@ KDIM = 16            # MT feature dim fed to the matmul (10 used + tmax)
 # in-kernel, so no concatenated feature buffer is ever materialized.
 
 # MXU passes per f32 matmul: HIGHEST = 6 bf16 passes, DEFAULT = 1
-# (Mosaic supports only these two).  Closest-hit keeps HIGHEST
-# (barycentric-scale precision shifts silhouette/t winners — CLAUDE.md);
-# the shadow any-hit is a binary test whose boundaries tolerate 1-pass
-# bf16 error: measured 13.5ms faster per baseline frame with 0.06%
-# checksum drift (boundary flips only) — see PERF.md round 2.
+# (Mosaic supports only these two).  The coefficient rows are split into
+# a u|v block and a det|t block, so the closest-hit can run MIXED
+# precision: 1-pass bf16 for the u/v acceptance numerators (whose
+# boundaries tolerate bf16 wobble) and 6-pass f32 for det and t (whose
+# error would shift hit positions and shadow-ray origins — CLAUDE.md).
+# Modes: highest (both 6-pass), default (both 1-pass), mixed.
+# The shadow any-hit is a binary test; 1-pass bf16 measured 13.5ms
+# faster per baseline frame with 0.06% checksum drift (PERF.md r2).
 _PREC = {"default": jax.lax.Precision.DEFAULT,
          "highest": jax.lax.Precision.HIGHEST}
-MT_PRECISION = _PREC[os.environ.get("ORT_MT_PRECISION", "highest")]
+_MT_MODE = os.environ.get("ORT_MT_PRECISION", "highest")
+MT_PREC_UV = _PREC["default" if _MT_MODE == "mixed" else _MT_MODE]
+MT_PREC_DT = _PREC["highest" if _MT_MODE == "mixed" else _MT_MODE]
 SHADOW_PRECISION = _PREC[os.environ.get("ORT_SHADOW_PRECISION", "default")]
 
 # Chunks per kernel loop step (unordered walks).  Each scalar-core loop
 # iteration costs ~450ns — comparable to the 512x16x128 matmul itself —
 # so the unordered kernels fuse GROUP consecutive chunks into ONE
-# [GROUP*512,16]x[16,128] matmul per step, amortizing the control-flow
-# overhead GROUPx.  Must divide PAGE_CHUNKS; group bitmasks need
+# [GROUP*256,16]x[16,128] matmul pair per step, amortizing the
+# control-flow overhead GROUPx.  Must divide PAGE_CHUNKS; group bitmasks need
 # ceil(PAGE_CHUNKS/GROUP) <= 32.
 GROUP = int(os.environ.get("ORT_CHUNK_GROUP", "4"))
 
@@ -87,16 +94,21 @@ def _subtiles_for(nt: int) -> int:
 
 
 class MXUBVH(NamedTuple):
-    """Device arrays for the MXU path (a pytree)."""
-    coef: jnp.ndarray          # [NC, 512, 16] f32 — det|u|v|t tri rows
+    """Device arrays for the MXU path (a pytree).
+
+    Coefficient rows are split by precision class (same total bytes as
+    one [NC,512,16] block): the u|v numerators tolerate 1-pass bf16
+    matmuls, det|t must stay 6-pass f32 in mixed mode."""
+    coef_uv: jnp.ndarray       # [NC, 256, 16] f32 — u|v numerator rows
+    coef_dt: jnp.ndarray       # [NC, 256, 16] f32 — det|t rows
     norms: jnp.ndarray         # [NC, 128, 8] f32 — per-tri nx,ny,nz rows
     chunk_bounds: jnp.ndarray  # [NC, 8] f32 — bmin(3), bmax(3), pad2
     tris: jnp.ndarray          # [NC*128, 12] f32 — padded (v0,e1,e2)
 
 
-# Max chunks per page: keeps coef (NC x 512 x 16 f32) + norms VMEM-resident
-# with headroom.  Larger scenes split into pages traced sequentially and
-# merged (closest-hit min / any-hit or).
+# Max chunks per page: keeps coef_uv + coef_dt (2x NC x 256 x 16 f32) +
+# norms VMEM-resident with headroom.  Larger scenes split into pages
+# traced sequentially and merged (closest-hit min / any-hit or).
 PAGE_CHUNKS = 96
 
 
@@ -147,13 +159,14 @@ def build_mxu_arrays(bvh: BVH) -> MXUBVH:
     c_v = rows(-np.cross(v0, e1), -e1, z, 0.0)
     c_t = rows(z, z, n, -np.sum(v0 * n, axis=1))
 
-    coef = np.zeros((nc, 4 * CHUNK, KDIM), np.float32)
+    coef_uv = np.zeros((nc, 2 * CHUNK, KDIM), np.float32)
+    coef_dt = np.zeros((nc, 2 * CHUNK, KDIM), np.float32)
     for ci in range(nc):
         s = slice(ci * CHUNK, (ci + 1) * CHUNK)
-        coef[ci, 0:128] = c_det[s]
-        coef[ci, 128:256] = c_u[s]
-        coef[ci, 256:384] = c_v[s]
-        coef[ci, 384:512] = c_t[s]
+        coef_uv[ci, 0:128] = c_u[s]
+        coef_uv[ci, 128:256] = c_v[s]
+        coef_dt[ci, 0:128] = c_det[s]
+        coef_dt[ci, 128:256] = c_t[s]
 
     bounds = np.zeros((nc, 8), np.float32)
     for ci in range(nc):
@@ -170,7 +183,8 @@ def build_mxu_arrays(bvh: BVH) -> MXUBVH:
 
     norms = np.zeros((nc, CHUNK, 8), np.float32)
     norms[:, :, 0:3] = n.reshape(nc, CHUNK, 3)
-    return MXUBVH(jnp.asarray(coef), jnp.asarray(norms), jnp.asarray(bounds),
+    return MXUBVH(jnp.asarray(coef_uv), jnp.asarray(coef_dt),
+                  jnp.asarray(norms), jnp.asarray(bounds),
                   jnp.asarray(padded))
 
 
@@ -324,11 +338,11 @@ def _expand_features(rows, s, with_tmax: bool):
 # Pallas kernels
 # -----------------------------------------------------------------------------
 
-def _epilogue_inputs(out, eps):
-    det = out[0:128, :]
-    u_num = out[128:256, :]
-    v_num = out[256:384, :]
-    t_num = out[384:512, :]
+def _epilogue_inputs(out_uv, out_dt, eps):
+    u_num = out_uv[0:128, :]
+    v_num = out_uv[128:256, :]
+    det = out_dt[0:128, :]
+    t_num = out_dt[128:256, :]
     ok_det = jnp.abs(det) >= 1e-8
     inv = 1.0 / jnp.where(ok_det, det, 1.0)
     u = u_num * inv
@@ -341,7 +355,8 @@ def _epilogue_inputs(out, eps):
 
 def _closest_kernel(active_ref, gorder_ref, gbound_ref, meta_ref,
                     ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
-                    coef_ref, norms_ref, t_ref, nx_ref, ny_ref, nz_ref, *,
+                    cuv_ref, cdt_ref, norms_ref,
+                    t_ref, nx_ref, ny_ref, nz_ref, *,
                     eps: float, subtiles: int, ordered: bool):
     b = pl.program_id(0)
     # Empty-block fast path: a sky block (no candidate chunks anywhere)
@@ -357,11 +372,11 @@ def _closest_kernel(active_ref, gorder_ref, gbound_ref, meta_ref,
     @pl.when(active_ref[b] > 0)
     def _():
         # All-f32 epilogue (Mosaic mishandles packed-i1 keepdims
-        # reductions).  `out` is a 512-row det|u|v|t block; `nsel` the
-        # matching [128,8] normal rows.
-        def merge_block(out, nsel, carry):
+        # reductions).  `out_uv`/`out_dt` are 256-row u|v / det|t blocks;
+        # `nsel` the matching [128,8] normal rows.
+        def merge_block(out_uv, out_dt, nsel, carry):
             t_best, nx, ny, nz = carry     # [1,128] f32
-            t, acc = _epilogue_inputs(out, eps)
+            t, acc = _epilogue_inputs(out_uv, out_dt, eps)
             acc = acc & (t < t_best)       # [128,128] tri x ray
             tc = jnp.where(acc, t, INF)
             cmin = jnp.min(tc, axis=0, keepdims=True)          # [1,128]
@@ -409,10 +424,14 @@ def _closest_kernel(active_ref, gorder_ref, gbound_ref, meta_ref,
 
         def walk(s, f, lo, n, mlo, mhi):
             def chunk_work(ci, carry):
-                c = coef_ref[lo + ci]          # [512,16]
-                out = jnp.dot(c, f, preferred_element_type=jnp.float32,
-                              precision=MT_PRECISION)
-                return merge_block(out, norms_ref[lo + ci], carry)
+                out_uv = jnp.dot(cuv_ref[lo + ci], f,       # [256,128]
+                                 preferred_element_type=jnp.float32,
+                                 precision=MT_PREC_UV)
+                out_dt = jnp.dot(cdt_ref[lo + ci], f,
+                                 preferred_element_type=jnp.float32,
+                                 precision=MT_PREC_DT)
+                return merge_block(out_uv, out_dt, norms_ref[lo + ci],
+                                   carry)
 
             t0 = jnp.full((1, TILE_RAYS), INF, jnp.float32)
             z0 = jnp.zeros((1, TILE_RAYS), jnp.float32)
@@ -455,7 +474,7 @@ def _closest_kernel(active_ref, gorder_ref, gbound_ref, meta_ref,
                     ord_cond, ord_body, (jlo, (t0, z0, z0, z0)))
             else:
                 # Group walk: GROUP consecutive chunks per step — ONE
-                # [GROUP*512,16]x[16,128] matmul amortizes the ~450ns
+                # [GROUP*256,16]x[16,128] matmul pair amortizes the ~450ns
                 # scalar loop overhead GROUPx; the group bitmask skips
                 # all-miss groups.
                 glo = meta_ref[s, 6]
@@ -464,15 +483,21 @@ def _closest_kernel(active_ref, gorder_ref, gbound_ref, meta_ref,
 
                 def group_work(gi, carry):
                     base = (glo + gi) * GROUP
-                    cg = coef_ref[pl.ds(base, GROUP)].reshape(
-                        GROUP * 4 * CHUNK, KDIM)
-                    out = jnp.dot(cg, f,
-                                  preferred_element_type=jnp.float32,
-                                  precision=MT_PRECISION)
+                    cg_uv = cuv_ref[pl.ds(base, GROUP)].reshape(
+                        GROUP * 2 * CHUNK, KDIM)
+                    cg_dt = cdt_ref[pl.ds(base, GROUP)].reshape(
+                        GROUP * 2 * CHUNK, KDIM)
+                    out_uv = jnp.dot(cg_uv, f,
+                                     preferred_element_type=jnp.float32,
+                                     precision=MT_PREC_UV)
+                    out_dt = jnp.dot(cg_dt, f,
+                                     preferred_element_type=jnp.float32,
+                                     precision=MT_PREC_DT)
                     ng = norms_ref[pl.ds(base, GROUP)]   # [GROUP,128,8]
                     for g in range(GROUP):               # static unroll
                         carry = merge_block(
-                            out[g * 512:(g + 1) * 512], ng[g], carry)
+                            out_uv[g * 256:(g + 1) * 256],
+                            out_dt[g * 256:(g + 1) * 256], ng[g], carry)
                     return carry
 
                 def group_body(gi, carry):
@@ -494,7 +519,7 @@ def _closest_kernel(active_ref, gorder_ref, gbound_ref, meta_ref,
 
 def _shadow_kernel(active_ref, gorder_ref, gbound_ref, meta_ref,
                    ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, tm_ref,
-                   coef_ref, occ_ref, *, eps: float, subtiles: int,
+                   cuv_ref, cdt_ref, occ_ref, *, eps: float, subtiles: int,
                    ordered: bool = False):
     b = pl.program_id(0)
     occ_ref[:, :] = jnp.zeros((subtiles, TILE_RAYS), jnp.float32)
@@ -522,25 +547,32 @@ def _shadow_kernel(active_ref, gorder_ref, gbound_ref, meta_ref,
 
             def group_work(gi, occ):
                 base = (glo + gi) * GROUP
-                cg = coef_ref[pl.ds(base, GROUP)].reshape(
-                    GROUP * 4 * CHUNK, KDIM)
-                out = jnp.dot(cg, f, preferred_element_type=jnp.float32,
-                              precision=SHADOW_PRECISION)
+                cg_uv = cuv_ref[pl.ds(base, GROUP)].reshape(
+                    GROUP * 2 * CHUNK, KDIM)
+                cg_dt = cdt_ref[pl.ds(base, GROUP)].reshape(
+                    GROUP * 2 * CHUNK, KDIM)
+                out_uv = jnp.dot(cg_uv, f,
+                                 preferred_element_type=jnp.float32,
+                                 precision=SHADOW_PRECISION)
+                out_dt = jnp.dot(cg_dt, f,
+                                 preferred_element_type=jnp.float32,
+                                 precision=SHADOW_PRECISION)
                 for g in range(GROUP):         # static unroll
-                    blk = out[g * 512:(g + 1) * 512]
+                    b_uv = out_uv[g * 256:(g + 1) * 256]
+                    b_dt = out_dt[g * 256:(g + 1) * 256]
                     # Division-free acceptance: any-hit only needs SIGN
                     # tests, so multiply u/v/t numerators by sign(det)
                     # and compare against |det|-scaled bounds (a VPU
                     # divide costs ~10x a multiply).  Semantics identical
                     # to the reference's tests (rt_bvh.glsl:154-170) for
                     # det != 0.
-                    det = blk[0:128, :]
+                    det = b_dt[0:128, :]
                     sgn = jnp.where(det >= 0.0, 1.0, -1.0)
                     adet = jnp.abs(det)
                     ok_det = adet >= 1e-8
-                    u_n = blk[128:256, :] * sgn
-                    v_n = blk[256:384, :] * sgn
-                    t_n = blk[384:512, :] * sgn
+                    u_n = b_uv[0:128, :] * sgn
+                    v_n = b_uv[128:256, :] * sgn
+                    t_n = b_dt[128:256, :] * sgn
                     acc = (ok_det & (u_n >= 0.0) & (u_n <= adet)
                            & (v_n >= 0.0) & (u_n + v_n <= adet)
                            & (t_n >= eps * adet) & (t_n <= tmax * adet))
@@ -776,7 +808,7 @@ def _pad_tiles_multi(ro_seq, rd_seq, extra_seq, active):
     return (k,) + shape0, n, ro_soa, rd_soa, e, act
 
 
-# The GROUP-chunk matmul block ([GROUP*512,128] out + epilogue temps)
+# The GROUP-chunk matmul blocks ([GROUP*256,128] outs + epilogue temps)
 # overflows the default 16MB scoped-VMEM stack by a hair; give the
 # kernels explicit headroom.
 _COMPILER_PARAMS = pltpu.CompilerParams(vmem_limit_bytes=64 * 1024 * 1024)
@@ -860,7 +892,7 @@ def trace_bvh_mxu(mxu: MXUBVH, ro, rd, eps: float = EPS,
     lo, cn = cull[0], cull[1]
     planes = _soa_planes(ro_soa, rd_soa)
     subtiles = _subtiles_for(nt)
-    nc = mxu.coef.shape[0]
+    nc = mxu.coef_dt.shape[0]
     if ordered and shared_origin is not None:
         gorder, gbound = _global_chunk_order(mxu, shared_origin)
         # Per-tile window of order positions that can hold the tile's
@@ -884,13 +916,14 @@ def trace_bvh_mxu(mxu: MXUBVH, ro, rd, eps: float = EPS,
                              ordered=ordered and shared_origin is not None)
     t_rows, nx, ny, nz = pl.pallas_call(
         kern,
-        grid_spec=_grid_specs(nt, 4, n_planes=6, n_full_inputs=2,
+        grid_spec=_grid_specs(nt, 4, n_planes=6, n_full_inputs=3,
                               subtiles=subtiles),
         out_shape=[jax.ShapeDtypeStruct((nt, TILE_RAYS), jnp.float32)] * 4,
         interpret=_use_interpret(),
         compiler_params=_COMPILER_PARAMS,
     )(_block_active(cn, nt, subtiles), gorder, gbound,
-      _pack_meta(cull, jlo, jhi), *planes, mxu.coef, mxu.norms)
+      _pack_meta(cull, jlo, jhi), *planes, mxu.coef_uv, mxu.coef_dt,
+      mxu.norms)
 
     t = t_rows.reshape(-1)[:n].reshape(shape)
     hit = t < INF
@@ -935,17 +968,17 @@ def trace_bvh_shadow_mxu(mxu: MXUBVH, ro, rd, t_max, eps: float = EPS,
     planes = _soa_planes(ro_soa, rd_soa, tm)
     subtiles = _subtiles_for(nt)
 
-    nc = mxu.coef.shape[0]
+    nc = mxu.coef_dt.shape[0]
     kern = functools.partial(_shadow_kernel, eps=eps, subtiles=subtiles)
     occ_rows = pl.pallas_call(
         kern,
-        grid_spec=_grid_specs(nt, 1, n_planes=7, n_full_inputs=1,
+        grid_spec=_grid_specs(nt, 1, n_planes=7, n_full_inputs=2,
                               subtiles=subtiles),
         out_shape=jax.ShapeDtypeStruct((nt, TILE_RAYS), jnp.float32),
         interpret=_use_interpret(),
         compiler_params=_COMPILER_PARAMS,
     )(_block_active(cn, nt, subtiles), jnp.arange(nc, dtype=jnp.int32),
       jnp.zeros(nc, jnp.float32), _pack_meta(cull), *planes,
-      mxu.coef)
+      mxu.coef_uv, mxu.coef_dt)
 
     return occ_rows.reshape(-1)[:n].reshape(shape) > 0.5

@@ -24,6 +24,11 @@ CASES = [
     "svgf_jnp", "svgf_pallas",
 ]
 
+# PERF.md is curated prose + ONE auto-generated table; the sweep only
+# rewrites the text between these markers.
+MARK_S = "<!-- perf-report:start -->"
+MARK_E = "<!-- perf-report:end -->"
+
 
 def _scene():
     import jax
@@ -174,13 +179,25 @@ def main() -> int:
         except subprocess.TimeoutExpired:
             results[key] = {"error": "timeout (tpu wedged?)"}
         print(key, results[key], flush=True)
+    table = ("| case | result |\n|---|---|\n"
+             + "".join(f"| {k} | `{json.dumps(v)}` |\n"
+                       for k, v in results.items()))
+    block = f"{MARK_S}\n{table}{MARK_E}"
+    try:
+        with open("PERF.md") as fh:
+            doc = fh.read()
+    except FileNotFoundError:
+        doc = ("# PERF — per-component timings (1 TPU v5e chip, "
+               f"{W}x{H})\n\nGenerated by scripts/perf_report.py.\n\n")
+    if MARK_S in doc and MARK_E in doc:
+        pre, rest = doc.split(MARK_S, 1)
+        _, post = rest.split(MARK_E, 1)
+        doc = pre + block + post
+    else:
+        doc = doc.rstrip() + "\n\n" + block + "\n"
     with open("PERF.md", "w") as fh:
-        fh.write("# PERF — per-component timings (1 TPU v5e chip, "
-                 f"{W}x{H})\n\nGenerated by scripts/perf_report.py.\n\n")
-        fh.write("| case | result |\n|---|---|\n")
-        for k, v in results.items():
-            fh.write(f"| {k} | `{json.dumps(v)}` |\n")
-    print("wrote PERF.md")
+        fh.write(doc)
+    print("wrote PERF.md (marked table only; prose preserved)")
     return 0
 
 

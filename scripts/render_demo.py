@@ -59,7 +59,7 @@ def main():
         tris = gather_triangles(mesh, model_transform((-2, 1.5, 0), 0.5))
         bvh = prepare_bvh(tris)
         log("BVH", "built %d chunks (%d pages) / %d tris in %.2fs",
-            sum(p.coef.shape[0] for p in bvh.mxu), len(bvh.mxu),
+            sum(p.coef_dt.shape[0] for p in bvh.mxu), len(bvh.mxu),
             tris.shape[0], time.time() - t0)
 
     render = make_render_fn(params, H, W, use_bvh=use_bvh, donate=False)
