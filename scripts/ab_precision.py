@@ -1,0 +1,128 @@
+"""A/B the closest-hit MT matmul precision modes on TPU.
+
+Runs trace_primary (1080p bunny, 8-rep chained) and one baseline BVH
+frame per mode in child processes (ORT_MT_PRECISION read at import), and
+reports timing, hit parity vs the `highest` reference, and tonemapped
+image deltas.  Decides whether `mixed` (bf16 u/v + f32 det/t; 58% of the
+MXU passes) can become the production default.
+
+Usage: python scripts/ab_precision.py            # all modes
+       python scripts/ab_precision.py --child M  # one mode
+"""
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+H = int(os.environ.get("AB_HEIGHT", "1080"))
+W = int(os.environ.get("AB_WIDTH", "1920"))
+MODES = ["highest", "mixed", "default"]
+
+
+def child(mode: str) -> None:
+    os.environ["ORT_MT_PRECISION"] = mode
+    import numpy as np
+    import jax
+    if os.environ.get("AB_FORCE_CPU") == "1":
+        # smoke-testing the harness off-TPU: the axon plugin overrides
+        # JAX_PLATFORMS, so force the backend before first use
+        jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+    from opengl_raytracing_tpu.scene import make_bunny, gather_triangles
+    from opengl_raytracing_tpu.scene.geometry import model_transform
+    from opengl_raytracing_tpu.ops.scene import prepare_bvh
+    from opengl_raytracing_tpu.ops.bvh_mxu import trace_bvh_mxu_paged
+    from opengl_raytracing_tpu.constants import (DEFAULT_BVH_TRANSLATE,
+                                                 DEFAULT_BVH_SCALE)
+
+    tris = gather_triangles(make_bunny(4),
+                            model_transform(DEFAULT_BVH_TRANSLATE,
+                                            DEFAULT_BVH_SCALE))
+    bvh = prepare_bvh(tris)
+
+    import math
+    ys = (jnp.arange(H)[:, None] + 0.5) / H * 2 - 1
+    xs = (jnp.arange(W)[None, :] + 0.5) / W * 2 - 1
+    thf = math.tan(math.radians(30))
+    d = (jnp.asarray([0., 0., -1.])
+         + xs[..., None] * jnp.asarray([1., 0., 0.]) * (thf * W / H)
+         + ys[..., None] * jnp.asarray([0., 1., 0.]) * thf)
+    d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
+    ro = jnp.broadcast_to(jnp.asarray([0., 2., 8.]), d.shape)
+
+    @jax.jit
+    def fn(d):
+        s = 0.
+        for i in range(8):
+            s = s + jnp.sum(trace_bvh_mxu_paged(
+                bvh.mxu, ro, d + i * 1e-7).t.clip(0, 1e3))
+        return s
+
+    float(fn(d))  # compile
+    t0 = time.time()
+    chk = float(fn(d))
+    dt = (time.time() - t0) / 8
+
+    h = trace_bvh_mxu_paged(bvh.mxu, ro, d)
+    t_np = np.asarray(h.t)
+    valid = np.asarray(h.valid)
+    np.save(f"/tmp/ab_prec_{mode}_t.npy",
+            np.where(valid, t_np, np.inf).astype(np.float32))
+    np.save(f"/tmp/ab_prec_{mode}_n.npy", np.asarray(h.n, np.float32))
+    print(json.dumps({
+        "mode": mode, "ms": round(dt * 1e3, 2),
+        "mrays": round(H * W / dt / 1e6, 1),
+        "checksum": round(chk, 1), "hits": int(valid.sum())}))
+
+
+def main() -> int:
+    if "--child" in sys.argv:
+        child(sys.argv[sys.argv.index("--child") + 1])
+        return 0
+    import numpy as np
+    results = {}
+    for mode in MODES:
+        try:
+            out = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--child", mode],
+                capture_output=True, timeout=480, text=True)
+            lines = [ln for ln in out.stdout.splitlines()
+                     if ln.startswith("{")]
+            results[mode] = (json.loads(lines[-1]) if lines
+                             else {"error": f"rc={out.returncode}"})
+        except subprocess.TimeoutExpired:
+            results[mode] = {"error": "timeout"}
+        print(mode, results[mode], flush=True)
+
+    try:
+        ref_t = np.load("/tmp/ab_prec_highest_t.npy")
+        ref_n = np.load("/tmp/ab_prec_highest_n.npy")
+        for mode in MODES[1:]:
+            if "error" in results.get(mode, {"error": 1}):
+                continue
+            t = np.load(f"/tmp/ab_prec_{mode}_t.npy")
+            n = np.load(f"/tmp/ab_prec_{mode}_n.npy")
+            both = np.isfinite(ref_t) & np.isfinite(t)
+            flips = int((np.isfinite(ref_t) != np.isfinite(t)).sum())
+            dt_rel = (np.abs(t[both] - ref_t[both])
+                      / np.maximum(ref_t[both], 1e-6))
+            dn = np.abs(n - ref_n).max(axis=-1)[both]
+            print(json.dumps({
+                "mode": mode, "hit_flips": flips,
+                "flip_ppm": round(flips / ref_t.size * 1e6, 1),
+                "t_rel_max": float(dt_rel.max()) if both.any() else 0.0,
+                "t_rel_p999": (float(np.quantile(dt_rel, 0.999))
+                               if both.any() else 0.0),
+                "n_absdiff_p999": (float(np.quantile(dn, 0.999))
+                                   if both.any() else 0.0)}))
+    except FileNotFoundError as e:
+        print(f"compare skipped: {e}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

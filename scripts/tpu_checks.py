@@ -113,6 +113,21 @@ def main():
     if not (m_ok and s_ok):
         failures += 1
 
+    # tuple-of-batches wavefront == stacked arrays (multi-light form)
+    k = 3
+    ros = [jnp.asarray(ro + i * 0.01) for i in range(k)]
+    rds = [jnp.asarray(rd) for _ in range(k)]
+    wins = [jnp.full((n,), 4.0 + i, jnp.float32) for i in range(k)]
+    s_tup = np.asarray(trace_bvh_shadow_mxu_paged(
+        bvh.mxu, tuple(ros), tuple(rds), tuple(wins), active=act))
+    s_stk = np.asarray(trace_bvh_shadow_mxu_paged(
+        bvh.mxu, jnp.stack(ros), jnp.stack(rds), jnp.stack(wins),
+        active=jnp.broadcast_to(act[None], (k, n))))
+    tup_ok = (s_tup == s_stk).all() and not s_tup[:, ~act_np].any()
+    print(f"tuple-of-batches == stacked: {tup_ok}")
+    if not tup_ok:
+        failures += 1
+
     print("PASS" if failures == 0 else f"FAIL ({failures})")
     return 1 if failures else 0
 
