@@ -18,6 +18,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
+import os
 from typing import NamedTuple, Optional
 
 import numpy as np
@@ -122,6 +123,38 @@ def primary_rays(height: int, width: int, fin: FrameInputs,
     """Full-grid pixel centers + jittered ray directions."""
     px, py = pixel_centers(height, width)
     return px, py, primary_dirs(px, py, height, width, fin, params)
+
+
+# --- 2D tile swizzle -------------------------------------------------------
+# The MT kernels consume rays as consecutive 128-lane tiles of the flat
+# stream.  In row-major order one tile is a 128x1 scanline strip — at the
+# default camera that strip spans ~4 BVH-chunk widths, so the per-tile
+# interval cull keeps far more candidate chunks than the rays need.
+# Rendering the whole per-pixel stream in 8x16-block order makes every
+# kernel tile a compact 2D pixel block (tight origin/hit-point hulls for
+# primary, shadow, GI and AO traces alike).  The swizzle is a pure
+# reshape/transpose (no gathers — those measured ~10x the gated trace,
+# PERF.md r2); per-ray math is order-independent, so results are exact.
+TILE_H, TILE_W = 8, 16  # TILE_H*TILE_W == ops.bvh_mxu.TILE_RAYS
+_SWIZZLE = os.environ.get("ORT_SWIZZLE", "1") == "1"
+
+
+def _swizzle_ok(h: int, w: int) -> bool:
+    return _SWIZZLE and h % TILE_H == 0 and w % TILE_W == 0
+
+
+def swizzle(a, h: int, w: int):
+    """[H,W,...] -> flat [H*W,...] in 8x16-pixel-block order."""
+    rest = a.shape[2:]
+    return (a.reshape(h // TILE_H, TILE_H, w // TILE_W, TILE_W, *rest)
+            .swapaxes(1, 2).reshape(h * w, *rest))
+
+
+def unswizzle(a, h: int, w: int):
+    """Inverse of swizzle: flat block-order [H*W,...] -> [H,W,...]."""
+    rest = a.shape[1:]
+    return (a.reshape(h // TILE_H, w // TILE_W, TILE_H, TILE_W, *rest)
+            .swapaxes(1, 2).reshape(h, w, *rest))
 
 
 def _sanitize_hit(h: Hit, ro, rd) -> Hit:
@@ -240,6 +273,14 @@ def trace_and_shade(scene: SceneCtx, params: RenderParams, fin: FrameInputs,
     Returns (curr [.,.,3], motion [.,.,2], gpos, gnrm) — everything up to
     (but excluding) the temporal/present stages.
     """
+    grid_h, grid_w = px.shape
+    sw = _swizzle_ok(grid_h, grid_w)
+    if sw:
+        # trace + shade the whole stream in 8x16-block order; only the
+        # four [H,W] outputs transpose back at the end
+        px = swizzle(px, grid_h, grid_w)
+        py = swizzle(py, grid_h, grid_w)
+        rd = swizzle(rd, grid_h, grid_w)
     ro = jnp.broadcast_to(fin.cam_pos, rd.shape)
     spp = max(int(params.spp_per_frame), 1) if not show_motion else 1
 
@@ -284,8 +325,11 @@ def trace_and_shade(scene: SceneCtx, params: RenderParams, fin: FrameInputs,
         h_b, px_b, py_b, vdir_b = h, px, py, vdir
         mask_b = hit_mask
     else:
+        # trailing singleton axes must match the pixel rank (2 for [H,W]
+        # grids, 1 for the swizzled flat stream)
         seeds = (frame_index * spp
-                 + jnp.arange(spp, dtype=jnp.int32))[:, None, None]
+                 + jnp.arange(spp, dtype=jnp.int32)).reshape(
+                     (spp,) + (1,) * px.ndim)
         h_b = Hit(bshape(h.t), bshape(h.p), bshape(h.n), bshape(h.mat))
         px_b = bshape(px)
         py_b = bshape(py)
@@ -306,6 +350,11 @@ def trace_and_shade(scene: SceneCtx, params: RenderParams, fin: FrameInputs,
             jnp.where(hit_mask[None, ..., None], shaded,
                       sky_radiance[None]), axis=0)
     curr = frame_sum / float(spp)
+    if sw:
+        curr = unswizzle(curr, grid_h, grid_w)
+        motion = unswizzle(motion, grid_h, grid_w)
+        gpos = unswizzle(gpos, grid_h, grid_w)
+        gnrm = unswizzle(gnrm, grid_h, grid_w)
     return curr, motion, gpos, gnrm
 
 

@@ -1,0 +1,63 @@
+"""2D-tile swizzle: block-order tracing must be observationally exact.
+
+The swizzle (models/pipeline.py) reorders the per-pixel stream into 8x16
+pixel blocks so each 128-lane kernel tile gets a compact cull hull; the
+per-ray math is order-independent, so outputs must be BIT-identical with
+it on or off.
+"""
+
+import numpy as np
+import jax.numpy as jnp
+
+from opengl_raytracing_tpu import Camera
+from opengl_raytracing_tpu.models import (FrameInputs, RenderState,
+                                          render_frame, pipeline, presets)
+from opengl_raytracing_tpu.scene import make_bunny, gather_triangles
+from opengl_raytracing_tpu.scene.geometry import model_transform
+from opengl_raytracing_tpu.ops.scene import prepare_bvh
+from opengl_raytracing_tpu.constants import (DEFAULT_BVH_TRANSLATE,
+                                             DEFAULT_BVH_SCALE)
+
+H, W = 48, 64
+
+
+def test_swizzle_roundtrip():
+    rng = np.random.RandomState(0)
+    a = jnp.asarray(rng.rand(H, W, 3).astype(np.float32))
+    s = pipeline.swizzle(a, H, W)
+    assert s.shape == (H * W, 3)
+    back = pipeline.unswizzle(s, H, W)
+    np.testing.assert_array_equal(np.asarray(back), np.asarray(a))
+    # consecutive 128 rays == one 8x16 pixel block
+    blk = np.asarray(s[:128, 0]).reshape(8, 16)
+    np.testing.assert_array_equal(blk, np.asarray(a[0:8, 0:16, 0]))
+
+
+def test_swizzled_frame_bit_identical(monkeypatch):
+    tris = gather_triangles(make_bunny(2),
+                            model_transform(DEFAULT_BVH_TRANSLATE,
+                                            DEFAULT_BVH_SCALE))
+    bvh = prepare_bvh(tris)
+    params = presets.preset("full")
+    cam = Camera()
+    cam.aspect = W / H
+    right, up, fwd, thf = cam.basis()
+    vp = cam.view_projection()
+    fin = FrameInputs(jnp.asarray(cam.position), jnp.asarray(right),
+                      jnp.asarray(up), jnp.asarray(fwd), jnp.float32(thf),
+                      jnp.float32(cam.aspect), jnp.zeros(2, jnp.float32),
+                      jnp.asarray(vp), jnp.asarray(vp), jnp.int32(0))
+
+    def run():
+        st = RenderState.create(H, W)
+        st, out = render_frame(params, fin, st, None, bvh,
+                               height=H, width=W, use_bvh=True)
+        return out
+
+    monkeypatch.setattr(pipeline, "_SWIZZLE", True)
+    on = run()
+    monkeypatch.setattr(pipeline, "_SWIZZLE", False)
+    off = run()
+    for k in ("image", "motion", "gpos", "gnrm"):
+        np.testing.assert_array_equal(np.asarray(getattr(on, k)),
+                                      np.asarray(getattr(off, k)))
