@@ -95,8 +95,8 @@ class AppState:
             resolve_dir("models"),
             tuple("*" + ext for ext in MODEL_EXTENSIONS))
         # same pattern surface as the reference env picker
-        # (gui.cpp:806-838); .exr entries list but fail gracefully on
-        # load, like stb does there.
+        # (gui.cpp:806-838); all five formats decode via utils/image.py
+        # (PNG / baseline JPEG / Radiance HDR / OpenEXR scanline).
         self.env_picker = PickerState(
             resolve_dir("cubemaps"),
             ("*.png", "*.PNG", "*.jpg", "*.jpeg", "*.JPG", "*.JPEG",

@@ -256,7 +256,7 @@ def render_frame(params: RenderParams, fin: FrameInputs, state: RenderState,
     # TAA (reference: rt.frag:184-190): zero motion when camera static.
     taa_motion = jnp.where(moved, motion, jnp.zeros_like(motion))
     accum_new = resolve_taa(curr, taa_motion, state.accum, frame_index,
-                            params)
+                            params, moved=moved)
 
     image = present(accum_new, motion, gpos, gnrm, params,
                     show_motion=show_motion)

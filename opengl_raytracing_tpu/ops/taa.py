@@ -26,7 +26,7 @@ def _sample_nearest(tex, u, v):
 
 
 def resolve_taa(curr, motion, prev_accum, frame_index, params: RenderParams,
-                row_offset=0):
+                row_offset=0, moved=None):
     """Blend current frame with (reprojected) history.
 
     curr [BH,W,3] linear color (already SPP-averaged); motion [BH,W,2] NDC
@@ -35,6 +35,15 @@ def resolve_taa(curr, motion, prev_accum, frame_index, params: RenderParams,
     reprojection may read anywhere); frame_index traced int32.  When curr
     is a row band of a sharded image, `row_offset` is its first global
     row.  Returns [BH,W,4] = (color, M2).
+
+    `moved` (scalar bool or None): when the caller knows the camera is
+    static it zeroes `motion`, which makes the whole moving path resolve
+    to the still path through the motMag<thresh select — but the history
+    reprojection GATHER still executes.  Passing the camera-moved scalar
+    wraps the moving path in lax.cond so still frames (the common
+    interactive state, and the state the reference's published FPS is
+    read in) skip the 2M-pixel gather entirely.  None keeps the
+    branch-free form (identical output).
     """
     l_curr = luminance(curr, YCOEFF)
     l_curr2 = l_curr * l_curr
@@ -67,34 +76,45 @@ def resolve_taa(curr, motion, prev_accum, frame_index, params: RenderParams,
     still_out = jnp.concatenate([mean_still, m2_still[..., None]], axis=-1)
 
     # ---- CASE 2: moving — reproject (rt_taa.glsl:116-179) ----
-    uv_prev_x = uvx - motion[..., 0] * 0.5
-    uv_prev_y = uvy - motion[..., 1] * 0.5
-    oob = ((uv_prev_x < 0.0) | (uv_prev_x > 1.0)
-           | (uv_prev_y < 0.0) | (uv_prev_y > 1.0))
-    prev = _sample_nearest(prev_accum, uv_prev_x, uv_prev_y)
-    prev_col = prev[..., :3]
-    prev_m2 = prev[..., 3]
+    def with_moving(_):
+        uv_prev_x = uvx - motion[..., 0] * 0.5
+        uv_prev_y = uvy - motion[..., 1] * 0.5
+        oob = ((uv_prev_x < 0.0) | (uv_prev_x > 1.0)
+               | (uv_prev_y < 0.0) | (uv_prev_y > 1.0))
+        prev = _sample_nearest(prev_accum, uv_prev_x, uv_prev_y)
+        prev_col = prev[..., :3]
+        prev_m2 = prev[..., 3]
 
-    w_hist = 1.0 - smoothstep(0.02, params.taa_hard_moving_thresh, mot_mag)
-    w_hist = jnp.where(mot_mag > params.taa_hard_moving_thresh, 0.0, w_hist)
+        w_hist = 1.0 - smoothstep(0.02, params.taa_hard_moving_thresh,
+                                  mot_mag)
+        w_hist = jnp.where(mot_mag > params.taa_hard_moving_thresh, 0.0,
+                           w_hist)
 
-    l_prev = luminance(prev_col, YCOEFF)
-    max_l = jnp.maximum(jnp.maximum(l_curr, l_prev), 1e-3)
-    rel_diff = jnp.abs(l_curr - l_prev) / max_l
-    color_weight = 1.0 - smoothstep(0.03, 0.25, rel_diff)
-    w_hist = w_hist * color_weight
-    big_change = (mot_mag > 0.02) & (rel_diff > 0.30)
-    w_hist = jnp.where(big_change, 0.0, w_hist)
-    w_hist = jnp.clip(w_hist, 0.0, max_w)
-    w_curr = 1.0 - w_hist
+        l_prev = luminance(prev_col, YCOEFF)
+        max_l = jnp.maximum(jnp.maximum(l_curr, l_prev), 1e-3)
+        rel_diff = jnp.abs(l_curr - l_prev) / max_l
+        color_weight = 1.0 - smoothstep(0.03, 0.25, rel_diff)
+        w_hist = w_hist * color_weight
+        big_change = (mot_mag > 0.02) & (rel_diff > 0.30)
+        w_hist = jnp.where(big_change, 0.0, w_hist)
+        w_hist = jnp.clip(w_hist, 0.0, max_w)
+        w_curr = 1.0 - w_hist
 
-    hist_col = jnp.clip(prev_col, curr - box, curr + box)
-    taa_col = w_hist[..., None] * hist_col + w_curr[..., None] * curr
-    m2_new = w_hist * prev_m2 + w_curr * l_curr2
-    moving_out = jnp.concatenate([taa_col, m2_new[..., None]], axis=-1)
-    moving_out = jnp.where(oob[..., None], passthrough, moving_out)
+        hist_col = jnp.clip(prev_col, curr - box, curr + box)
+        taa_col = w_hist[..., None] * hist_col + w_curr[..., None] * curr
+        m2_new = w_hist * prev_m2 + w_curr * l_curr2
+        moving_out = jnp.concatenate([taa_col, m2_new[..., None]], axis=-1)
+        moving_out = jnp.where(oob[..., None], passthrough, moving_out)
 
-    out = jnp.where((mot_mag < params.taa_still_thresh)[..., None],
-                    still_out, moving_out)
+        return jnp.where((mot_mag < params.taa_still_thresh)[..., None],
+                         still_out, moving_out)
+
+    if moved is None:
+        out = with_moving(None)
+    else:
+        # zero motion => every pixel takes the still branch of the
+        # motMag<thresh select; skip the reprojection gather wholesale
+        out = jax.lax.cond(jnp.asarray(moved, jnp.bool_), with_moving,
+                           lambda _: still_out, None)
     # First frame: no history yet (rt_taa.glsl:66-68).
     return jnp.where(fi == 0, passthrough, out)

@@ -85,7 +85,7 @@ def render_frame_shardmap(mesh: Mesh, params: RenderParams,
         prev_full = jax.lax.all_gather(accum_local, axis, axis=0,
                                        tiled=True)
         accum_new = resolve_taa(curr, taa_motion, prev_full, frame_index,
-                                params, row_offset=row0)
+                                params, row_offset=row0, moved=moved)
 
         if show_motion:
             image = present(accum_new, motion, gpos, gnrm, params,
