@@ -196,28 +196,27 @@ def _safe_inv(d):
     return 1.0 / jnp.where(d == 0.0, 1e-30, d)
 
 
-def _tile_chunk_ranges(chunk_bounds, ro_soa, rd_soa, t_cap=None, act=None):
-    """Conservative per-tile candidate chunk range.
-
-    ro_soa/rd_soa: 3 flat [R] component planes each (R = NT*128).
-    Returns (lo [NT], n [NT]) int32 such that any triangle intersected by
-    any tile ray lies within chunks [lo, lo+n).
+def _tile_hulls(ro_soa, rd_soa, act=None):
+    """Per-tile interval hulls of the ray stream: for each axis,
+    (o_lo, o_hi, i_lo, i_hi) [NT] min/max over the tile's ACTIVE lanes
+    (i = 1/d), plus the per-tile any-active flag.  This is the part of
+    the cull that reads the full ray stream — computed ONCE and shared
+    by every page's chunk test on paged scenes.
 
     `act` (flat [R] bool or None): lanes whose results the caller
-    discards are EXCLUDED from the tile's interval hull — an all-inactive
-    tile culls to empty (its block is skipped), and a mixed tile's hull
-    stays tight around its real rays.  This is the sort-free form of
-    active gating: the direction-sorted path's argsort + gathers measured
-    ~130-145 ms per 2M rays on TPU (PERF.md round 2), 10x the cost of the
-    whole gated any-hit trace.  Inactive lanes still flow through the
-    kernel (their outputs are garbage); callers must mask.
+    discards are EXCLUDED from the hull — an all-inactive tile culls to
+    empty (its block is skipped), and a mixed tile's hull stays tight
+    around its real rays.  This is the sort-free form of active gating:
+    the direction-sorted path's argsort + gathers measured ~130-145 ms
+    per 2M rays on TPU (PERF.md round 2), 10x the cost of the whole
+    gated any-hit trace.  Inactive lanes still flow through the kernel
+    (their outputs are garbage); callers must mask.
 
     Everything is SoA with packed layouts — a flat [R,3] array lane-pads
     its minor dim 43x on TPU (measured: each pass over one costs ~7ms at
     12M rays).
     """
     nt = ro_soa[0].shape[0] // TILE_RAYS
-    nc = chunk_bounds.shape[0]
     act_t = None if act is None else act.reshape(nt, TILE_RAYS)
 
     def per_axis(k):
@@ -232,12 +231,28 @@ def _tile_chunk_ranges(chunk_bounds, ro_soa, rd_soa, t_cap=None, act=None):
         return (jnp.min(o, axis=1), jnp.max(o, axis=1),
                 jnp.min(i, axis=1), jnp.max(i, axis=1))
 
+    axes = tuple(per_axis(k) for k in range(3))
+    any_act = None if act_t is None else jnp.any(act_t, axis=1)
+    return axes, any_act
+
+
+def _tile_chunk_ranges(chunk_bounds, hulls, t_cap=None):
+    """Conservative per-tile candidate chunk range for ONE page.
+
+    `hulls` from _tile_hulls.  Returns (lo [NT], n [NT]) int32 such that
+    any triangle intersected by any tile ray lies within chunks
+    [lo, lo+n), plus the ordered/group walk bitmasks.
+    """
+    axes, any_act = hulls
+    nt = axes[0][0].shape[0]
+    nc = chunk_bounds.shape[0]
+
     # [NC, NT] orientation: NT on lanes stays packed (an [NT, NC<128]
     # array pads its minor dim to 128 lanes = 3.2x traffic here).
     tmin_lo = jnp.zeros((nc, nt), jnp.float32)
     tmax_hi = jnp.full((nc, nt), INF, jnp.float32)
     for k in range(3):
-        o_lo, o_hi, i_lo, i_hi = per_axis(k)     # [NT]
+        o_lo, o_hi, i_lo, i_hi = axes[k]         # [NT]
         bmin = chunk_bounds[:, k][:, None]       # [NC,1]
         bmax = chunk_bounds[:, 3 + k][:, None]
 
@@ -259,10 +274,10 @@ def _tile_chunk_ranges(chunk_bounds, ro_soa, rd_soa, t_cap=None, act=None):
     hit = tmax_hi >= tmin_lo                     # [NC,NT]
     if t_cap is not None:
         hit = hit & (tmin_lo <= t_cap[None, :])
-    if act_t is not None:
+    if any_act is not None:
         # all-inactive tiles have +/-INF hulls whose interval products
         # degenerate to "pass everything" — gate them off explicitly
-        hit = hit & jnp.any(act_t, axis=1)[None, :]
+        hit = hit & any_act[None, :]
 
     cidx = jnp.arange(nc, dtype=jnp.int32)[:, None]
     lo = jnp.min(jnp.where(hit, cidx, nc), axis=0)
@@ -703,29 +718,61 @@ def _as_pages(mxu):
 def trace_bvh_mxu_paged(mxu, ro, rd, eps: float = EPS,
                         shared_origin=None, ordered: bool = False,
                         active=None) -> Hit:
-    """Closest hit across all pages (min-t merge)."""
+    """Closest hit across all pages (min-t merge).
+
+    Ray padding, SoA planes and tile hulls — the passes that read the
+    full ray stream — are computed ONCE and shared by every page's
+    chunk test; pages merge in flat row space and the Hit assembles
+    once (a per-page Hit merge would re-read [.,3] buffers n_pages
+    times)."""
     pages = _as_pages(mxu)
-    best = trace_bvh_mxu(pages[0], ro, rd, eps, shared_origin, ordered,
-                         active)
+    if len(pages) == 1:
+        return trace_bvh_mxu(pages[0], ro, rd, eps, shared_origin,
+                             ordered, active)
+    return _trace_closest_paged(pages, ro, rd, eps, shared_origin,
+                                ordered, active)
+
+
+@functools.partial(jax.jit, static_argnames=("eps", "ordered"))
+def _trace_closest_paged(pages, ro, rd, eps, shared_origin, ordered,
+                         active):
+    shape, n, ro_soa, rd_soa, _, act = _pad_tiles(ro, rd, active=active)
+    hulls = _tile_hulls(ro_soa, rd_soa, act)
+    planes = _soa_planes(ro_soa, rd_soa)
+    t0, x0, y0, z0 = _closest_page_rows(pages[0], planes, hulls,
+                                        shared_origin, ordered, eps)
     for page in pages[1:]:
-        h = trace_bvh_mxu(page, ro, rd, eps, shared_origin, ordered,
-                          active)
-        closer = h.t < best.t
-        best = Hit(jnp.where(closer, h.t, best.t),
-                   jnp.where(closer[..., None], h.p, best.p),
-                   jnp.where(closer[..., None], h.n, best.n),
-                   jnp.where(closer, h.mat, best.mat))
-    return best
+        t1, x1, y1, z1 = _closest_page_rows(page, planes, hulls,
+                                            shared_origin, ordered, eps)
+        closer = t1 < t0
+        t0 = jnp.where(closer, t1, t0)
+        x0 = jnp.where(closer, x1, x0)
+        y0 = jnp.where(closer, y1, y0)
+        z0 = jnp.where(closer, z1, z0)
+    return _assemble_hit((t0, x0, y0, z0), ro, rd, shape, n)
 
 
 def trace_bvh_shadow_mxu_paged(mxu, ro, rd, t_max, eps: float = EPS,
                                active=None):
-    """Any hit across all pages (or merge)."""
+    """Any hit across all pages (or merge); prep shared across pages."""
     pages = _as_pages(mxu)
-    occ = trace_bvh_shadow_mxu(pages[0], ro, rd, t_max, eps, active)
+    if len(pages) == 1:
+        return trace_bvh_shadow_mxu(pages[0], ro, rd, t_max, eps, active)
+    return _trace_shadow_paged(pages, ro, rd, t_max, eps, active)
+
+
+@functools.partial(jax.jit, static_argnames=("eps",))
+def _trace_shadow_paged(pages, ro, rd, t_max, eps, active):
+    shape, n, ro_soa, rd_soa, tm, act = _shadow_prep(ro, rd, t_max, active)
+    nt = ro_soa[0].shape[0] // TILE_RAYS
+    t_cap = jnp.max(tm.reshape(nt, TILE_RAYS), axis=1)
+    hulls = _tile_hulls(ro_soa, rd_soa, act)
+    planes = _soa_planes(ro_soa, rd_soa, tm)
+    occ = _shadow_page_rows(pages[0], planes, hulls, t_cap, eps)
     for page in pages[1:]:
-        occ = occ | trace_bvh_shadow_mxu(page, ro, rd, t_max, eps, active)
-    return occ
+        occ = jnp.maximum(occ, _shadow_page_rows(page, planes, hulls,
+                                                 t_cap, eps))
+    return occ.reshape(-1)[:n].reshape(shape) > 0.5
 
 
 def _pad_tiles(ro, rd, extra=None, active=None):
@@ -887,11 +934,22 @@ def trace_bvh_mxu(mxu: MXUBVH, ro, rd, eps: float = EPS,
     skipped block-wise, and their OUTPUT IS GARBAGE (arbitrary finite
     hit/miss); the caller must mask.  The sort-free gating path."""
     shape, n, ro_soa, rd_soa, _, act = _pad_tiles(ro, rd, active=active)
-    nt = ro_soa[0].shape[0] // TILE_RAYS
-    cull = _tile_chunk_ranges(mxu.chunk_bounds, ro_soa, rd_soa, act=act)
-    lo, cn = cull[0], cull[1]
+    hulls = _tile_hulls(ro_soa, rd_soa, act)
     planes = _soa_planes(ro_soa, rd_soa)
+    rows = _closest_page_rows(mxu, planes, hulls, shared_origin, ordered,
+                              eps)
+    return _assemble_hit(rows, ro, rd, shape, n)
+
+
+def _closest_page_rows(mxu: MXUBVH, planes, hulls, shared_origin, ordered,
+                       eps):
+    """One page's closest-hit kernel: flat rows (t, nx, ny, nz), each
+    [NT,128].  `planes`/`hulls` are page-independent (computed once by
+    the caller)."""
+    nt = planes[0].shape[0]
     subtiles = _subtiles_for(nt)
+    cull = _tile_chunk_ranges(mxu.chunk_bounds, hulls)
+    lo, cn = cull[0], cull[1]
     nc = mxu.coef_dt.shape[0]
     if ordered and shared_origin is not None:
         gorder, gbound = _global_chunk_order(mxu, shared_origin)
@@ -914,7 +972,7 @@ def trace_bvh_mxu(mxu: MXUBVH, ro, rd, eps: float = EPS,
 
     kern = functools.partial(_closest_kernel, eps=eps, subtiles=subtiles,
                              ordered=ordered and shared_origin is not None)
-    t_rows, nx, ny, nz = pl.pallas_call(
+    return pl.pallas_call(
         kern,
         grid_spec=_grid_specs(nt, 4, n_planes=6, n_full_inputs=3,
                               subtiles=subtiles),
@@ -925,6 +983,10 @@ def trace_bvh_mxu(mxu: MXUBVH, ro, rd, eps: float = EPS,
       _pack_meta(cull, jlo, jhi), *planes, mxu.coef_uv, mxu.coef_dt,
       mxu.norms)
 
+
+def _assemble_hit(rows, ro, rd, shape, n) -> Hit:
+    """Flat kernel rows -> caller-shaped Hit (one pass)."""
+    t_rows, nx, ny, nz = rows
     t = t_rows.reshape(-1)[:n].reshape(shape)
     hit = t < INF
     nrm = jnp.stack([nx.reshape(-1)[:n].reshape(shape),
@@ -935,6 +997,18 @@ def trace_bvh_mxu(mxu: MXUBVH, ro, rd, eps: float = EPS,
     rd_b = jnp.broadcast_to(rd, shape + (3,))
     return Hit(t, ro_b + rd_b * t[..., None], nrm,
                jnp.ones(shape, jnp.int32))
+
+
+def _shadow_prep(ro, rd, t_max, active):
+    """Collapse inactive windows and pad: handles both the array form
+    and the tuple-of-batches form."""
+    if isinstance(ro, (list, tuple)):
+        if active is not None:
+            t_max = tuple(jnp.where(active, w, -1.0) for w in t_max)
+        return _pad_tiles_multi(tuple(ro), tuple(rd), tuple(t_max), active)
+    if active is not None:
+        t_max = jnp.where(active, t_max, -1.0)
+    return _pad_tiles(ro, rd, t_max, active=active)
 
 
 @functools.partial(jax.jit, static_argnames=("eps",))
@@ -950,27 +1024,24 @@ def trace_bvh_shadow_mxu(mxu: MXUBVH, ro, rd, t_max, eps: float = EPS,
     shadow wavefront): traced as one concatenated stream, result shape
     (k,) + item_shape, with `active` in the per-item shape — this avoids
     materializing [k,...,3] stacks caller-side."""
-    if isinstance(ro, (list, tuple)):
-        if active is not None:
-            t_max = tuple(jnp.where(active, w, -1.0) for w in t_max)
-        shape, n, ro_soa, rd_soa, tm, act = _pad_tiles_multi(
-            tuple(ro), tuple(rd), tuple(t_max), active)
-    else:
-        if active is not None:
-            t_max = jnp.where(active, t_max, -1.0)
-        shape, n, ro_soa, rd_soa, tm, act = _pad_tiles(ro, rd, t_max,
-                                                       active=active)
+    shape, n, ro_soa, rd_soa, tm, act = _shadow_prep(ro, rd, t_max, active)
     nt = ro_soa[0].shape[0] // TILE_RAYS
     t_cap = jnp.max(tm.reshape(nt, TILE_RAYS), axis=1)
-    cull = _tile_chunk_ranges(mxu.chunk_bounds, ro_soa, rd_soa, t_cap,
-                              act=act)
-    cn = cull[1]
+    hulls = _tile_hulls(ro_soa, rd_soa, act)
     planes = _soa_planes(ro_soa, rd_soa, tm)
-    subtiles = _subtiles_for(nt)
+    occ_rows = _shadow_page_rows(mxu, planes, hulls, t_cap, eps)
+    return occ_rows.reshape(-1)[:n].reshape(shape) > 0.5
 
+
+def _shadow_page_rows(mxu: MXUBVH, planes, hulls, t_cap, eps):
+    """One page's any-hit kernel: flat occlusion rows [NT,128] f32."""
+    nt = planes[0].shape[0]
+    subtiles = _subtiles_for(nt)
+    cull = _tile_chunk_ranges(mxu.chunk_bounds, hulls, t_cap)
+    cn = cull[1]
     nc = mxu.coef_dt.shape[0]
     kern = functools.partial(_shadow_kernel, eps=eps, subtiles=subtiles)
-    occ_rows = pl.pallas_call(
+    return pl.pallas_call(
         kern,
         grid_spec=_grid_specs(nt, 1, n_planes=7, n_full_inputs=2,
                               subtiles=subtiles),
@@ -980,5 +1051,3 @@ def trace_bvh_shadow_mxu(mxu: MXUBVH, ro, rd, t_max, eps: float = EPS,
     )(_block_active(cn, nt, subtiles), jnp.arange(nc, dtype=jnp.int32),
       jnp.zeros(nc, jnp.float32), _pack_meta(cull), *planes,
       mxu.coef_uv, mxu.coef_dt)
-
-    return occ_rows.reshape(-1)[:n].reshape(shape) > 0.5
