@@ -778,36 +778,14 @@ def _trace_shadow_paged(pages, ro, rd, t_max, eps, active):
 def _pad_tiles(ro, rd, extra=None, active=None):
     """[...,3] rays -> 1D SoA component planes, padded to a tile-group
     multiple.  Dummy rays point +x from far away (terminate in O(1));
-    pad lanes are inactive when an `active` mask is given."""
-    shape = jnp.broadcast_shapes(jnp.shape(ro)[:-1], jnp.shape(rd)[:-1])
-    ro_b = jnp.broadcast_to(ro, shape + (3,))
-    rd_b = jnp.broadcast_to(rd, shape + (3,))
-    n = int(np.prod(shape)) if shape else 1
-    group = TILE_RAYS * _subtiles_for(n // TILE_RAYS + 1)
-    n_pad = -n % group
+    pad lanes are inactive when an `active` mask is given.
 
-    def comp(a, k, pad_val):
-        v = a[..., k].reshape(-1)
-        if n_pad:
-            v = jnp.concatenate(
-                [v, jnp.full((n_pad,), pad_val, jnp.float32)])
-        return v
-
-    ro_soa = (comp(ro_b, 0, 1e8), comp(ro_b, 1, 1e8), comp(ro_b, 2, 1e8))
-    rd_soa = (comp(rd_b, 0, 1.0), comp(rd_b, 1, 0.0), comp(rd_b, 2, 0.0))
-    if extra is not None:
-        e = jnp.broadcast_to(extra, shape).reshape(-1)
-        if n_pad:
-            e = jnp.concatenate([e, jnp.zeros(n_pad, e.dtype)])
-    else:
-        e = None
-    if active is not None:
-        act = jnp.broadcast_to(active, shape).reshape(-1)
-        if n_pad:
-            act = jnp.concatenate([act, jnp.zeros(n_pad, jnp.bool_)])
-    else:
-        act = None
-    return shape, n, ro_soa, rd_soa, e, act
+    Thin k=1 wrapper over _pad_tiles_multi (single source of truth for
+    pad sentinels and group sizing); the caller shape drops the
+    synthetic leading batch axis."""
+    shape, n, ro_soa, rd_soa, e, act = _pad_tiles_multi(
+        (ro,), (rd,), None if extra is None else (extra,), active)
+    return shape[1:], n, ro_soa, rd_soa, e, act
 
 
 def _pad_tiles_multi(ro_seq, rd_seq, extra_seq, active):

@@ -113,8 +113,14 @@ def resolve_taa(curr, motion, prev_accum, frame_index, params: RenderParams,
         out = with_moving(None)
     else:
         # zero motion => every pixel takes the still branch of the
-        # motMag<thresh select; skip the reprojection gather wholesale
-        out = jax.lax.cond(jnp.asarray(moved, jnp.bool_), with_moving,
+        # motMag<thresh select (mot_mag==0 < thresh) — skip the
+        # reprojection gather wholesale.  Guard the degenerate
+        # taa_still_thresh<=0 configuration, where 0 < thresh is false
+        # and the branch-free form would take the moving path.
+        need_moving = jnp.logical_or(
+            jnp.asarray(moved, jnp.bool_),
+            jnp.asarray(params.taa_still_thresh, jnp.float32) <= 0.0)
+        out = jax.lax.cond(need_moving, with_moving,
                            lambda _: still_out, None)
     # First frame: no history yet (rt_taa.glsl:66-68).
     return jnp.where(fi == 0, passthrough, out)

@@ -81,11 +81,28 @@ def render_frame_shardmap(mesh: Mesh, params: RenderParams,
         moved = fin.camera_moved > 0
         taa_motion = jnp.where(moved, motion, jnp.zeros_like(motion))
 
-        # TAA needs the FULL history (reprojection reads anywhere).
-        prev_full = jax.lax.all_gather(accum_local, axis, axis=0,
-                                       tiled=True)
-        accum_new = resolve_taa(curr, taa_motion, prev_full, frame_index,
-                                params, row_offset=row0, moved=moved)
+        # Moving camera: TAA reprojection reads ANYWHERE in the history,
+        # so gather the full image over ICI.  Still camera (the common
+        # interactive state): the still blend only reads the local band,
+        # so the gather is skipped entirely — `moved` is replicated
+        # across the mesh, making the conditional collective uniform.
+        def _taa_moving(_):
+            prev_full = jax.lax.all_gather(accum_local, axis, axis=0,
+                                           tiled=True)
+            return resolve_taa(curr, taa_motion, prev_full, frame_index,
+                               params, row_offset=row0, moved=None)
+
+        def _taa_still(_):
+            return resolve_taa(curr, jnp.zeros_like(motion), accum_local,
+                               frame_index, params, row_offset=0,
+                               moved=False)
+
+        # degenerate taa_still_thresh<=0 forces the reprojecting branch
+        # even when still (it needs the full-image history for its uv
+        # math); mirrors the guard inside resolve_taa
+        need_full = jnp.logical_or(
+            moved, jnp.asarray(params.taa_still_thresh, jnp.float32) <= 0.0)
+        accum_new = jax.lax.cond(need_full, _taa_moving, _taa_still, None)
 
         if show_motion:
             image = present(accum_new, motion, gpos, gnrm, params,

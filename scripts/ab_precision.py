@@ -12,7 +12,6 @@ Usage: python scripts/ab_precision.py            # all modes
 
 import json
 import os
-import subprocess
 import sys
 import time
 
@@ -84,18 +83,13 @@ def main() -> int:
         child(sys.argv[sys.argv.index("--child") + 1])
         return 0
     import numpy as np
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from childproc import run_child
     results = {}
     for mode in MODES:
-        try:
-            out = subprocess.run(
-                [sys.executable, os.path.abspath(__file__), "--child", mode],
-                capture_output=True, timeout=480, text=True)
-            lines = [ln for ln in out.stdout.splitlines()
-                     if ln.startswith("{")]
-            results[mode] = (json.loads(lines[-1]) if lines
-                             else {"error": f"rc={out.returncode}"})
-        except subprocess.TimeoutExpired:
-            results[mode] = {"error": "timeout"}
+        results[mode] = run_child(
+            [sys.executable, os.path.abspath(__file__), "--child", mode],
+            480)
         print(mode, results[mode], flush=True)
 
     try:

@@ -10,7 +10,6 @@ Usage: python scripts/perf_report.py             # full sweep
 
 import json
 import os
-import subprocess
 import sys
 import time
 
@@ -166,18 +165,12 @@ def main() -> int:
     if "--child" in sys.argv:
         child(sys.argv[sys.argv.index("--child") + 1])
         return 0
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from childproc import run_child
     results = {}
     for key in CASES:
-        try:
-            out = subprocess.run(
-                [sys.executable, os.path.abspath(__file__), "--child", key],
-                capture_output=True, timeout=540, text=True)
-            lines = [ln for ln in out.stdout.splitlines()
-                     if ln.startswith("{")]
-            results[key] = (json.loads(lines[-1]) if lines
-                            else {"error": f"rc={out.returncode}"})
-        except subprocess.TimeoutExpired:
-            results[key] = {"error": "timeout (tpu wedged?)"}
+        results[key] = run_child(
+            [sys.executable, os.path.abspath(__file__), "--child", key], 540)
         print(key, results[key], flush=True)
     table = ("| case | result |\n|---|---|\n"
              + "".join(f"| {k} | `{json.dumps(v)}` |\n"

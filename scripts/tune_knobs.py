@@ -12,8 +12,10 @@ Usage: python scripts/tune_knobs.py            # default grid
 import itertools
 import json
 import os
-import subprocess
 import sys
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+from childproc import run_child  # noqa: E402
 
 CASE = os.environ.get("TUNE_CASE", "frame_baseline_bvh")
 SUBTILES = [16, 32, 64]
@@ -30,32 +32,38 @@ def main() -> int:
     report = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                           "perf_report.py")
     rows = []
-    # precision/swizzle first (biggest expected effect), then tile knobs
-    # at the winning precision
-    grid = ([(32, 4, p, s) for p in PRECISION for s in SWIZZLE]
-            + [(st, g, PRECISION[0], "1")
-               for st, g in itertools.product(SUBTILES, GROUPS)
-               if (st, g) != (32, 4)])
-    for st, g, prec, sw in grid:
-        if time.time() - t0 > BUDGET:
-            print("budget exhausted")
-            break
+
+    def run(st, g, prec, sw):
         env = dict(os.environ, ORT_SUBTILES=str(st), ORT_CHUNK_GROUP=str(g),
                    ORT_MT_PRECISION=prec, ORT_SWIZZLE=sw)
-        try:
-            out = subprocess.run(
-                [sys.executable, report, "--child", CASE],
-                capture_output=True, timeout=TIMEOUT, text=True, env=env)
-            lines = [ln for ln in out.stdout.splitlines()
-                     if ln.startswith("{")]
-            res = (json.loads(lines[-1]) if lines
-                   else {"error": f"rc={out.returncode}"})
-        except subprocess.TimeoutExpired:
-            res = {"error": "timeout"}
+        res = run_child([sys.executable, report, "--child", CASE],
+                        TIMEOUT, env)
         row = {"subtiles": st, "group": g, "precision": prec,
                "swizzle": sw, **res}
         rows.append(row)
         print(json.dumps(row), flush=True)
+        return row
+
+    # phase 1: precision/swizzle at the default tile knobs
+    for p in PRECISION:
+        for s in SWIZZLE:
+            if time.time() - t0 > BUDGET:
+                print("budget exhausted")
+                break
+            run(32, 4, p, s)
+    ok = [r for r in rows if "ms" in r]
+    best_prec = (min(ok, key=lambda r: r["ms"])["precision"]
+                 if ok else PRECISION[0])
+
+    # phase 2: tile knobs at the phase-1 winning precision
+    for st, g in itertools.product(SUBTILES, GROUPS):
+        if (st, g) == (32, 4):
+            continue
+        if time.time() - t0 > BUDGET:
+            print("budget exhausted")
+            break
+        run(st, g, best_prec, "1")
+
     ok = [r for r in rows if "ms" in r]
     if ok:
         best = min(ok, key=lambda r: r["ms"])
