@@ -139,12 +139,32 @@ TILE_H, TILE_W = 8, 16  # TILE_H*TILE_W == ops.bvh_mxu.TILE_RAYS
 _SWIZZLE = os.environ.get("ORT_SWIZZLE", "1") == "1"
 
 
-def _swizzle_ok(h: int, w: int) -> bool:
-    return _SWIZZLE and h % TILE_H == 0 and w % TILE_W == 0
+def _swizzle_pads(h: int, w: int):
+    """(pad_h, pad_w) duplicated edge rows/cols that make the grid
+    divisible by the 8x16 tile, or None when the swizzle is disabled.
+    Non-divisible grids (e.g. the 135-row shard bands of a 1080p 8-way
+    split) trace <1% duplicate edge rays instead of losing the compact
+    2D tiles entirely; the duplicates are cropped after unswizzle."""
+    if not _SWIZZLE:
+        return None
+    return (-h) % TILE_H, (-w) % TILE_W
+
+
+def _pad_edge(a, pad_h: int, pad_w: int):
+    """Extend [H,W,...] by duplicating the last row/column."""
+    if pad_h:
+        a = jnp.concatenate(
+            [a, jnp.broadcast_to(a[-1:], (pad_h,) + a.shape[1:])], axis=0)
+    if pad_w:
+        a = jnp.concatenate(
+            [a, jnp.broadcast_to(a[:, -1:], (a.shape[0], pad_w)
+                                 + a.shape[2:])], axis=1)
+    return a
 
 
 def swizzle(a, h: int, w: int):
-    """[H,W,...] -> flat [H*W,...] in 8x16-pixel-block order."""
+    """[H,W,...] -> flat [H*W,...] in 8x16-pixel-block order
+    (h, w must be tile-divisible — pad with _pad_edge first)."""
     rest = a.shape[2:]
     return (a.reshape(h // TILE_H, TILE_H, w // TILE_W, TILE_W, *rest)
             .swapaxes(1, 2).reshape(h * w, *rest))
@@ -274,13 +294,16 @@ def trace_and_shade(scene: SceneCtx, params: RenderParams, fin: FrameInputs,
     (but excluding) the temporal/present stages.
     """
     grid_h, grid_w = px.shape
-    sw = _swizzle_ok(grid_h, grid_w)
+    pads = _swizzle_pads(grid_h, grid_w)
+    sw = pads is not None
     if sw:
         # trace + shade the whole stream in 8x16-block order; only the
-        # four [H,W] outputs transpose back at the end
-        px = swizzle(px, grid_h, grid_w)
-        py = swizzle(py, grid_h, grid_w)
-        rd = swizzle(rd, grid_h, grid_w)
+        # four [H,W] outputs transpose back at the end.  Non-divisible
+        # grids duplicate edge rows/cols (cropped after unswizzle).
+        sw_h, sw_w = grid_h + pads[0], grid_w + pads[1]
+        px = swizzle(_pad_edge(px, *pads), sw_h, sw_w)
+        py = swizzle(_pad_edge(py, *pads), sw_h, sw_w)
+        rd = swizzle(_pad_edge(rd, *pads), sw_h, sw_w)
     ro = jnp.broadcast_to(fin.cam_pos, rd.shape)
     spp = max(int(params.spp_per_frame), 1) if not show_motion else 1
 
@@ -351,10 +374,10 @@ def trace_and_shade(scene: SceneCtx, params: RenderParams, fin: FrameInputs,
                       sky_radiance[None]), axis=0)
     curr = frame_sum / float(spp)
     if sw:
-        curr = unswizzle(curr, grid_h, grid_w)
-        motion = unswizzle(motion, grid_h, grid_w)
-        gpos = unswizzle(gpos, grid_h, grid_w)
-        gnrm = unswizzle(gnrm, grid_h, grid_w)
+        curr = unswizzle(curr, sw_h, sw_w)[:grid_h, :grid_w]
+        motion = unswizzle(motion, sw_h, sw_w)[:grid_h, :grid_w]
+        gpos = unswizzle(gpos, sw_h, sw_w)[:grid_h, :grid_w]
+        gnrm = unswizzle(gnrm, sw_h, sw_w)[:grid_h, :grid_w]
     return curr, motion, gpos, gnrm
 
 

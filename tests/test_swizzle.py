@@ -61,3 +61,37 @@ def test_swizzled_frame_bit_identical(monkeypatch):
     for k in ("image", "motion", "gpos", "gnrm"):
         np.testing.assert_array_equal(np.asarray(getattr(on, k)),
                                       np.asarray(getattr(off, k)))
+
+
+def test_swizzled_frame_nondivisible_grid(monkeypatch):
+    """Non-tile-divisible grids (like the 135-row shard bands) swizzle
+    via duplicated edge rays and must still be bit-identical."""
+    h, w = 45, 56  # 45 % 8 != 0, 56 % 16 != 0
+    tris = gather_triangles(make_bunny(2),
+                            model_transform(DEFAULT_BVH_TRANSLATE,
+                                            DEFAULT_BVH_SCALE))
+    bvh = prepare_bvh(tris)
+    params = presets.preset("realistic")
+    cam = Camera()
+    cam.aspect = w / h
+    right, up, fwd, thf = cam.basis()
+    vp = cam.view_projection()
+    fin = FrameInputs(jnp.asarray(cam.position), jnp.asarray(right),
+                      jnp.asarray(up), jnp.asarray(fwd), jnp.float32(thf),
+                      jnp.float32(cam.aspect), jnp.zeros(2, jnp.float32),
+                      jnp.asarray(vp), jnp.asarray(vp), jnp.int32(0))
+
+    def run():
+        st = RenderState.create(h, w)
+        st, out = render_frame(params, fin, st, None, bvh,
+                               height=h, width=w, use_bvh=True)
+        return out
+
+    monkeypatch.setattr(pipeline, "_SWIZZLE", True)
+    on = run()
+    assert on.image.shape == (h, w, 3)
+    monkeypatch.setattr(pipeline, "_SWIZZLE", False)
+    off = run()
+    for k in ("image", "motion", "gpos", "gnrm"):
+        np.testing.assert_array_equal(np.asarray(getattr(on, k)),
+                                      np.asarray(getattr(off, k)))
