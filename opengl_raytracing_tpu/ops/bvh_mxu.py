@@ -109,7 +109,11 @@ class MXUBVH(NamedTuple):
 # Max chunks per page: keeps coef_uv + coef_dt (2x NC x 256 x 16 f32) +
 # norms VMEM-resident with headroom.  Larger scenes split into pages
 # traced sequentially and merged (closest-hit min / any-hit or).
-PAGE_CHUNKS = 96
+# NOTE: pages with >64 chunks degrade the ordered walk's per-tile chunk
+# bitmask to range-only (the mask is 2x int32); ORT_PAGE_CHUNKS=64
+# trades more pages (cheap since prep is shared) for exact masks on the
+# close-camera ordered path — an on-hardware A/B knob.
+PAGE_CHUNKS = int(os.environ.get("ORT_PAGE_CHUNKS", "96"))
 
 
 def build_mxu_paged(bvh: BVH):
