@@ -183,6 +183,11 @@ def measure_closefar(height, width, frames, case) -> dict:
 
 
 def child(case: str) -> None:
+    if os.environ.get("BENCH_FORCE_CPU") == "1":
+        # harness smoke-testing off-TPU: the axon plugin overrides
+        # JAX_PLATFORMS, so force the backend before first use
+        import jax
+        jax.config.update("jax_platforms", "cpu")
     if case in PRESET_CASES:
         rec = measure_preset(H, W, FRAMES, case)
     else:
