@@ -78,6 +78,13 @@ def child(key: str) -> None:
         """Primary wavefront -> (hit mask, GI ray batch, AO windows)."""
         scene = SceneCtx.create(params, fin.cam_pos, use_bvh=True, bvh=bvh)
         px, py, rd = primary_rays(H, W, fin, params)
+        if os.environ.get("PROBE_SWIZZLE", "1") == "1":
+            # match production: the pipeline traces in 8x16-block order,
+            # so the probe's hit points / GI rays inherit that order
+            from opengl_raytracing_tpu.models.pipeline import swizzle
+            px = swizzle(px, H, W)
+            py = swizzle(py, H, W)
+            rd = swizzle(rd, H, W)
         ro = jnp.broadcast_to(fin.cam_pos, rd.shape)
         h_raw = scene.trace(ro, rd, shared_origin=scene.cam_pos)
         act = h_raw.valid
