@@ -372,7 +372,8 @@ def _epilogue_inputs(out_uv, out_dt, eps):
     return t, acc
 
 
-def _closest_kernel(active_ref, gorder_ref, gbound_ref, meta_ref,
+def _closest_kernel(ids_ref, perm_ref, nact_ref, gorder_ref, gbound_ref,
+                    meta_ref,
                     ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
                     cuv_ref, cdt_ref, norms_ref,
                     t_ref, nx_ref, ny_ref, nz_ref, *,
@@ -388,7 +389,10 @@ def _closest_kernel(active_ref, gorder_ref, gbound_ref, meta_ref,
     tri_f = jax.lax.broadcasted_iota(
         jnp.int32, (CHUNK, TILE_RAYS), 0).astype(jnp.float32)
 
-    @pl.when(active_ref[b] > 0)
+    # sparse grid: only the first n_active steps carry real blocks;
+    # the inactive tail keeps the miss init above (its inputs are
+    # repeats of the last active block and are not read)
+    @pl.when(b < nact_ref[0])
     def _():
         # All-f32 epilogue (Mosaic mishandles packed-i1 keepdims
         # reductions).  `out_uv`/`out_dt` are 256-row u|v / det|t blocks;
@@ -536,14 +540,15 @@ def _closest_kernel(active_ref, gorder_ref, gbound_ref, meta_ref,
         jax.lax.fori_loop(0, subtiles, subtile_body, 0)
 
 
-def _shadow_kernel(active_ref, gorder_ref, gbound_ref, meta_ref,
+def _shadow_kernel(ids_ref, perm_ref, nact_ref, gorder_ref, gbound_ref,
+                   meta_ref,
                    ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, tm_ref,
                    cuv_ref, cdt_ref, occ_ref, *, eps: float, subtiles: int,
                    ordered: bool = False):
     b = pl.program_id(0)
     occ_ref[:, :] = jnp.zeros((subtiles, TILE_RAYS), jnp.float32)
 
-    @pl.when(active_ref[b] > 0)
+    @pl.when(b < nact_ref[0])
     def _():
         def subtile_body(s, _):
             glo = meta_ref[s, 6]
@@ -844,20 +849,39 @@ _COMPILER_PARAMS = pltpu.CompilerParams(vmem_limit_bytes=64 * 1024 * 1024)
 
 
 def _grid_specs(nt, n_out, n_planes, n_full_inputs=1, subtiles=SUBTILES):
-    # Only the tiny per-block active flags ride scalar prefetch (SMEM);
-    # per-tile metadata is a blocked VMEM operand — huge batched ray
-    # streams (NT ~ 100k tiles) would otherwise overflow SMEM.  Ray
-    # components stream as n_planes separate [subtiles,128] blocks.
-    out_spec = pl.BlockSpec((subtiles, TILE_RAYS),
-                            lambda b, *pf: (b, 0),
+    """SPARSE grid plumbing: the grid still runs NB steps, but the
+    active blocks are compacted to the FRONT via prefetched dynamic
+    index maps (`ids_in` for inputs, `perm` for outputs):
+
+      * steps b < n_active stream+process active block ids_in[b];
+      * steps b >= n_active re-map every INPUT to the last active block
+        — a repeated block index issues NO new DMA — and write only the
+        miss-init rows to their (inactive) output block perm[b].
+
+    Inactive blocks thus stop paying input streaming entirely (their
+    init writes are mandatory output either way).  Sky-dominant frames
+    and active-masked wavefronts have mostly-inactive blocks, so this
+    removes the bulk of the per-step DMA traffic.  Scalar prefetch
+    order: (ids_in, perm, n_active, gorder, gbound); per-tile metadata
+    stays a blocked VMEM operand — huge batched ray streams (NT ~ 100k
+    tiles) would otherwise overflow SMEM."""
+    def in_map(b, ids, perm, n, go, gb):
+        return (ids[b], 0)
+
+    def out_map(b, ids, perm, n, go, gb):
+        return (perm[b], 0)
+
+    out_spec = pl.BlockSpec((subtiles, TILE_RAYS), out_map,
                             memory_space=pltpu.VMEM)
+    in_spec = pl.BlockSpec((subtiles, TILE_RAYS), in_map,
+                           memory_space=pltpu.VMEM)
     return pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,
+        num_scalar_prefetch=5,
         grid=(nt // subtiles,),
         in_specs=[
-            pl.BlockSpec((subtiles, META_W), lambda b, *pf: (b, 0),
+            pl.BlockSpec((subtiles, META_W), in_map,
                          memory_space=pltpu.VMEM),
-        ] + [out_spec] * n_planes
+        ] + [in_spec] * n_planes
           + [pl.BlockSpec(memory_space=pltpu.VMEM)] * n_full_inputs,
         out_specs=[out_spec] * n_out if n_out > 1 else out_spec,
     )
@@ -875,9 +899,30 @@ def _pack_meta(cull, jlo=None, jhi=None):
                       glo, gn, gmask, z], axis=1)
 
 
-def _block_active(cn, nt, subtiles=SUBTILES):
-    return (cn.reshape(nt // subtiles, subtiles).max(axis=1) > 0
-            ).astype(jnp.int32)
+# ORT_SPARSE_GRID=0 reverts to the dense identity mapping (every block
+# streams; inactive blocks still skip their body through the n_active
+# gate becoming a no-op and the per-subtile gn>0 gates).
+_SPARSE_GRID = os.environ.get("ORT_SPARSE_GRID", "1") == "1"
+
+
+def _sparse_plan(cn, nt, subtiles=SUBTILES):
+    """(ids_in [NB], perm [NB], n_active [1]) for the sparse grid.
+
+    perm lists active block ids first (stable), then inactive ones;
+    ids_in repeats the LAST active id over the inactive tail so those
+    steps issue no new input DMAs."""
+    nb = nt // subtiles
+    if not _SPARSE_GRID:
+        ident = jnp.arange(nb, dtype=jnp.int32)
+        return ident, ident, jnp.full((1,), nb, jnp.int32)
+    flags = cn.reshape(nb, subtiles).max(axis=1) > 0
+    n_active = jnp.sum(flags.astype(jnp.int32))
+    perm = jnp.argsort(jnp.logical_not(flags), stable=True).astype(
+        jnp.int32)
+    last = perm[jnp.maximum(n_active - 1, 0)]
+    ids_in = jnp.where(jnp.arange(nb, dtype=jnp.int32) < n_active,
+                       perm, last)
+    return ids_in, perm, n_active.reshape(1)
 
 
 def _global_chunk_order(mxu: MXUBVH, origin):
@@ -954,6 +999,7 @@ def _closest_page_rows(mxu: MXUBVH, planes, hulls, shared_origin, ordered,
 
     kern = functools.partial(_closest_kernel, eps=eps, subtiles=subtiles,
                              ordered=ordered and shared_origin is not None)
+    ids_in, perm, nact = _sparse_plan(cn, nt, subtiles)
     return pl.pallas_call(
         kern,
         grid_spec=_grid_specs(nt, 4, n_planes=6, n_full_inputs=3,
@@ -961,7 +1007,7 @@ def _closest_page_rows(mxu: MXUBVH, planes, hulls, shared_origin, ordered,
         out_shape=[jax.ShapeDtypeStruct((nt, TILE_RAYS), jnp.float32)] * 4,
         interpret=_use_interpret(),
         compiler_params=_COMPILER_PARAMS,
-    )(_block_active(cn, nt, subtiles), gorder, gbound,
+    )(ids_in, perm, nact, gorder, gbound,
       _pack_meta(cull, jlo, jhi), *planes, mxu.coef_uv, mxu.coef_dt,
       mxu.norms)
 
@@ -1023,6 +1069,7 @@ def _shadow_page_rows(mxu: MXUBVH, planes, hulls, t_cap, eps):
     cn = cull[1]
     nc = mxu.coef_dt.shape[0]
     kern = functools.partial(_shadow_kernel, eps=eps, subtiles=subtiles)
+    ids_in, perm, nact = _sparse_plan(cn, nt, subtiles)
     return pl.pallas_call(
         kern,
         grid_spec=_grid_specs(nt, 1, n_planes=7, n_full_inputs=2,
@@ -1030,6 +1077,6 @@ def _shadow_page_rows(mxu: MXUBVH, planes, hulls, t_cap, eps):
         out_shape=jax.ShapeDtypeStruct((nt, TILE_RAYS), jnp.float32),
         interpret=_use_interpret(),
         compiler_params=_COMPILER_PARAMS,
-    )(_block_active(cn, nt, subtiles), jnp.arange(nc, dtype=jnp.int32),
+    )(ids_in, perm, nact, jnp.arange(nc, dtype=jnp.int32),
       jnp.zeros(nc, jnp.float32), _pack_meta(cull), *planes,
       mxu.coef_uv, mxu.coef_dt)
