@@ -224,6 +224,12 @@ def main() -> int:
              if "BENCH_CASES" in os.environ
              else PRESET_CASES + ["cf_close", "cf_far"])
 
+    # Safe-mode retry: if a case fails (e.g. a new kernel feature fails
+    # to compile on this backend), retry once with the conservative knob
+    # settings so the benchmark still records a real number.
+    SAFE = {"ORT_SPARSE_GRID": "0", "ORT_SWIZZLE": "0",
+            "ORT_MT_PRECISION": "highest"}
+
     presets, close_far = {}, {}
     headline = None
     for case in cases:
@@ -232,6 +238,14 @@ def main() -> int:
             rec = {"error": "skipped (bench budget exhausted)"}
         else:
             rec = _run_child(case, env, min(TIMEOUT_S, remaining))
+            if "error" in rec and "timeout" not in rec["error"]:
+                remaining = BUDGET_S - (time.time() - t_start)
+                if remaining > 60:
+                    retry = _run_child(case, dict(env, **SAFE),
+                                       min(TIMEOUT_S, remaining))
+                    if "error" not in retry:
+                        retry["note"] = "safe-mode knobs (default-knob run failed)"
+                        rec = retry
         line = dict(rec)
         line.setdefault("case", case)
         print(json.dumps(line), flush=True)
