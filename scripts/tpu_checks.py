@@ -128,6 +128,32 @@ def main():
     if not tup_ok:
         failures += 1
 
+    # sparse grid (dynamic prefetched index maps) == dense identity,
+    # with a concentrated mask so whole blocks land on the inactive tail
+    from opengl_raytracing_tpu.ops import bvh_mxu
+    conc = jnp.asarray(act_np & (np.arange(n) < n // 4))
+    try:
+        h_s = trace_bvh_mxu_paged(bvh.mxu, jnp.asarray(ro),
+                                  jnp.asarray(rd), active=conc)
+        occ_s = np.asarray(trace_bvh_shadow_mxu_paged(
+            bvh.mxu, jnp.asarray(ro), jnp.asarray(rd), t_max, active=conc))
+        bvh_mxu._SPARSE_GRID = False
+        h_d = trace_bvh_mxu_paged(bvh.mxu, jnp.asarray(ro),
+                                  jnp.asarray(rd), active=conc)
+        occ_d = np.asarray(trace_bvh_shadow_mxu_paged(
+            bvh.mxu, jnp.asarray(ro), jnp.asarray(rd), t_max, active=conc))
+    finally:
+        bvh_mxu._SPARSE_GRID = True
+    csel = np.asarray(conc)
+    sg_ok = (np.array_equal(np.asarray(h_s.valid)[csel],
+                            np.asarray(h_d.valid)[csel])
+             and np.array_equal(np.asarray(h_s.t)[csel],
+                                np.asarray(h_d.t)[csel])
+             and np.array_equal(occ_s, occ_d))
+    print(f"sparse grid == dense grid: {sg_ok}")
+    if not sg_ok:
+        failures += 1
+
     print("PASS" if failures == 0 else f"FAIL ({failures})")
     return 1 if failures else 0
 

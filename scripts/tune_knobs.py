@@ -33,20 +33,27 @@ def main() -> int:
                           "perf_report.py")
     rows = []
 
-    def run(st, g, prec, sw):
+    def run(st, g, prec, sw, sparse="1"):
         env = dict(os.environ, ORT_SUBTILES=str(st), ORT_CHUNK_GROUP=str(g),
-                   ORT_MT_PRECISION=prec, ORT_SWIZZLE=sw)
+                   ORT_MT_PRECISION=prec, ORT_SWIZZLE=sw,
+                   ORT_SPARSE_GRID=sparse)
         res = run_child([sys.executable, report, "--child", CASE],
                         TIMEOUT, env)
         row = {"subtiles": st, "group": g, "precision": prec,
-               "swizzle": sw, **res}
+               "swizzle": sw, "sparse": sparse, **res}
         rows.append(row)
         print(json.dumps(row), flush=True)
         return row
 
+    # phase 0: sparse-grid A/B at all-default knobs
+    run(32, 4, "highest", "1", sparse="1")
+    run(32, 4, "highest", "1", sparse="0")
+
     # phase 1: precision/swizzle at the default tile knobs
     for p in PRECISION:
         for s in SWIZZLE:
+            if (p, s) == ("highest", "1"):
+                continue  # measured in phase 0
             if time.time() - t0 > BUDGET:
                 print("budget exhausted")
                 break

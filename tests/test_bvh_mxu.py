@@ -223,3 +223,41 @@ def test_shadow_tuple_of_batches_matches_stacked(scene):
     np.testing.assert_array_equal(np.asarray(s_tuple), np.asarray(s_stack))
     sel = np.asarray(act)
     assert not np.asarray(s_tuple)[:, ~sel].any()
+
+
+def test_sparse_grid_matches_dense(scene, monkeypatch):
+    """The sparse grid (active blocks compacted to the front via
+    prefetched dynamic index maps; inactive tail streams nothing) must be
+    bit-identical to the dense identity mapping, for closest-hit and
+    any-hit, with and without an active mask.  Uses 4 grid blocks with a
+    mostly-inactive mask so the inactive TAIL is actually exercised."""
+    from opengl_raytracing_tpu.ops import bvh_mxu
+    mxu, tris = scene
+    n = 4 * bvh_mxu.SUBTILES * bvh_mxu.TILE_RAYS  # 4 grid steps
+    ro, rd = _rays(31, n)
+    win = jnp.full((n,), 5.0, jnp.float32)
+    rng = np.random.RandomState(9)
+    # concentrate active lanes in the first quarter -> blocks 2-4 are
+    # fully inactive under the block swizzle's ray order
+    act = jnp.asarray((rng.rand(n) > 0.3) & (np.arange(n) < n // 4))
+
+    runs = {}
+    for mode in (True, False):
+        monkeypatch.setattr(bvh_mxu, "_SPARSE_GRID", mode)
+        h = trace_bvh_mxu(mxu, ro, rd)
+        hm = trace_bvh_mxu(mxu, ro, rd, active=act)
+        s = trace_bvh_shadow_mxu(mxu, ro, rd, win, active=act)
+        runs[mode] = (np.asarray(h.valid), np.asarray(h.t),
+                      np.asarray(h.n), np.asarray(hm.valid),
+                      np.asarray(hm.t), np.asarray(s))
+
+    sel = np.asarray(act)
+    a, b = runs[True], runs[False]
+    np.testing.assert_array_equal(a[0], b[0])
+    np.testing.assert_array_equal(a[1], b[1])
+    np.testing.assert_array_equal(a[2], b[2])
+    # masked results compare on active lanes only (inactive = garbage)
+    np.testing.assert_array_equal(a[3][sel], b[3][sel])
+    np.testing.assert_array_equal(a[4][sel & a[3]], b[4][sel & b[3]])
+    np.testing.assert_array_equal(a[5], b[5])  # shadow: inactive==False
+    assert not a[5][~sel].any()
