@@ -103,3 +103,23 @@ def test_empty_bvh_returns_no_hits():
     ro, rd = _random_rays(16)
     h = trace_bvh(arrs, ro, rd)
     assert not bool(np.asarray(h.valid).any())
+
+
+def test_resolve_ordered_primary_auto():
+    """Auto mode (2) flips the ordered front-to-back walk on only when
+    the camera is within ORDERED_AUTO_FACTOR scene radii of the AABB;
+    explicit 0/1 pass through; no BVH -> unordered."""
+    from opengl_raytracing_tpu.ops.scene import (resolve_ordered_primary,
+                                                 ORDERED_AUTO_FACTOR)
+    aabb = (np.array([-1.0, 0.0, -1.0]), np.array([1.0, 2.0, 1.0]))
+    radius = 0.5 * float(np.linalg.norm(aabb[1] - aabb[0]))
+    inside = (0.0, 1.0, 0.0)
+    near = (0.0, 1.0, 1.0 + 0.5 * radius)
+    far = (0.0, 1.0, 1.0 + 2.0 * ORDERED_AUTO_FACTOR * radius)
+    assert resolve_ordered_primary(2, inside, aabb) == 1
+    assert resolve_ordered_primary(2, near, aabb) == 1
+    assert resolve_ordered_primary(2, far, aabb) == 0
+    assert resolve_ordered_primary(2, far, None) == 0
+    for flag in (0, 1):
+        for pos in (inside, far):
+            assert resolve_ordered_primary(flag, pos, aabb) == flag
