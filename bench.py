@@ -258,12 +258,16 @@ def main() -> int:
 
     if headline is None or "error" in headline:
         # fall back to reduced resolution for the headline so the driver
-        # always gets a real number
+        # always gets a real number; try default knobs then safe-mode
         env["BENCH_HEIGHT"], env["BENCH_WIDTH"] = "540", "960"
-        rec = _run_child(PRESET, env, TIMEOUT_S)
-        if "error" not in rec:
-            rec["note"] = f"fell back to 960x540; {W}x{H} run failed"
-            headline = rec
+        for extra in ({}, SAFE):
+            rec = _run_child(PRESET, dict(env, **extra), TIMEOUT_S)
+            if "error" not in rec:
+                rec["note"] = (f"fell back to 960x540"
+                               f"{' + safe-mode knobs' if extra else ''};"
+                               f" {W}x{H} run failed")
+                headline = rec
+                break
     if headline is None or "error" in headline:
         headline = {
             "metric": (f"primary Mrays/s/chip, bunny BVH scene, {W}x{H} "

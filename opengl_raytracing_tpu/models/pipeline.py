@@ -152,14 +152,10 @@ def _swizzle_pads(h: int, w: int):
 
 def _pad_edge(a, pad_h: int, pad_w: int):
     """Extend [H,W,...] by duplicating the last row/column."""
-    if pad_h:
-        a = jnp.concatenate(
-            [a, jnp.broadcast_to(a[-1:], (pad_h,) + a.shape[1:])], axis=0)
-    if pad_w:
-        a = jnp.concatenate(
-            [a, jnp.broadcast_to(a[:, -1:], (a.shape[0], pad_w)
-                                 + a.shape[2:])], axis=1)
-    return a
+    if not (pad_h or pad_w):
+        return a
+    return jnp.pad(a, ((0, pad_h), (0, pad_w)) + ((0, 0),) * (a.ndim - 2),
+                   mode="edge")
 
 
 def swizzle(a, h: int, w: int):

@@ -372,7 +372,7 @@ def _epilogue_inputs(out_uv, out_dt, eps):
     return t, acc
 
 
-def _closest_kernel(ids_ref, perm_ref, nact_ref, gorder_ref, gbound_ref,
+def _closest_kernel(ids_ref, perm_ref, gate_ref, gorder_ref, gbound_ref,
                     meta_ref,
                     ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
                     cuv_ref, cdt_ref, norms_ref,
@@ -389,10 +389,12 @@ def _closest_kernel(ids_ref, perm_ref, nact_ref, gorder_ref, gbound_ref,
     tri_f = jax.lax.broadcasted_iota(
         jnp.int32, (CHUNK, TILE_RAYS), 0).astype(jnp.float32)
 
-    # sparse grid: only the first n_active steps carry real blocks;
-    # the inactive tail keeps the miss init above (its inputs are
-    # repeats of the last active block and are not read)
-    @pl.when(b < nact_ref[0])
+    # per-step gate: in sparse mode only the first n_active steps carry
+    # real blocks (the inactive tail keeps the miss init above — its
+    # inputs are repeats of the last active block and are not read); in
+    # dense mode the gate is the per-block activity flag, preserving the
+    # old skip of fully-inactive (sky) blocks.
+    @pl.when(gate_ref[b] > 0)
     def _():
         # All-f32 epilogue (Mosaic mishandles packed-i1 keepdims
         # reductions).  `out_uv`/`out_dt` are 256-row u|v / det|t blocks;
@@ -540,7 +542,7 @@ def _closest_kernel(ids_ref, perm_ref, nact_ref, gorder_ref, gbound_ref,
         jax.lax.fori_loop(0, subtiles, subtile_body, 0)
 
 
-def _shadow_kernel(ids_ref, perm_ref, nact_ref, gorder_ref, gbound_ref,
+def _shadow_kernel(ids_ref, perm_ref, gate_ref, gorder_ref, gbound_ref,
                    meta_ref,
                    ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, tm_ref,
                    cuv_ref, cdt_ref, occ_ref, *, eps: float, subtiles: int,
@@ -548,7 +550,7 @@ def _shadow_kernel(ids_ref, perm_ref, nact_ref, gorder_ref, gbound_ref,
     b = pl.program_id(0)
     occ_ref[:, :] = jnp.zeros((subtiles, TILE_RAYS), jnp.float32)
 
-    @pl.when(b < nact_ref[0])
+    @pl.when(gate_ref[b] > 0)
     def _():
         def subtile_body(s, _):
             glo = meta_ref[s, 6]
@@ -862,7 +864,7 @@ def _grid_specs(nt, n_out, n_planes, n_full_inputs=1, subtiles=SUBTILES):
     init writes are mandatory output either way).  Sky-dominant frames
     and active-masked wavefronts have mostly-inactive blocks, so this
     removes the bulk of the per-step DMA traffic.  Scalar prefetch
-    order: (ids_in, perm, n_active, gorder, gbound); per-tile metadata
+    order: (ids_in, perm, gate, gorder, gbound); per-tile metadata
     stays a blocked VMEM operand — huge batched ray streams (NT ~ 100k
     tiles) would otherwise overflow SMEM."""
     def in_map(b, ids, perm, n, go, gb):
@@ -899,30 +901,32 @@ def _pack_meta(cull, jlo=None, jhi=None):
                       glo, gn, gmask, z], axis=1)
 
 
-# ORT_SPARSE_GRID=0 reverts to the dense identity mapping (every block
-# streams; inactive blocks still skip their body through the n_active
-# gate becoming a no-op and the per-subtile gn>0 gates).
+# ORT_SPARSE_GRID=0 reverts to the dense identity mapping: every block
+# streams, and fully-inactive blocks skip their body through the
+# per-block gate flag (the pre-sparse-grid behavior).
 _SPARSE_GRID = os.environ.get("ORT_SPARSE_GRID", "1") == "1"
 
 
 def _sparse_plan(cn, nt, subtiles=SUBTILES):
-    """(ids_in [NB], perm [NB], n_active [1]) for the sparse grid.
+    """(ids_in [NB], perm [NB], gate [NB]) for the kernel grid.
 
-    perm lists active block ids first (stable), then inactive ones;
-    ids_in repeats the LAST active id over the inactive tail so those
-    steps issue no new input DMAs."""
+    Sparse mode: perm lists active block ids first (stable), then
+    inactive ones; ids_in repeats the LAST active id over the inactive
+    tail so those steps issue no new input DMAs; gate[b] = 1 iff
+    b < n_active.  Dense mode: identity maps with gate = the per-block
+    activity flags, so inactive blocks still skip their kernel body."""
     nb = nt // subtiles
+    flags = cn.reshape(nb, subtiles).max(axis=1) > 0
     if not _SPARSE_GRID:
         ident = jnp.arange(nb, dtype=jnp.int32)
-        return ident, ident, jnp.full((1,), nb, jnp.int32)
-    flags = cn.reshape(nb, subtiles).max(axis=1) > 0
+        return ident, ident, flags.astype(jnp.int32)
     n_active = jnp.sum(flags.astype(jnp.int32))
+    steps = jnp.arange(nb, dtype=jnp.int32)
     perm = jnp.argsort(jnp.logical_not(flags), stable=True).astype(
         jnp.int32)
     last = perm[jnp.maximum(n_active - 1, 0)]
-    ids_in = jnp.where(jnp.arange(nb, dtype=jnp.int32) < n_active,
-                       perm, last)
-    return ids_in, perm, n_active.reshape(1)
+    ids_in = jnp.where(steps < n_active, perm, last)
+    return ids_in, perm, (steps < n_active).astype(jnp.int32)
 
 
 def _global_chunk_order(mxu: MXUBVH, origin):
@@ -999,7 +1003,7 @@ def _closest_page_rows(mxu: MXUBVH, planes, hulls, shared_origin, ordered,
 
     kern = functools.partial(_closest_kernel, eps=eps, subtiles=subtiles,
                              ordered=ordered and shared_origin is not None)
-    ids_in, perm, nact = _sparse_plan(cn, nt, subtiles)
+    ids_in, perm, gate = _sparse_plan(cn, nt, subtiles)
     return pl.pallas_call(
         kern,
         grid_spec=_grid_specs(nt, 4, n_planes=6, n_full_inputs=3,
@@ -1007,7 +1011,7 @@ def _closest_page_rows(mxu: MXUBVH, planes, hulls, shared_origin, ordered,
         out_shape=[jax.ShapeDtypeStruct((nt, TILE_RAYS), jnp.float32)] * 4,
         interpret=_use_interpret(),
         compiler_params=_COMPILER_PARAMS,
-    )(ids_in, perm, nact, gorder, gbound,
+    )(ids_in, perm, gate, gorder, gbound,
       _pack_meta(cull, jlo, jhi), *planes, mxu.coef_uv, mxu.coef_dt,
       mxu.norms)
 
@@ -1069,7 +1073,7 @@ def _shadow_page_rows(mxu: MXUBVH, planes, hulls, t_cap, eps):
     cn = cull[1]
     nc = mxu.coef_dt.shape[0]
     kern = functools.partial(_shadow_kernel, eps=eps, subtiles=subtiles)
-    ids_in, perm, nact = _sparse_plan(cn, nt, subtiles)
+    ids_in, perm, gate = _sparse_plan(cn, nt, subtiles)
     return pl.pallas_call(
         kern,
         grid_spec=_grid_specs(nt, 1, n_planes=7, n_full_inputs=2,
@@ -1077,6 +1081,6 @@ def _shadow_page_rows(mxu: MXUBVH, planes, hulls, t_cap, eps):
         out_shape=jax.ShapeDtypeStruct((nt, TILE_RAYS), jnp.float32),
         interpret=_use_interpret(),
         compiler_params=_COMPILER_PARAMS,
-    )(ids_in, perm, nact, jnp.arange(nc, dtype=jnp.int32),
+    )(ids_in, perm, gate, jnp.arange(nc, dtype=jnp.int32),
       jnp.zeros(nc, jnp.float32), _pack_meta(cull), *planes,
       mxu.coef_uv, mxu.coef_dt)

@@ -132,18 +132,23 @@ def main():
     # with a concentrated mask so whole blocks land on the inactive tail
     from opengl_raytracing_tpu.ops import bvh_mxu
     conc = jnp.asarray(act_np & (np.arange(n) < n // 4))
+    prev_mode = bvh_mxu._SPARSE_GRID
     try:
         h_s = trace_bvh_mxu_paged(bvh.mxu, jnp.asarray(ro),
                                   jnp.asarray(rd), active=conc)
         occ_s = np.asarray(trace_bvh_shadow_mxu_paged(
             bvh.mxu, jnp.asarray(ro), jnp.asarray(rd), t_max, active=conc))
-        bvh_mxu._SPARSE_GRID = False
+        bvh_mxu._SPARSE_GRID = not prev_mode
+        # the traces are jit-cached and the mode toggle is invisible to
+        # the cache key — clear so the second arm actually recompiles
+        jax.clear_caches()
         h_d = trace_bvh_mxu_paged(bvh.mxu, jnp.asarray(ro),
                                   jnp.asarray(rd), active=conc)
         occ_d = np.asarray(trace_bvh_shadow_mxu_paged(
             bvh.mxu, jnp.asarray(ro), jnp.asarray(rd), t_max, active=conc))
     finally:
-        bvh_mxu._SPARSE_GRID = True
+        bvh_mxu._SPARSE_GRID = prev_mode
+        jax.clear_caches()
     csel = np.asarray(conc)
     sg_ok = (np.array_equal(np.asarray(h_s.valid)[csel],
                             np.asarray(h_d.valid)[csel])

@@ -46,8 +46,11 @@ def main() -> int:
         return row
 
     # phase 0: sparse-grid A/B at all-default knobs
-    run(32, 4, "highest", "1", sparse="1")
-    run(32, 4, "highest", "1", sparse="0")
+    for sp in ("1", "0"):
+        if time.time() - t0 > BUDGET:
+            print("budget exhausted")
+            break
+        run(32, 4, "highest", "1", sparse=sp)
 
     # phase 1: precision/swizzle at the default tile knobs
     for p in PRECISION:

@@ -244,12 +244,17 @@ def test_sparse_grid_matches_dense(scene, monkeypatch):
     runs = {}
     for mode in (True, False):
         monkeypatch.setattr(bvh_mxu, "_SPARSE_GRID", mode)
+        # trace_bvh_mxu/trace_bvh_shadow_mxu are jax.jit-cached and the
+        # mode toggle is invisible to the cache key — clear so the dense
+        # arm actually retraces instead of replaying the sparse program
+        jax.clear_caches()
         h = trace_bvh_mxu(mxu, ro, rd)
         hm = trace_bvh_mxu(mxu, ro, rd, active=act)
         s = trace_bvh_shadow_mxu(mxu, ro, rd, win, active=act)
         runs[mode] = (np.asarray(h.valid), np.asarray(h.t),
                       np.asarray(h.n), np.asarray(hm.valid),
                       np.asarray(hm.t), np.asarray(s))
+    jax.clear_caches()
 
     sel = np.asarray(act)
     a, b = runs[True], runs[False]
