@@ -35,8 +35,8 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..constants import EPS, INF
 from ..scene.bvh import BVHArrays
-from .scene_analytic import Hit
-from .vecmath import normalize
+from ..ops.scene_analytic import Hit
+from ..ops.vecmath import normalize
 
 TILE_S, TILE_L = 8, 128
 TILE = TILE_S * TILE_L
