@@ -70,7 +70,17 @@ def svgf_filter(accum, motion, gpos, gnrm, params: RenderParams, *,
                                      - params.svgf_k_color) * t
     var_boost = 1.0 + var_center * (1.0 + k_var * 0.5)
 
-    n_center = _safe_normalize(gnrm_c)
+    # Hoisted out of the 49-tap loop: normals are normalized ONCE on the
+    # full plane (normalize is pointwise, so shifting the normalized
+    # plane == normalizing the shifted plane), the color-gaussian scale
+    # is tap-invariant, and the three per-tap exps fuse into one
+    # (exp(a)exp(b)exp(c) == exp(a+b+c)) — 49 exps/pixel instead of 147
+    # and one sqrt instead of 49.  Same math as rt_present.frag:154-218
+    # up to float rounding.
+    gnrm_n = _safe_normalize(gnrm)
+    n_center = _center(gnrm_n)
+    k_col_scale = k_color * 0.3 + 0.05
+    w_off_center = var_boost * (1.0 + var_center * 4.0)
 
     ix = jnp.arange(w, dtype=jnp.int32)[None, :]
     iy = jnp.arange(h, dtype=jnp.int32)[:, None] + jnp.asarray(row_offset,
@@ -84,27 +94,18 @@ def svgf_filter(accum, motion, gpos, gnrm, params: RenderParams, *,
                      & (iy + j >= 0) & (iy + j < full_height))
             c = _shift(accum, j, i)[..., :3]
             p = _shift(gpos, j, i)
-            n = _shift(gnrm, j, i)
+            n = _shift(gnrm_n, j, i)
 
             dc = c - c_center
             dc2 = jnp.sum(dc * dc, axis=-1)
-            w_col = jnp.exp(-dc2 * (k_color * 0.3 + 0.05))
-
             dp = p - gpos_c
             dist2 = jnp.sum(dp * dp, axis=-1)
-            w_pos = jnp.exp(-dist2 * _K_POS)
+            ndot = jnp.clip(jnp.sum(n_center * n, axis=-1), -1.0, 1.0)
 
-            ndot = jnp.clip(jnp.sum(n_center * _safe_normalize(n), axis=-1),
-                            -1.0, 1.0)
-            w_nrm = jnp.exp(-jnp.maximum(0.0, 1.0 - ndot) * _K_NRM)
-
-            if i == 0 and j == 0:
-                w_spatial = jnp.ones_like(var_center)
-            else:
-                w_spatial = 1.0 + var_center * 4.0
-
-            wgt = var_boost * w_col * w_pos * w_nrm * w_spatial
-            wgt = jnp.where(valid, wgt, 0.0)
+            expo = (dc2 * k_col_scale + dist2 * _K_POS
+                    + jnp.maximum(0.0, 1.0 - ndot) * _K_NRM)
+            base = var_boost if (i == 0 and j == 0) else w_off_center
+            wgt = jnp.where(valid, base * jnp.exp(-expo), 0.0)
             acc_col = acc_col + c * wgt[..., None]
             acc_w = acc_w + wgt
 

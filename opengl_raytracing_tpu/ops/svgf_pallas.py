@@ -67,11 +67,10 @@ def _kernel(par_ref, planes_ref, out_ref, slab, sem, *, h: int, w: int,
     k_color = k_color0 + (k_color_m - k_color0) * t
     var_boost = 1.0 + var_center * (1.0 + k_var * 0.5)
 
+    # normal planes arrive pre-normalized (svgf_filter_pallas) — no
+    # per-tap (or center) rsqrt in the kernel
     pxc, pyc, pzc = center(6), center(7), center(8)
     nxc, nyc, nzc = center(9), center(10), center(11)
-    n_inv = jax.lax.rsqrt(jnp.maximum(nxc * nxc + nyc * nyc + nzc * nzc,
-                                      1e-24))
-    nxc, nyc, nzc = nxc * n_inv, nyc * n_inv, nzc * n_inv
 
     # validity coordinates
     row = (jax.lax.broadcasted_iota(jnp.int32, (BH, w), 0)
@@ -83,36 +82,34 @@ def _kernel(par_ref, planes_ref, out_ref, slab, sem, *, h: int, w: int,
     acc_b = jnp.zeros((BH, w), jnp.float32)
     acc_w = jnp.zeros((BH, w), jnp.float32)
 
+    # tap-invariant factors hoisted; the three per-tap gaussians fuse
+    # into ONE exp (exp(a)exp(b)exp(c) == exp(a+b+c)): 49 exps/pixel
+    # instead of 147 and zero per-tap rsqrts (normals pre-normalized)
+    k_col_scale = k_color * 0.3 + 0.05
+    w_off_center = var_boost * (1.0 + var_center * 4.0)
+
     for dy in range(-PAD, PAD + 1):
         for dx in range(-PAD, PAD + 1):
             r = tap(0, dy, dx)
             g = tap(1, dy, dx)
             bl = tap(2, dy, dx)
             dc2 = (r - cr) ** 2 + (g - cg) ** 2 + (bl - cb) ** 2
-            w_col = jnp.exp(-dc2 * (k_color * 0.3 + 0.05))
 
             dpx = tap(6, dy, dx) - pxc
             dpy = tap(7, dy, dx) - pyc
             dpz = tap(8, dy, dx) - pzc
-            w_pos = jnp.exp(-(dpx * dpx + dpy * dpy + dpz * dpz) * K_POS)
+            dist2 = dpx * dpx + dpy * dpy + dpz * dpz
 
             nx, ny, nz = tap(9, dy, dx), tap(10, dy, dx), tap(11, dy, dx)
-            inv = jax.lax.rsqrt(jnp.maximum(nx * nx + ny * ny + nz * nz,
-                                            1e-24))
-            ndot = jnp.clip((nx * nxc + ny * nyc + nz * nzc) * inv,
-                            -1.0, 1.0)
-            w_nrm = jnp.exp(-jnp.maximum(0.0, 1.0 - ndot) * K_NRM)
+            ndot = jnp.clip(nx * nxc + ny * nyc + nz * nzc, -1.0, 1.0)
 
-            if dy == 0 and dx == 0:
-                w_spatial = jnp.ones((BH, w), jnp.float32)
-            else:
-                w_spatial = 1.0 + var_center * 4.0
+            expo = (dc2 * k_col_scale + dist2 * K_POS
+                    + jnp.maximum(0.0, 1.0 - ndot) * K_NRM)
+            base = var_boost if (dy == 0 and dx == 0) else w_off_center
 
             valid = ((row + dy >= 0) & (row + dy < h)
                      & (col + dx >= 0) & (col + dx < w))
-            wgt = jnp.where(valid,
-                            var_boost * w_col * w_pos * w_nrm * w_spatial,
-                            0.0)
+            wgt = jnp.where(valid, base * jnp.exp(-expo), 0.0)
             acc_r = acc_r + r * wgt
             acc_g = acc_g + g * wgt
             acc_b = acc_b + bl * wgt
@@ -131,11 +128,16 @@ def svgf_filter_pallas(accum, motion, gpos, gnrm, params: RenderParams):
     hb = -(-h // BH) * BH                      # rows padded to band multiple
     wp = -(-(w + 2 * PAD) // 128) * 128        # lanes padded to 128
 
+    # normals normalized once here so the kernel's 49 taps skip rsqrt
+    n_inv = jax.lax.rsqrt(
+        jnp.maximum(jnp.sum(gnrm * gnrm, axis=-1, keepdims=True), 1e-24))
+    gn = gnrm * n_inv
+
     planes = jnp.zeros((NPLANES, hb + 2 * ROWPAD, wp), jnp.float32)
     srcs = [accum[..., 0], accum[..., 1], accum[..., 2], accum[..., 3],
             motion[..., 0], motion[..., 1],
             gpos[..., 0], gpos[..., 1], gpos[..., 2],
-            gnrm[..., 0], gnrm[..., 1], gnrm[..., 2]]
+            gn[..., 0], gn[..., 1], gn[..., 2]]
     for k, s in enumerate(srcs):
         planes = planes.at[k, ROWPAD:ROWPAD + h, PAD:PAD + w].set(s)
 
