@@ -41,10 +41,14 @@ def svgf_filter(accum, motion, gpos, gnrm, params: RenderParams, *,
     if full_height is None:
         full_height = bh
 
-    def _shift(a, dy, dx):
+    def _padded(a):
+        # padded ONCE per input; _shift then takes 49 cheap slices of it
+        # (a per-tap pad costs a materialized copy of the plane each tap)
         pad = [(_RADIUS, _RADIUS), (_RADIUS, _RADIUS)] + \
               [(0, 0)] * (a.ndim - 2)
-        ap = jnp.pad(a, pad)
+        return jnp.pad(a, pad)
+
+    def _shift(ap, dy, dx):
         r0 = _RADIUS + halo + dy
         c0 = _RADIUS + dx
         return ap[r0:r0 + bh, c0:c0 + w]
@@ -82,6 +86,10 @@ def svgf_filter(accum, motion, gpos, gnrm, params: RenderParams, *,
     k_col_scale = k_color * 0.3 + 0.05
     w_off_center = var_boost * (1.0 + var_center * 4.0)
 
+    accum_p = _padded(accum)
+    gpos_p = _padded(gpos)
+    gnrm_p = _padded(gnrm_n)
+
     ix = jnp.arange(w, dtype=jnp.int32)[None, :]
     iy = jnp.arange(h, dtype=jnp.int32)[:, None] + jnp.asarray(row_offset,
                                                                jnp.int32)
@@ -92,9 +100,9 @@ def svgf_filter(accum, motion, gpos, gnrm, params: RenderParams, *,
         for i in range(-_RADIUS, _RADIUS + 1):
             valid = ((ix + i >= 0) & (ix + i < w)
                      & (iy + j >= 0) & (iy + j < full_height))
-            c = _shift(accum, j, i)[..., :3]
-            p = _shift(gpos, j, i)
-            n = _shift(gnrm_n, j, i)
+            c = _shift(accum_p, j, i)[..., :3]
+            p = _shift(gpos_p, j, i)
+            n = _shift(gnrm_p, j, i)
 
             dc = c - c_center
             dc2 = jnp.sum(dc * dc, axis=-1)

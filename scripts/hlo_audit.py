@@ -1,42 +1,65 @@
-"""HBM-traffic audit of the compiled frame program, per preset.
+"""HBM-traffic audit of the frame's pure-XLA stages (no TPU needed).
 
-Compiles the production frame function (CPU backend — no TPU needed)
-and reports, per preset: XLA's bytes-accessed estimate, temp-buffer
-footprint, Pallas/custom-call count, and the number of materialized
-full-image planes (fusion results of at least one [H,W] f32 plane).
+Compiles each non-kernel stage of the frame standalone on the CPU
+backend and reports XLA's bytes-accessed estimate — a lower bound on
+that stage's HBM wall-clock: ~16.4 ms/GB on the 61 GB/s dev slice,
+~1.2 ms/GB on a full v5e.  The Pallas kernels are excluded on purpose:
+their CPU (interpret) lowering unrolls the grid and reports meaningless
+traffic; their real DMA is accounted exactly by the sparse-grid
+statistics in PERF.md.
 
-Why this matters: the non-kernel share of the frame is pure
-HBM-bandwidth streaming of [H,W] planes (PERF.md roofline).  Bytes
-accessed / bandwidth is a lower bound on that share's wall-clock:
-~16 ms/GB on the 61 GB/s dev slice, ~1.2 ms/GB on a full v5e.  This
-makes "cut a pass" work measurable without TPU access: the delta shows
-up in bytes-accessed immediately.
+Stages audited (1080p defaults):
+  raygen_cull  primary ray gen + SoA padding + tile hulls + chunk
+               ranges + sparse plan (everything before the kernel)
+  taa          resolve_taa, moving camera (worst case: reproj gather)
+  svgf         jnp 49-slice filter
+  present      SVGF off: ACES + gamma only
 
-Usage: python scripts/hlo_audit.py [--preset baseline,...] [--height H]
+Usage: python scripts/hlo_audit.py [--stage a,b,...] [--height H]
 """
 
 import argparse
 import json
 import os
-import re
 import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# the axon plugin overrides JAX_PLATFORMS; jax.config is authoritative
+import jax  # noqa: E402
+jax.config.update("jax_platforms", "cpu")
 
 
-def audit_case(name: str, height: int, width: int, use_bvh: bool = True):
+def _measure(fn, *args):
+    compiled = jax.jit(fn).lower(*args).compile()
+    out = {}
+    ca = compiled.cost_analysis()
+    ca = ca[0] if isinstance(ca, list) else ca
+    if ca:
+        for k in ("bytes accessed", "flops", "transcendentals"):
+            if k in ca:
+                out[k.replace(" ", "_")] = float(ca[k])
+    ma = compiled.memory_analysis()
+    if ma is not None:
+        v = getattr(ma, "temp_size_in_bytes", None)
+        if v is not None:
+            out["temp_bytes"] = int(v)
+    if "bytes_accessed" in out:
+        gb = out["bytes_accessed"] / 1e9
+        out["ms_at_61GBps"] = round(gb / 61 * 1e3, 2)
+        out["ms_at_819GBps"] = round(gb / 819 * 1e3, 3)
+    return out
+
+
+def _ctx(height, width):
     import jax.numpy as jnp
-    from opengl_raytracing_tpu.models import (FrameInputs, RenderState,
-                                              preset)
-    from opengl_raytracing_tpu.models.pipeline import make_render_fn
+    from opengl_raytracing_tpu.models import FrameInputs, preset
     from opengl_raytracing_tpu.camera import Camera
     from opengl_raytracing_tpu.scene import make_bunny, gather_triangles
     from opengl_raytracing_tpu.scene.geometry import model_transform
     from opengl_raytracing_tpu.ops.scene import prepare_bvh
 
-    params = preset(name)
+    params = preset("full")
     tris = gather_triangles(make_bunny(4),
                             model_transform((-2, 1.5, 0), 0.5))
     bvh = prepare_bvh(tris)
@@ -47,63 +70,106 @@ def audit_case(name: str, height: int, width: int, use_bvh: bool = True):
     fin = FrameInputs(jnp.asarray(cam.position), jnp.asarray(right),
                       jnp.asarray(up), jnp.asarray(fwd), jnp.float32(thf),
                       jnp.float32(cam.aspect), jnp.zeros(2, jnp.float32),
-                      jnp.asarray(vp), jnp.asarray(vp), jnp.int32(0))
-    state = RenderState.create(height, width)
-    fn = make_render_fn(params, height, width, use_bvh=True, donate=False)
-    lowered = fn.lower(params, fin, state, None, bvh)
-    compiled = lowered.compile()
+                      jnp.asarray(vp), jnp.asarray(vp), jnp.int32(1))
+    return params, bvh, fin
 
-    out = {"preset": name, "h": height, "w": width}
-    ca = compiled.cost_analysis()
-    ca = ca[0] if isinstance(ca, list) else ca
-    if ca:
-        for k in ("bytes accessed", "flops", "transcendentals"):
-            if k in ca:
-                out[k.replace(" ", "_")] = float(ca[k])
-    ma = compiled.memory_analysis()
-    if ma is not None:
-        for k in ("temp_size_in_bytes", "argument_size_in_bytes",
-                  "output_size_in_bytes"):
-            v = getattr(ma, k, None)
-            if v is not None:
-                out[k] = int(v)
-    txt = compiled.as_text()
-    plane = height * width  # elements in one [H,W] f32 plane
-    out["custom_calls"] = txt.count("custom-call")
-    # fusion ROOT results big enough to hold a full-image plane
-    big = 0
-    for m in re.finditer(r"^\s*(?:ROOT )?%?fusion[^=]*= "
-                         r"((?:\([^)]*\))|(?:[a-z0-9]+\[[0-9,]*\]))",
-                         txt, re.M):
-        shapes = re.findall(r"f32\[([0-9,]+)\]", m.group(1))
-        for s in shapes:
-            els = 1
-            for d in s.split(","):
-                els *= int(d)
-            if els >= plane:
-                big += 1
-                break
-    out["materialized_plane_fusions"] = big
-    if "bytes_accessed" in out:
-        gb = out["bytes_accessed"] / 1e9
-        out["ms_at_61GBps"] = round(gb / 61 * 1e3, 2)
-        out["ms_at_819GBps"] = round(gb / 819 * 1e3, 2)
-    return out
+
+def stage_raygen_cull(height, width):
+    import jax.numpy as jnp
+    from opengl_raytracing_tpu.models.pipeline import primary_rays, swizzle
+    from opengl_raytracing_tpu.ops import bvh_mxu as bm
+
+    params, bvh, fin = _ctx(height, width)
+    pages = bm._as_pages(bvh.mxu)
+
+    def fn(fin):
+        px, py, rd = primary_rays(height, width, fin, params)
+        rd = swizzle(rd, height, width)
+        ro = jnp.broadcast_to(fin.cam_pos, rd.shape)
+        _, _, ro_soa, rd_soa, _, act = bm._pad_tiles(ro, rd, active=None)
+        hulls = bm._tile_hulls(ro_soa, rd_soa, act)
+        outs = []
+        for pg in pages:
+            cull = bm._tile_chunk_ranges(pg.chunk_bounds, hulls)
+            outs.append(bm._sparse_plan(cull[1], ro_soa[0].shape[0]
+                                        // bm.TILE_RAYS))
+        return outs, bm._soa_planes(ro_soa, rd_soa)
+
+    return _measure(fn, fin)
+
+
+def _taa_args(height, width):
+    import jax.numpy as jnp
+    k1 = jax.random.PRNGKey(1)
+    ks = jax.random.split(k1, 3)
+    curr = jax.random.uniform(ks[0], (height, width, 3))
+    motion = (jax.random.uniform(ks[1], (height, width, 2)) - 0.5) * 0.1
+    prev = jax.random.uniform(ks[2], (height, width, 4))
+    return curr, motion, prev, jnp.int32(40)
+
+
+def stage_taa(height, width):
+    from opengl_raytracing_tpu.ops.taa import resolve_taa
+    params, _, _ = _ctx(height, width)
+    curr, motion, prev, fi = _taa_args(height, width)
+
+    def fn(curr, motion, prev, fi):
+        return resolve_taa(curr, motion, prev, fi, params,
+                           moved=True)
+
+    return _measure(fn, curr, motion, prev, fi)
+
+
+def stage_svgf(height, width):
+    import jax.numpy as jnp
+    from opengl_raytracing_tpu.ops.svgf import svgf_filter
+    params, _, _ = _ctx(height, width)
+    curr, motion, prev, _ = _taa_args(height, width)
+    gpos = curr * 3.0
+    gnrm = curr - 0.5
+
+    def fn(prev, motion, gpos, gnrm):
+        return svgf_filter(prev, motion, gpos, gnrm, params)
+
+    return _measure(fn, prev, motion, gpos, gnrm)
+
+
+def stage_present(height, width):
+    from opengl_raytracing_tpu.ops.svgf import present
+    from opengl_raytracing_tpu.models import preset
+    params = preset("baseline")  # SVGF off: ACES + gamma only
+    curr, motion, prev, _ = _taa_args(height, width)
+    gpos = curr * 3.0
+    gnrm = curr - 0.5
+
+    def fn(prev, motion, gpos, gnrm):
+        return present(prev, motion, gpos, gnrm, params)
+
+    return _measure(fn, prev, motion, gpos, gnrm)
+
+
+STAGES = {
+    "raygen_cull": stage_raygen_cull,
+    "taa": stage_taa,
+    "svgf": stage_svgf,
+    "present": stage_present,
+}
 
 
 def main() -> int:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--preset", default="baseline,realistic,full,heavy")
+    ap.add_argument("--stage", default=",".join(STAGES))
     ap.add_argument("--height", type=int, default=1080)
     ap.add_argument("--width", type=int, default=1920)
     args = ap.parse_args()
-    for name in args.preset.split(","):
+    for name in args.stage.split(","):
         try:
-            print(json.dumps(audit_case(name, args.height, args.width)),
-                  flush=True)
+            out = {"stage": name, "h": args.height, "w": args.width}
+            out.update(STAGES[name](args.height, args.width))
+            print(json.dumps(out), flush=True)
         except Exception as e:  # keep sweeping on a failed case
-            print(json.dumps({"preset": name,
-                              "error": repr(e)[:200]}), flush=True)
+            print(json.dumps({"stage": name, "error": repr(e)[:200]}),
+                  flush=True)
     return 0
 
 
