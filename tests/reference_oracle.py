@@ -88,6 +88,26 @@ class U:
         self.uMatMirror_Albedo = np.asarray(p.mat_mirror_color, np.float64)
         self.uMatMirror_Gloss = float(p.mat_mirror_gloss)
         self.uExposure = float(p.exposure)
+        # motion/TAA/SVGF uniforms (reference: rt_uniforms.glsl; VPs and
+        # uCameraMoved are per-frame, set by render_sequence)
+        vp = np.asarray(cam.view_projection(), np.float64)
+        self.uCurrViewProj = vp
+        self.uPrevViewProj = vp.copy()
+        self.uCameraMoved = 0
+        self.uEnableTAA = int(p.enable_taa)
+        self.uTaaStillThresh = float(p.taa_still_thresh)
+        self.uTaaHardMovingThresh = float(p.taa_hard_moving_thresh)
+        self.uTaaHistoryMinWeight = float(p.taa_history_min_weight)
+        self.uTaaHistoryAvgWeight = float(p.taa_history_avg_weight)
+        self.uTaaHistoryMaxWeight = float(p.taa_history_max_weight)
+        self.uTaaHistoryBoxSize = float(p.taa_history_box_size)
+        self.uEnableSVGF = int(p.enable_svgf)
+        self.uSvgfStrength = float(p.svgf_strength)
+        self.uVarMax = float(p.svgf_var_max)
+        self.uKVar = float(p.svgf_k_var)
+        self.uKColor = float(p.svgf_k_color)
+        self.uKVarMotion = float(p.svgf_k_var_motion)
+        self.uKColorMotion = float(p.svgf_k_color_motion)
 
 
 def dir_from_yaw_pitch(yaw_deg, pitch_deg):
@@ -690,10 +710,11 @@ def aces_tonemap(u, x):
     return np.clip((x * (a * x + b)) / (x * (c * x + d) + e), 0.0, 1.0)
 
 
-def render_pixel(u: U, ix, iy):
-    """rt.frag main() for one pixel (reference: rt.frag:50-197), followed
-    by ACES + gamma (present pass, SVGF off).  gl_FragCoord = pixel center
-    with GL bottom-up rows: (ix+0.5, iy+0.5), iy=0 is the BOTTOM row."""
+def render_pixel_mrt(u: U, ix, iy):
+    """rt.frag main() for one pixel, stopping BEFORE resolveTAA: the MRT
+    outputs (curr linear radiance, motionOut, gpos, gnrm)
+    (reference: rt.frag:50-196).  gl_FragCoord = pixel center with GL
+    bottom-up rows: (ix+0.5, iy+0.5), iy=0 is the BOTTOM row."""
     SPP = max(u.uSpp, 1)
     frag = np.array([ix + 0.5, iy + 0.5])
     cam_jit = u.uJitter if u.uEnableJitter == 1 else np.zeros(2)
@@ -704,6 +725,9 @@ def render_pixel(u: U, ix, iy):
                       + ndc[1] * u.uCamUp * u.uTanHalfFov)
 
     frame_sum = _v(0, 0, 0)
+    motion_out = np.zeros(2)
+    gpos = _v(0, 0, 0)
+    gnrm = _v(0, 0, 0)
     for s in range(SPP):
         seed = u.uFrameIndex * SPP + s
         if u.uUseBVH == 1:
@@ -711,6 +735,13 @@ def render_pixel(u: U, ix, iy):
         else:
             h = trace_analytic(u, u.uCamPos, dirv)
         if h is not None:
+            if s == 0:
+                # motion + GBuffer from sample 0 (reference: rt.frag:94-101)
+                prev_ndc = ndc_from_world(h.p, u.uPrevViewProj)
+                curr_ndc = ndc_from_world(h.p, u.uCurrViewProj)
+                motion_out = curr_ndc - prev_ndc
+                gpos = h.p.copy()
+                gnrm = _normalize(h.n)
             V = -dirv
             if u.uUseBVH == 1:
                 radiance = direct_light_bvh(u, h, seed, V, frag)
@@ -744,9 +775,19 @@ def render_pixel(u: U, ix, iy):
                                 u, h, u.uFrameIndex, frag)
         else:
             radiance = sky(u, dirv)
+            # camera-moved miss: sentinel motion kills TAA history
+            # (reference: rt.frag:172-175)
+            if u.uCameraMoved == 1 and s == 0:
+                motion_out = np.array([4.0, 4.0])
         frame_sum = frame_sum + radiance
 
-    curr = frame_sum / SPP
+    return frame_sum / SPP, motion_out, gpos, gnrm
+
+
+def render_pixel(u: U, ix, iy):
+    """One pixel through rt.frag + present with SVGF off (ACES + gamma)
+    — the single-frame path the shading parity tests use."""
+    curr, _, _, _ = render_pixel_mrt(u, ix, iy)
     mapped = aces_tonemap(u, curr)
     return mapped ** (1.0 / 2.2)
 
@@ -757,4 +798,172 @@ def render_image(u: U, width, height):
     for iy in range(height):
         for ix in range(width):
             img[iy, ix] = render_pixel(u, ix, iy)
+    return img
+
+
+# ---- rt_taa.glsl ----
+
+def _smoothstep(e0, e1, x):
+    t = min(max((x - e0) / (e1 - e0), 0.0), 1.0)
+    return t * t * (3.0 - 2.0 * t)
+
+
+def _fetch_nearest(tex, uu, vv):
+    """NEAREST + CLAMP_TO_EDGE fetch of tex [H,W,C] at uv in [0,1]
+    (accum texture params, reference: src/render/accum.cpp:11-14)."""
+    h, w = tex.shape[0], tex.shape[1]
+    x = min(max(int(math.floor(uu * w)), 0), w - 1)
+    y = min(max(int(math.floor(vv * h)), 0), h - 1)
+    return tex[y, x]
+
+
+def resolve_taa(u: U, curr, uv_curr, motion, prev_accum, frame_index):
+    """(reference: rt_taa.glsl:47-180).  Returns rgb+M2 [4]."""
+    YC = np.array([0.299, 0.587, 0.114])
+    l_curr = curr @ YC
+    l_curr2 = l_curr * l_curr
+    if u.uEnableTAA == 0 or frame_index == 0:
+        return np.append(curr, l_curr2)
+
+    mot_mag = float(np.linalg.norm(motion))
+
+    # CASE 1: effectively still (rt_taa.glsl:86-105)
+    if mot_mag < u.uTaaStillThresh:
+        prev = _fetch_nearest(prev_accum, uv_curr[0], uv_curr[1])
+        if frame_index < 8:
+            w_hist = u.uTaaHistoryMinWeight
+        elif frame_index < 32:
+            w_hist = u.uTaaHistoryAvgWeight
+        else:
+            w_hist = u.uTaaHistoryMaxWeight
+        w_curr = 1.0 - w_hist
+        return np.append(prev[:3] * w_hist + curr * w_curr,
+                         prev[3] * w_hist + l_curr2 * w_curr)
+
+    # CASE 2: moving — reproject (rt_taa.glsl:116-179)
+    uv_prev = np.asarray(uv_curr) - motion * 0.5
+    if (uv_prev < 0.0).any() or (uv_prev > 1.0).any():
+        return np.append(curr, l_curr2)
+    prev = _fetch_nearest(prev_accum, uv_prev[0], uv_prev[1])
+
+    w_hist = 1.0 - _smoothstep(0.02, u.uTaaHardMovingThresh, mot_mag)
+    if mot_mag > u.uTaaHardMovingThresh:
+        w_hist = 0.0
+    l_prev = prev[:3] @ YC
+    max_l = max(l_curr, l_prev, 1e-3)
+    rel_diff = abs(l_curr - l_prev) / max_l
+    w_hist *= 1.0 - _smoothstep(0.03, 0.25, rel_diff)
+    if mot_mag > 0.02 and rel_diff > 0.30:
+        w_hist = 0.0
+    w_hist = min(max(w_hist, 0.0), u.uTaaHistoryMaxWeight)
+    w_curr = 1.0 - w_hist
+    hist = np.clip(prev[:3], curr - u.uTaaHistoryBoxSize,
+                   curr + u.uTaaHistoryBoxSize)
+    return np.append(w_hist * hist + w_curr * curr,
+                     w_hist * prev[3] + w_curr * l_curr2)
+
+
+# ---- rt_present.frag: SVGF-lite + present ----
+
+def svgf_filter_px(u: U, accum, motion_tex, gpos, gnrm, ix, iy):
+    """(reference: rt_present.frag:126-225).  Direct array indexing: the
+    present pass's uv arithmetic lands NEAREST lookups exactly on texel
+    boundaries (rt_present.frag:233), whose rounding is unspecified; we
+    take the own-pixel interpretation, same as production.  normalize(0)
+    for sky pixels is undefined in GLSL; we use the production's
+    epsilon-guarded normalize."""
+    h_, w_ = accum.shape[0], accum.shape[1]
+    c_center = accum[iy, ix, :3]
+    m2 = accum[iy, ix, 3]
+    YC = np.array([0.299, 0.587, 0.114])
+    l_center = c_center @ YC
+    var_center = min(max(m2 - l_center * l_center, 0.0), u.uVarMax)
+
+    mot_mag = float(np.linalg.norm(motion_tex[iy, ix]))
+    t = min(max(_smoothstep(0.005, 0.05, mot_mag), 0.0), 1.0)
+    k_var = u.uKVar + (u.uKVarMotion - u.uKVar) * t
+    k_color = u.uKColor + (u.uKColorMotion - u.uKColor) * t
+    K_NRM, K_POS = 2.0, 0.02
+    var_boost = 1.0 + var_center * (1.0 + k_var * 0.5)
+
+    def nrm(v):
+        return v / max(np.linalg.norm(v), 1e-12)
+
+    p_center = gpos[iy, ix]
+    n_center = nrm(gnrm[iy, ix])
+
+    acc_col = _v(0, 0, 0)
+    acc_w = 0.0
+    for j in range(-3, 4):
+        for i in range(-3, 4):
+            x, y = ix + i, iy + j
+            if x < 0 or x >= w_ or y < 0 or y >= h_:
+                continue
+            c = accum[y, x, :3]
+            dc = c - c_center
+            w_col = math.exp(-(dc @ dc) * (k_color * 0.3 + 0.05))
+            dp = gpos[y, x] - p_center
+            w_pos = math.exp(-(dp @ dp) * K_POS)
+            ndot = min(max(n_center @ nrm(gnrm[y, x]), -1.0), 1.0)
+            w_nrm = math.exp(-max(0.0, 1.0 - ndot) * K_NRM)
+            w_spatial = 1.0 if (i == 0 and j == 0) \
+                else 1.0 + var_center * 4.0
+            w = var_boost * w_col * w_pos * w_nrm * w_spatial
+            acc_col = acc_col + c * w
+            acc_w += w
+    if acc_w <= 0.0:
+        return c_center
+    return acc_col / acc_w
+
+
+def present_px(u: U, accum, motion_tex, gpos, gnrm, ix, iy):
+    """(reference: rt_present.frag:231-266), motion debug excluded."""
+    raw = accum[iy, ix, :3]
+    if u.uEnableSVGF == 0:
+        linear = raw
+    else:
+        filtered = svgf_filter_px(u, accum, motion_tex, gpos, gnrm, ix, iy)
+        s = min(max(u.uSvgfStrength, 0.0), 1.0)
+        linear = raw + (filtered - raw) * s
+    mapped = aces_tonemap(u, linear)
+    return mapped ** (1.0 / 2.2)
+
+
+def render_sequence(params, width, height, cams, use_bvh=False, tris=None):
+    """The full temporal pipeline over a camera sequence: per frame the
+    rt.frag MRT pass + resolveTAA into the ping-pong accum (reference:
+    src/render/render.cpp:55-242), then the present pass (SVGF + ACES +
+    gamma) of the LAST frame.  camera_moved derives from the VP diff like
+    application.cpp:387-395.  Returns the final [H,W,3] sRGB image."""
+    accum = np.zeros((height, width, 4), np.float64)
+    motion_tex = np.zeros((height, width, 2), np.float64)
+    gpos = np.zeros((height, width, 3), np.float64)
+    gnrm = np.zeros((height, width, 3), np.float64)
+    prev_vp = np.asarray(cams[0].view_projection(), np.float64)
+    u = None
+    for f, cam in enumerate(cams):
+        u = U(params, width, height, cam, use_bvh=use_bvh, tris=tris,
+              frame_index=f)
+        curr_vp = np.asarray(cam.view_projection(), np.float64)
+        u.uCurrViewProj = curr_vp
+        u.uPrevViewProj = prev_vp
+        u.uCameraMoved = 1 if np.abs(curr_vp - prev_vp).max() > 1e-5 else 0
+        new_accum = np.zeros_like(accum)
+        for iy in range(height):
+            for ix in range(width):
+                curr, mot, gp, gn = render_pixel_mrt(u, ix, iy)
+                motion_tex[iy, ix] = mot
+                gpos[iy, ix] = gp
+                gnrm[iy, ix] = gn
+                uv_curr = ((ix + 0.5) / width, (iy + 0.5) / height)
+                taa_motion = mot if u.uCameraMoved == 1 else np.zeros(2)
+                new_accum[iy, ix] = resolve_taa(u, curr, uv_curr,
+                                                taa_motion, accum, f)
+        accum = new_accum
+        prev_vp = curr_vp
+    img = np.zeros((height, width, 3), np.float64)
+    for iy in range(height):
+        for ix in range(width):
+            img[iy, ix] = present_px(u, accum, motion_tex, gpos, gnrm,
+                                     ix, iy)
     return img

@@ -110,3 +110,54 @@ def test_analytic_realistic_gi_ao_matches(tiny=True):
     want = _oracle(params, w=w, h=h)
     # GI/AO add RNG-driven secondary visibility: allow a few more flips
     _assert_match(got, want, frac=0.98, mean_tol=4e-3)
+
+
+def test_full_preset_temporal_sequence_matches():
+    """FULL preset over a 4-frame sequence: 3 still frames accumulate
+    through the TAA still path, the 4th moves the camera (reprojection,
+    luma confidence, box clamp, sky sentinel), then SVGF + present
+    filter the final frame — the complete temporal stack end to end
+    (reference: rt.frag:184-196, rt_taa.glsl:47-180,
+    rt_present.frag:126-266)."""
+    params = preset("full").replace(enable_jitter=0)
+    w, h = (20, 14)
+    cam0 = Camera()
+    cam0.aspect = w / h
+    cam1 = Camera()
+    cam1.aspect = w / h
+    cam1.yaw += 1.5  # small look: moving path without the hard kill
+    cams = [cam0, cam0, cam0, cam1]
+
+    # production: thread RenderState through the same sequence
+    state = RenderState.create(h, w)
+    prev_vp = np.asarray(cam0.view_projection())
+    out = None
+    for cam in cams:
+        curr_vp = np.asarray(cam.view_projection())
+        moved = int(np.abs(curr_vp - prev_vp).max() > 1e-5)
+        right, up, fwd, thf = cam.basis()
+        fin = FrameInputs(
+            cam_pos=jnp.asarray(cam.position), cam_right=jnp.asarray(right),
+            cam_up=jnp.asarray(up), cam_fwd=jnp.asarray(fwd),
+            tan_half_fov=jnp.float32(thf), aspect=jnp.float32(cam.aspect),
+            jitter=jnp.zeros(2, jnp.float32),
+            curr_view_proj=jnp.asarray(curr_vp),
+            prev_view_proj=jnp.asarray(prev_vp),
+            camera_moved=jnp.int32(moved))
+        state, out = render_frame(params, fin, state, None, None,
+                                  height=h, width=w, use_bvh=False)
+        prev_vp = curr_vp
+    got = np.asarray(out.image, np.float64)
+
+    # guard against a vacuous pass: the last frame must contain both the
+    # sky sentinel (4,4) and genuine reprojection motion above the still
+    # threshold, i.e. the moving TAA path really executed
+    mot = np.linalg.norm(np.asarray(out.motion, np.float64), axis=-1)
+    assert mot.max() > 5.0, "sky sentinel missing on moved frame"
+    real = (mot > max(float(params.taa_still_thresh), 0.02)) & (mot < 5.0)
+    assert real.any(), "no pixel took the moving TAA path"
+
+    want = ref.render_sequence(params, w, h, cams)
+    # the moving path stacks several smoothstep/clamp decision points on
+    # top of GI/AO visibility; boundary pixels flip a little more easily
+    _assert_match(got, want, frac=0.97, mean_tol=4e-3)
