@@ -224,6 +224,27 @@ def main() -> int:
              if "BENCH_CASES" in os.environ
              else PRESET_CASES + ["cf_close", "cf_far"])
 
+    # Liveness pre-gate: when the worker is already unreachable (it can
+    # wedge for hours), fail each case fast instead of burning the whole
+    # budget on 480s timeouts — cases still run, so a worker that
+    # recovers mid-sweep still produces real numbers.
+    timeout_s = TIMEOUT_S
+    if os.environ.get("BENCH_FORCE_CPU") != "1":
+        try:
+            probe = subprocess.run(
+                [sys.executable, "-c",
+                 "import jax, numpy as np, jax.numpy as jnp;"
+                 "assert jax.devices()[0].platform == 'tpu';"
+                 "print(float(np.asarray(jnp.sum(jnp.ones((128,128))))))"],
+                env=env, capture_output=True, timeout=120, text=True)
+            alive = probe.returncode == 0
+        except Exception:
+            alive = False
+        if not alive:
+            print(json.dumps({"note": "liveness probe failed; "
+                              "shortening per-case timeouts"}), flush=True)
+            timeout_s = min(TIMEOUT_S, 180)
+
     # Safe-mode retry: if a case fails (e.g. a new kernel feature fails
     # to compile on this backend), retry once with the conservative knob
     # settings so the benchmark still records a real number.
@@ -237,12 +258,12 @@ def main() -> int:
         if remaining < 60:
             rec = {"error": "skipped (bench budget exhausted)"}
         else:
-            rec = _run_child(case, env, min(TIMEOUT_S, remaining))
+            rec = _run_child(case, env, min(timeout_s, remaining))
             if "error" in rec and "timeout" not in rec["error"]:
                 remaining = BUDGET_S - (time.time() - t_start)
                 if remaining > 60:
                     retry = _run_child(case, dict(env, **SAFE),
-                                       min(TIMEOUT_S, remaining))
+                                       min(timeout_s, remaining))
                     if "error" not in retry:
                         retry["note"] = "safe-mode knobs (default-knob run failed)"
                         rec = retry
@@ -261,7 +282,7 @@ def main() -> int:
         # always gets a real number; try default knobs then safe-mode
         env["BENCH_HEIGHT"], env["BENCH_WIDTH"] = "540", "960"
         for extra in ({}, SAFE):
-            rec = _run_child(PRESET, dict(env, **extra), TIMEOUT_S)
+            rec = _run_child(PRESET, dict(env, **extra), timeout_s)
             if "error" not in rec:
                 rec["note"] = (f"fell back to 960x540"
                                f"{' + safe-mode knobs' if extra else ''};"
