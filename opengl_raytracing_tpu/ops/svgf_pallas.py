@@ -133,13 +133,15 @@ def svgf_filter_pallas(accum, motion, gpos, gnrm, params: RenderParams):
         jnp.maximum(jnp.sum(gnrm * gnrm, axis=-1, keepdims=True), 1e-24))
     gn = gnrm * n_inv
 
-    planes = jnp.zeros((NPLANES, hb + 2 * ROWPAD, wp), jnp.float32)
     srcs = [accum[..., 0], accum[..., 1], accum[..., 2], accum[..., 3],
             motion[..., 0], motion[..., 1],
             gpos[..., 0], gpos[..., 1], gpos[..., 2],
             gn[..., 0], gn[..., 1], gn[..., 2]]
-    for k, s in enumerate(srcs):
-        planes = planes.at[k, ROWPAD:ROWPAD + h, PAD:PAD + w].set(s)
+    # one stack+pad fusion (a per-plane update-slice chain costs a pass
+    # over the whole stack per plane in the worst lowering)
+    planes = jnp.pad(jnp.stack(srcs),
+                     ((0, 0), (ROWPAD, (hb - h) + ROWPAD),
+                      (PAD, wp - w - PAD)))
 
     par = jnp.stack([
         jnp.asarray(params.svgf_var_max, jnp.float32),
