@@ -78,7 +78,12 @@ class Application:
                 return render_frame(params, fin, state, env_map, bvh,
                                     height=h, width=w, use_bvh=use_bvh,
                                     show_motion=show_motion)
-            fn = jax.jit(raw) if self._jit else raw
+            # donate the accum state: the TAA output aliases the history
+            # buffer in place of the reference's ping-pong FBO flip
+            # (reference: src/render/accum.cpp:216-234), saving a 33MB
+            # copy per 1080p frame; step() immediately rebinds
+            # app.render_state so the donated buffer is never reused
+            fn = jax.jit(raw, donate_argnums=(2,)) if self._jit else raw
             self._render_cache[key] = fn
         return fn
 
