@@ -65,6 +65,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--snapshot", help="write a snapshot .npz at the end")
     p.add_argument("--save-preset", help="write current params as JSON")
     p.add_argument("--jit", action="store_true", default=True)
+    p.add_argument("--cpu", action="store_true",
+                   help="force the CPU backend (the axon TPU plugin "
+                        "overrides JAX_PLATFORMS, so an env var is not "
+                        "enough)")
     return p
 
 
@@ -129,6 +133,9 @@ def _dump(img, path):
 
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
+    if args.cpu:
+        import jax
+        jax.config.update("jax_platforms", "cpu")
     os.makedirs(args.out, exist_ok=True)
 
     if args.sweep:

@@ -18,7 +18,8 @@ from typing import Optional
 import numpy as np
 
 _DIR = os.path.dirname(os.path.abspath(__file__))
-_SRC = os.path.join(_DIR, "bvh_native.cpp")
+_SRCS = [os.path.join(_DIR, "bvh_native.cpp"),
+         os.path.join(_DIR, "image_native.cpp")]
 _LIB_PATH = os.path.join(_DIR, "libortnative.so")
 _lock = threading.Lock()
 _lib: Optional[ctypes.CDLL] = None
@@ -30,10 +31,11 @@ def build_library(force: bool = False) -> Optional[str]:
     global _build_failed
     with _lock:
         if (not force and os.path.exists(_LIB_PATH)
-                and os.path.getmtime(_LIB_PATH) >= os.path.getmtime(_SRC)):
+                and os.path.getmtime(_LIB_PATH) >= max(
+                    os.path.getmtime(s) for s in _SRCS)):
             return _LIB_PATH
         cmd = ["g++", "-O3", "-march=native", "-shared", "-fPIC",
-               "-std=c++17", _SRC, "-o", _LIB_PATH]
+               "-std=c++17", *_SRCS, "-o", _LIB_PATH]
         try:
             subprocess.run(cmd, check=True, capture_output=True, timeout=120)
             _build_failed = False
@@ -81,6 +83,13 @@ def _load() -> Optional[ctypes.CDLL]:
     lib.cubemap_slice.restype = ctypes.c_int
     lib.cubemap_slice.argtypes = [c_up, ctypes.c_int, ctypes.c_int,
                                   ctypes.c_int, c_fp]
+
+    lib.png_unfilter.restype = ctypes.c_int
+    lib.png_unfilter.argtypes = [c_up, ctypes.c_int64, ctypes.c_int64,
+                                 ctypes.c_int64, c_up]
+    lib.hdr_unrle.restype = ctypes.c_int64
+    lib.hdr_unrle.argtypes = [c_up, ctypes.c_int64, ctypes.c_int64,
+                              ctypes.c_int64, ctypes.c_int64, c_up]
     _lib = lib
     return lib
 
@@ -174,3 +183,38 @@ def slice_cubemap_cross(img: np.ndarray):
     if r < 0:
         raise ValueError(f"invalid cubemap cross dimensions {w}x{h}")
     return out
+
+
+def _up(a):
+    return a.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))
+
+
+def png_unfilter(raw: np.ndarray, h: int, w: int, c: int):
+    """Native PNG scanline defilter -> [H,W,C] uint8 or None.
+
+    `raw` is the zlib-inflated stream of h*(1+w*c) bytes.  Same contract
+    as utils.image._unfilter_numpy (the oracle); raises on a bad filter
+    byte exactly like it."""
+    lib = _load()
+    if lib is None:
+        return None
+    raw = np.ascontiguousarray(raw, np.uint8)
+    out = np.zeros(h * w * c, np.uint8)
+    r = lib.png_unfilter(_up(raw), h, w, c, _up(out))
+    if r < 0:
+        raise ValueError(f"bad filter {-r}")
+    return out.reshape(h, w, c)
+
+
+def hdr_unrle(data: np.ndarray, pos: int, h: int, w: int):
+    """Native Radiance RLE scanline decode -> [H,W,4] uint8 RGBE or
+    None; raises on malformed input like the python decoder."""
+    lib = _load()
+    if lib is None:
+        return None
+    data = np.ascontiguousarray(data, np.uint8)
+    out = np.zeros(h * w * 4, np.uint8)
+    r = lib.hdr_unrle(_up(data), data.shape[0], pos, h, w, _up(out))
+    if r < 0:
+        raise ValueError(f"malformed HDR RLE stream (code {r})")
+    return out.reshape(h, w, 4)

@@ -50,6 +50,19 @@ def write_png(path: str, img: np.ndarray) -> None:
 
 
 def _unfilter(raw: np.ndarray, h: int, w: int, c: int) -> np.ndarray:
+    """PNG scanline defilter: native C++ fast path, numpy fallback.
+
+    The Sub/Average/Paeth filters are sequential per pixel — the one
+    part of PNG decode (after zlib) that is slow in python; the native
+    path decodes a 2Kx1.5K cross in milliseconds."""
+    from .. import native
+    out = native.png_unfilter(raw, h, w, c)
+    if out is not None:
+        return out
+    return _unfilter_numpy(raw, h, w, c)
+
+
+def _unfilter_numpy(raw: np.ndarray, h: int, w: int, c: int) -> np.ndarray:
     stride = w * c
     out = np.zeros((h, stride), np.uint8)
     pos = 0
@@ -154,6 +167,14 @@ def read_hdr(path: str) -> np.ndarray:
     h, w = int(dims[1]), int(dims[3])
 
     buf = np.frombuffer(data, np.uint8, offset=pos)
+    from .. import native
+    rgbe = native.hdr_unrle(buf, 0, h, w)
+    if rgbe is not None:
+        return _rgbe_to_float(rgbe)
+    return _rgbe_to_float(_hdr_unrle_numpy(buf, h, w))
+
+
+def _hdr_unrle_numpy(buf: np.ndarray, h: int, w: int) -> np.ndarray:
     out = np.zeros((h, w, 4), np.uint8)
     p = 0
     for y in range(h):
@@ -176,7 +197,7 @@ def read_hdr(path: str) -> np.ndarray:
                     out[y, x:x + count, c] = buf[p + 1:p + 1 + count]
                     x += count
                     p += 1 + count
-    return _rgbe_to_float(out)
+    return out
 
 
 def write_hdr(path: str, img: np.ndarray) -> None:

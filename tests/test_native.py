@@ -89,3 +89,67 @@ def test_native_cubemap_rejects_bad_dims():
     img = np.zeros((10, 13, 3), np.uint8)
     with pytest.raises(ValueError):
         native.slice_cubemap_cross(img)
+
+
+def test_native_png_unfilter_matches_numpy():
+    """All five filter types on arbitrary raw bytes (the filters are
+    total functions of the stream, so random input is a full oracle)."""
+    from opengl_raytracing_tpu.utils.image import _unfilter_numpy
+    rng = np.random.RandomState(7)
+    h, w, c = 23, 17, 3
+    raw = rng.randint(0, 256, h * (1 + w * c), dtype=np.uint8)
+    for y in range(h):
+        raw[y * (1 + w * c)] = y % 5  # cycle filters 0..4
+    got = native.png_unfilter(raw, h, w, c)
+    assert got is not None
+    want = _unfilter_numpy(raw, h, w, c)
+    np.testing.assert_array_equal(got, want)
+    bad = raw.copy()
+    bad[0] = 9
+    with pytest.raises(ValueError):
+        native.png_unfilter(bad, h, w, c)
+
+
+def test_native_png_decode_roundtrip(tmp_path):
+    from opengl_raytracing_tpu.utils.image import write_png, read_png
+    rng = np.random.RandomState(3)
+    img = rng.randint(0, 255, (20, 33, 3), dtype=np.uint8)
+    p = str(tmp_path / "t.png")
+    write_png(p, img)
+    np.testing.assert_array_equal(read_png(p), img)
+
+
+def test_native_hdr_unrle_matches_numpy():
+    """RLE stream with runs, literals, and an old-style flat scanline."""
+    from opengl_raytracing_tpu.utils.image import _hdr_unrle_numpy
+    rng = np.random.RandomState(11)
+    h, w = 3, 16
+    parts = []
+    # two new-style RLE scanlines
+    for _ in range(2):
+        parts.append(bytes([2, 2, w >> 8, w & 0xFF]))
+        for _c in range(4):
+            # run of 10 + literal of 6
+            parts.append(bytes([128 + 10, int(rng.randint(256))]))
+            parts.append(bytes([6]) + rng.randint(
+                0, 256, 6, dtype=np.uint8).tobytes())
+    # one old-style flat scanline (w RGBE quads; first byte != 2)
+    flat = rng.randint(0, 256, w * 4, dtype=np.uint8)
+    flat[0] = 1
+    parts.append(flat.tobytes())
+    buf = np.frombuffer(b"".join(parts), np.uint8)
+    got = native.hdr_unrle(buf, 0, h, w)
+    assert got is not None
+    want = _hdr_unrle_numpy(buf, h, w)
+    np.testing.assert_array_equal(got, want)
+
+
+def test_native_hdr_read_roundtrip(tmp_path):
+    from opengl_raytracing_tpu.utils.image import write_hdr, read_hdr
+    rng = np.random.RandomState(5)
+    img = (rng.rand(9, 16, 3) * 4.0).astype(np.float32)
+    p = str(tmp_path / "t.hdr")
+    write_hdr(p, img)
+    got = read_hdr(p)
+    # RGBE shares one exponent per pixel: absolute step = max/256
+    np.testing.assert_allclose(got, img, rtol=0.01, atol=4.0 / 256.0)
