@@ -90,6 +90,11 @@ def _load() -> Optional[ctypes.CDLL]:
     lib.hdr_unrle.restype = ctypes.c_int64
     lib.hdr_unrle.argtypes = [c_up, ctypes.c_int64, ctypes.c_int64,
                               ctypes.c_int64, ctypes.c_int64, c_up]
+    lib.jpeg_entropy_scan.restype = ctypes.c_int64
+    lib.jpeg_entropy_scan.argtypes = [
+        c_up, ctypes.c_int64, ctypes.c_int64, ctypes.c_int32,
+        ctypes.c_int32, ctypes.c_int32, c_ip, c_ip,
+        c_up, c_up, c_up, c_up, c_fp, ctypes.c_int32, c_fp]
     _lib = lib
     return lib
 
@@ -204,6 +209,43 @@ def png_unfilter(raw: np.ndarray, h: int, w: int, c: int):
     if r < 0:
         raise ValueError(f"bad filter {-r}")
     return out.reshape(h, w, c)
+
+
+def jpeg_entropy_scan(data: np.ndarray, pos: int, mcux: int, mcuy: int,
+                      hs: np.ndarray, vs: np.ndarray, dc_val, dc_len,
+                      ac_val, ac_len, qts: np.ndarray,
+                      restart_interval: int):
+    """Native baseline-JPEG entropy decode -> dequantized natural-order
+    coefficient blocks [n_blocks, 64] f32 (MCU-major, python-loop block
+    order) or None.  LUT args are [nc, 65536] u8; qts is [nc, 64] f32 in
+    zigzag order.  Raises ValueError on malformed streams exactly like
+    utils.image._decode_block."""
+    lib = _load()
+    if lib is None:
+        return None
+    data = np.ascontiguousarray(data, np.uint8)
+    hs = np.ascontiguousarray(hs, np.int32)
+    vs = np.ascontiguousarray(vs, np.int32)
+    nc = hs.shape[0]
+    nblocks = mcux * mcuy * int(np.sum(hs * vs))
+    coefs = np.zeros((nblocks, 64), np.float32)
+    # keep contiguous copies alive across the call (ctypes pointers do
+    # not hold references)
+    dcv = np.ascontiguousarray(dc_val, np.uint8)
+    dcl = np.ascontiguousarray(dc_len, np.uint8)
+    acv = np.ascontiguousarray(ac_val, np.uint8)
+    acl = np.ascontiguousarray(ac_len, np.uint8)
+    qts = np.ascontiguousarray(qts, np.float32)
+    r = lib.jpeg_entropy_scan(
+        _up(data), data.shape[0], pos, mcux, mcuy, nc, _ip(hs), _ip(vs),
+        _up(dcv), _up(dcl), _up(acv), _up(acl), _fp(qts),
+        restart_interval, _fp(coefs))
+    if r < 0:
+        raise ValueError({-1: "bad DC huffman code",
+                          -2: "bad AC huffman code",
+                          -3: "AC index overflow"}.get(int(r),
+                                                       f"jpeg error {r}"))
+    return coefs
 
 
 def hdr_unrle(data: np.ndarray, pos: int, h: int, w: int):

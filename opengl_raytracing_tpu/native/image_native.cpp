@@ -112,3 +112,159 @@ int64_t hdr_unrle(const uint8_t* data, int64_t n, int64_t pos,
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Baseline JPEG entropy decode (huffman + dequant; IDCT/assembly stay in
+// vectorized numpy).  Bit-reader semantics mirror utils.image._BitReader
+// exactly: 0xFF00 unstuffing, marker => zero-fill, RST realign.
+// ---------------------------------------------------------------------------
+
+namespace {
+
+const int kZigzag[64] = {
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63};
+
+struct BitR {
+    const uint8_t* d;
+    int64_t n, pos;
+    uint32_t acc;
+    int nbits;
+    int marker;  // -1 == none
+};
+
+void br_fill(BitR& b) {
+    while (b.nbits <= 24) {
+        if (b.marker >= 0 || b.pos >= b.n) {  // past-end == appended EOI
+            b.acc <<= 8;
+            b.nbits += 8;
+            continue;
+        }
+        uint8_t v = b.d[b.pos++];
+        if (v == 0xFF) {
+            const uint8_t nxt = b.pos < b.n ? b.d[b.pos] : 0xD9;
+            if (nxt == 0x00) {
+                b.pos++;
+            } else {
+                b.marker = nxt;
+                b.pos--;
+                v = 0;
+            }
+        }
+        b.acc = (b.acc << 8) | v;
+        b.nbits += 8;
+    }
+}
+
+inline uint32_t br_peek16(BitR& b) {
+    if (b.nbits < 16) br_fill(b);
+    return (b.acc >> (b.nbits - 16)) & 0xFFFF;
+}
+
+inline int br_receive(BitR& b, int nb) {
+    if (nb == 0) return 0;
+    if (b.nbits < nb) br_fill(b);
+    const int v = (b.acc >> (b.nbits - nb)) & ((1u << nb) - 1);
+    b.nbits -= nb;
+    return v;
+}
+
+int decode_block(BitR& br, const uint8_t* dcv, const uint8_t* dcl,
+                 const uint8_t* acv, const uint8_t* acl, const float* qt,
+                 int* pred, float* out64) {
+    float coef[64] = {0.0f};
+    uint32_t v = br_peek16(br);
+    const int s0 = dcv[v];
+    int ln = dcl[v];
+    if (ln == 0) return -1;  // bad DC huffman code
+    br.nbits -= ln;
+    int diff = br_receive(br, s0);
+    if (s0 && diff < (1 << (s0 - 1))) diff -= (1 << s0) - 1;
+    *pred += diff;
+    coef[0] = (float)*pred * qt[0];
+    int k = 1;
+    while (k < 64) {
+        v = br_peek16(br);
+        const int rs = acv[v];
+        ln = acl[v];
+        if (ln == 0) return -2;  // bad AC huffman code
+        br.nbits -= ln;
+        const int r = rs >> 4, s = rs & 15;
+        if (s == 0) {
+            if (r == 15) {
+                k += 16;
+                continue;
+            }
+            break;  // EOB
+        }
+        k += r;
+        if (k > 63) return -3;  // AC index overflow
+        int val = br_receive(br, s);
+        if (val < (1 << (s - 1))) val -= (1 << s) - 1;
+        coef[k] = (float)val * qt[k];
+        k += 1;
+    }
+    for (int i = 0; i < 64; ++i) out64[kZigzag[i]] = coef[i];
+    return 0;
+}
+
+}  // namespace
+
+extern "C" {
+
+// Decodes the whole entropy-coded scan into dequantized natural-order
+// coefficient blocks [n_blocks][64], MCU-major in (comp, by, bx) order —
+// exactly the python loop's order.  LUTs are the 16-bit peek tables from
+// utils.image._build_huff, one [65536] pair per component.  Returns the
+// number of blocks written, or <0 on a malformed stream.
+int64_t jpeg_entropy_scan(const uint8_t* data, int64_t n, int64_t pos,
+                          int32_t mcux, int32_t mcuy, int32_t nc,
+                          const int32_t* hs, const int32_t* vs,
+                          const uint8_t* dc_val, const uint8_t* dc_len,
+                          const uint8_t* ac_val, const uint8_t* ac_len,
+                          const float* qts, int32_t restart_interval,
+                          float* coefs) {
+    BitR br{data, n, pos, 0, 0, -1};
+    int preds[8] = {0};
+    if (nc > 8) return -9;
+    int64_t bi = 0, n_mcu = 0;
+    for (int64_t my = 0; my < mcuy; ++my) {
+        for (int64_t mx = 0; mx < mcux; ++mx) {
+            if (restart_interval && n_mcu
+                && n_mcu % restart_interval == 0) {
+                // reset_at_rst: realign and consume FF Dn
+                br.acc = 0;
+                br.nbits = 0;
+                br.marker = -1;
+                while (br.pos + 1 < n && data[br.pos] == 0xFF
+                       && data[br.pos + 1] == 0xFF)
+                    br.pos++;
+                if (br.pos + 1 < n && data[br.pos] == 0xFF
+                    && data[br.pos + 1] >= 0xD0 && data[br.pos + 1] <= 0xD7)
+                    br.pos += 2;
+                for (int c = 0; c < nc; ++c) preds[c] = 0;
+            }
+            for (int c = 0; c < nc; ++c) {
+                for (int by = 0; by < vs[c]; ++by) {
+                    for (int bx = 0; bx < hs[c]; ++bx) {
+                        const int r = decode_block(
+                            br, dc_val + (int64_t)c * 65536,
+                            dc_len + (int64_t)c * 65536,
+                            ac_val + (int64_t)c * 65536,
+                            ac_len + (int64_t)c * 65536,
+                            qts + (int64_t)c * 64, &preds[c],
+                            coefs + bi * 64);
+                        if (r < 0) return r;
+                        ++bi;
+                    }
+                }
+            }
+            ++n_mcu;
+        }
+    }
+    return bi;
+}
+
+}  // extern "C"

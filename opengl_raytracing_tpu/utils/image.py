@@ -443,6 +443,73 @@ def read_jpeg(path: str) -> np.ndarray:
     raise ValueError("no SOS marker found")
 
 
+def _scan_native(data, pos, mcux, mcuy, comps, restart_interval) -> bool:
+    """Native entropy decode + batched-numpy IDCT/assembly; returns False
+    when the native library is unavailable (caller falls back)."""
+    from .. import native
+    hs = np.array([c["hs"] for c in comps], np.int32)
+    vs = np.array([c["vs"] for c in comps], np.int32)
+    coefs = native.jpeg_entropy_scan(
+        np.frombuffer(data, np.uint8), pos, mcux, mcuy, hs, vs,
+        np.stack([c["dc"][0] for c in comps]),
+        np.stack([c["dc"][1] for c in comps]),
+        np.stack([c["ac"][0] for c in comps]),
+        np.stack([c["ac"][1] for c in comps]),
+        np.stack([c["qt"] for c in comps]), restart_interval)
+    if coefs is None:
+        return False
+    # batched IDCT over every block at once as two LARGE flat GEMMs —
+    # a broadcast (8,8) @ (b,8,8) matmul dispatches b tiny BLAS calls
+    # (~ms each in overhead); R = M^T C M computed as
+    # Y = C M (flat), R = (Y^T M)^T (flat).  Then block order
+    # (my, mx, comp, by, bx) -> per-component planes by pure reshapes.
+    nb = coefs.shape[0]
+    y_ = (coefs.reshape(nb * 8, 8) @ _IDCT_M).reshape(nb, 8, 8)
+    blks = (np.ascontiguousarray(y_.transpose(0, 2, 1))
+            .reshape(nb * 8, 8) @ _IDCT_M).reshape(nb, 8, 8
+                                                   ).transpose(0, 2, 1)
+    per_mcu = int(np.sum(hs * vs))
+    n_mcu = mcux * mcuy
+    off = 0
+    for c, h_, v_ in zip(comps, hs, vs):
+        cnt = int(h_ * v_)
+        idx = (np.arange(n_mcu, dtype=np.int64)[:, None] * per_mcu
+               + off + np.arange(cnt, dtype=np.int64)[None, :]).ravel()
+        c["plane"] = (blks[idx]
+                      .reshape(mcuy, mcux, v_, h_, 8, 8)
+                      .transpose(0, 2, 4, 1, 3, 5)
+                      .reshape(c["h"], c["w"]))
+        off += cnt
+    return True
+
+
+def _scan_python(data, pos, mcux, mcuy, comps, restart_interval) -> None:
+    """Reference per-block python loop (the oracle the native path is
+    tested against)."""
+    for c in comps:
+        c["plane"] = np.zeros((c["h"], c["w"]), np.float32)
+        c["pred"] = 0
+    br = _BitReader(data + b"\xff\xd9", pos)
+    n_mcu = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if restart_interval and n_mcu and \
+                    n_mcu % restart_interval == 0:
+                br.reset_at_rst()
+                for c in comps:
+                    c["pred"] = 0
+            for c in comps:
+                for by in range(c["vs"]):
+                    for bx in range(c["hs"]):
+                        coef, c["pred"] = _decode_block(
+                            br, c["dc"], c["ac"], c["qt"], c["pred"])
+                        blk = _IDCT_M.T @ coef @ _IDCT_M
+                        y0 = (my * c["vs"] + by) * 8
+                        x0 = (mx * c["hs"] + bx) * 8
+                        c["plane"][y0:y0 + 8, x0:x0 + 8] = blk
+            n_mcu += 1
+
+
 def _upsample2(p: np.ndarray, axis: int, times: int) -> np.ndarray:
     """libjpeg-style "fancy" (triangle filter) 2x chroma upsampling:
     each output sample = (3*nearer + farther) / 4, edges clamped.  Only
@@ -470,28 +537,9 @@ def _decode_scan(data, pos, w, h, comps, qts, restart_interval):
     for c in comps:
         c["w"] = mcux * 8 * c["hs"]
         c["h"] = mcuy * 8 * c["vs"]
-        c["plane"] = np.zeros((c["h"], c["w"]), np.float32)
-        c["pred"] = 0
         c["qt"] = qts[c["tq"]]
-    br = _BitReader(data + b"\xff\xd9", pos)
-    n_mcu = 0
-    for my in range(mcuy):
-        for mx in range(mcux):
-            if restart_interval and n_mcu and \
-                    n_mcu % restart_interval == 0:
-                br.reset_at_rst()
-                for c in comps:
-                    c["pred"] = 0
-            for c in comps:
-                for by in range(c["vs"]):
-                    for bx in range(c["hs"]):
-                        coef, c["pred"] = _decode_block(
-                            br, c["dc"], c["ac"], c["qt"], c["pred"])
-                        blk = _IDCT_M.T @ coef @ _IDCT_M
-                        y0 = (my * c["vs"] + by) * 8
-                        x0 = (mx * c["hs"] + bx) * 8
-                        c["plane"][y0:y0 + 8, x0:x0 + 8] = blk
-            n_mcu += 1
+    if not _scan_native(data, pos, mcux, mcuy, comps, restart_interval):
+        _scan_python(data, pos, mcux, mcuy, comps, restart_interval)
     planes = []
     for c in comps:
         p = c["plane"] + 128.0

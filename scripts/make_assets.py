@@ -123,6 +123,16 @@ def main():
                 (0.45, 0.48, 0.55), (0.12, 0.14, 0.2), (3.5, 3.4, 3.0))
     log("ENV", "wrote cubemaps/{sky_day,sky_dusk}.png + sky_noon.hdr "
         "+ sky_storm.exr (4x3 cross, 64px)")
+    # JPEG variant so the picker's *.jpg pattern is reachable (we decode
+    # but do not encode JPEG; PIL is a fixture-generation dependency
+    # only, same as in tests)
+    try:
+        from PIL import Image
+        Image.open("cubemaps/sky_day.png").convert("RGB").save(
+            "cubemaps/sky_day.jpg", quality=95)
+        log("ENV", "wrote cubemaps/sky_day.jpg")
+    except ImportError:
+        log("ENV", "PIL unavailable; skipped cubemaps/sky_day.jpg")
 
 
 if __name__ == "__main__":

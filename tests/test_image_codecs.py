@@ -209,3 +209,23 @@ def test_exr_cubemap_cross_through_pipeline(tmp_path):
     assert faces.shape == (6, f, f, 3)
     for i, v in enumerate(vals):
         assert np.allclose(faces[i], v, rtol=2e-3)
+
+
+def test_native_jpeg_scan_matches_python_path(tmp_path, monkeypatch):
+    """The native entropy decode + batched IDCT must reproduce the
+    per-block python loop (including restart markers and subsampling)."""
+    import opengl_raytracing_tpu.native as native
+    if not native.available():
+        pytest.skip("native library unavailable")
+    img = _pattern(90, 120)
+    path = str(tmp_path / "n.jpg")
+    ok = cv2.imwrite(path, img[..., ::-1],
+                     [cv2.IMWRITE_JPEG_QUALITY, 88,
+                      cv2.IMWRITE_JPEG_RST_INTERVAL, 3])
+    assert ok
+    ours = read_jpeg(path)
+    monkeypatch.setattr(native, "jpeg_entropy_scan", lambda *a, **k: None)
+    ref = read_jpeg(path)
+    # identical entropy decode; IDCT batching may differ in the last ulp
+    assert np.max(np.abs(ours.astype(int) - ref.astype(int))) <= 1
+    assert (ours != ref).mean() < 0.01
