@@ -182,6 +182,73 @@ def measure_closefar(height, width, frames, case) -> dict:
     }
 
 
+def measure_moving(height, width, frames) -> dict:
+    """BASELINE config 5: full preset with a MOVING camera — every
+    frame has a fresh view-projection, so TAA takes the reprojection
+    path (history gather + luma confidence + box clamp) and SVGF runs
+    its motion-aware k's.  Frames chain device-side like the other
+    cases; per-frame camera inputs ride the scan as stacked leaves."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    from opengl_raytracing_tpu import Camera
+    from opengl_raytracing_tpu.models import (FrameInputs, RenderState,
+                                              render_frame, preset)
+    from opengl_raytracing_tpu.sampling import generate_jitter2d
+
+    params = preset("full")
+    _, bvh = _scene()
+    cam = Camera()
+    cam.aspect = width / height
+    rows = []
+    prev_vp = np.asarray(cam.view_projection(), np.float32)
+    for f in range(frames):
+        cam.yaw += 0.4                      # slow look + dolly-in sweep
+        cam.position = (cam.position
+                        + np.asarray([0.0, 0.0, -0.05], np.float32))
+        curr_vp = np.asarray(cam.view_projection(), np.float32)
+        right, up, fwd, thf = cam.basis()
+        jit = generate_jitter2d(f) * float(
+            np.asarray(params.jitter_moving_scale))
+        rows.append((np.asarray(cam.position, np.float32),
+                     np.asarray(right, np.float32),
+                     np.asarray(up, np.float32),
+                     np.asarray(fwd, np.float32),
+                     np.float32(thf), np.float32(cam.aspect),
+                     jit.astype(np.float32), curr_vp, prev_vp,
+                     np.int32(1)))
+        prev_vp = curr_vp
+    fins = FrameInputs(*[jnp.asarray(np.stack([r[i] for r in rows]))
+                         for i in range(10)])
+
+    def one_frame(state, fin):
+        st, out = render_frame(params, fin, state, None, bvh,
+                               height=height, width=width, use_bvh=True)
+        return st, jnp.sum(out.image)
+
+    @jax.jit
+    def run(state, fins):
+        st, sums = jax.lax.scan(one_frame, state, fins)
+        return st, jnp.sum(sums)
+
+    state = RenderState.create(height, width)
+    _ = float(run(state, fins)[1])  # warmup / compile
+    state = RenderState.create(height, width)
+    t0 = time.time()
+    _, s = run(state, fins)
+    checksum = float(s)
+    sec = (time.time() - t0) / frames
+    return {
+        "metric": (f"moving-camera full pipeline (TAA reproj + SVGF), "
+                   f"{width}x{height} 1spp, bunny BVH"),
+        "ms_per_frame": round(sec * 1e3, 2),
+        "fps": round(1.0 / sec, 1),
+        "mrays": round(height * width / sec / 1e6, 2),
+        "frames": frames,
+        "checksum": round(checksum, 1),
+    }
+
+
 def child(case: str) -> None:
     if os.environ.get("BENCH_FORCE_CPU") == "1":
         # harness smoke-testing off-TPU: the axon plugin overrides
@@ -190,6 +257,8 @@ def child(case: str) -> None:
         jax.config.update("jax_platforms", "cpu")
     if case in PRESET_CASES:
         rec = measure_preset(H, W, FRAMES, case)
+    elif case == "moving":
+        rec = measure_moving(H, W, FRAMES)
     else:
         rec = measure_closefar(H, W, FRAMES, case.replace("cf_", ""))
     print(json.dumps(rec))
@@ -222,7 +291,7 @@ def main() -> int:
     env = dict(os.environ)
     cases = (os.environ["BENCH_CASES"].split(",")
              if "BENCH_CASES" in os.environ
-             else PRESET_CASES + ["cf_close", "cf_far"])
+             else PRESET_CASES + ["moving", "cf_close", "cf_far"])
 
     # Liveness pre-gate: when the worker is already unreachable (it can
     # wedge for hours), fail each case fast instead of burning the whole
