@@ -158,7 +158,7 @@ def svgf_filter_pallas(accum, motion, gpos, gnrm, params: RenderParams):
         grid=(hb // BH,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.VMEM),   # params (1,8)
-            pl.BlockSpec(memory_space=pltpu.ANY),    # planes stay in HBM
+            pl.BlockSpec(memory_space=pl.ANY),       # planes stay in HBM
         ],
         out_specs=pl.BlockSpec((3, BH, w), lambda b: (0, b, 0),
                                memory_space=pltpu.VMEM),
