@@ -27,7 +27,6 @@ BENCH_BUDGET (whole sweep).
 
 import json
 import os
-import subprocess
 import sys
 import time
 
@@ -265,21 +264,9 @@ def child(case: str) -> None:
 
 
 def _run_child(case: str, env, timeout_s: float):
-    try:
-        out = subprocess.run(
-            [sys.executable, os.path.abspath(__file__), "--child", case],
-            env=env, capture_output=True, timeout=timeout_s, text=True)
-        for line in out.stdout.splitlines():
-            line = line.strip()
-            if line.startswith("{"):
-                return json.loads(line)
-        return {"error": f"rc={out.returncode}",
-                "stderr": out.stderr.strip().splitlines()[-1][-300:]
-                if out.stderr.strip() else ""}
-    except subprocess.TimeoutExpired:
-        return {"error": "timeout (tpu wedged?)"}
-    except Exception as exc:  # pragma: no cover
-        return {"error": repr(exc)[:200]}
+    from scripts.childproc import run_child
+    return run_child([sys.executable, os.path.abspath(__file__),
+                      "--child", case], timeout_s, env=env)
 
 
 def main() -> int:
@@ -299,17 +286,8 @@ def main() -> int:
     # recovers mid-sweep still produces real numbers.
     timeout_s = TIMEOUT_S
     if os.environ.get("BENCH_FORCE_CPU") != "1":
-        try:
-            probe = subprocess.run(
-                [sys.executable, "-c",
-                 "import jax, numpy as np, jax.numpy as jnp;"
-                 "assert jax.devices()[0].platform == 'tpu';"
-                 "print(float(np.asarray(jnp.sum(jnp.ones((128,128))))))"],
-                env=env, capture_output=True, timeout=120, text=True)
-            alive = probe.returncode == 0
-        except Exception:
-            alive = False
-        if not alive:
+        from scripts.childproc import probe_alive
+        if not probe_alive(env=env):
             print(json.dumps({"note": "liveness probe failed; "
                               "shortening per-case timeouts"}), flush=True)
             timeout_s = min(TIMEOUT_S, 180)

@@ -439,7 +439,18 @@ def make_handler(vs: ViewerState):
                             "lines": lines[-n:]})
             elif url.path == "/state":
                 a = app.app
-                self._json({
+                # vs.lock: render_state's accum buffers are DONATED to
+                # the frame jit — reading them mid-step from this server
+                # thread would hit a deleted array
+                with vs.lock:
+                    snap = self._state_snapshot(a)
+                self._json(snap)
+            else:
+                self.send_error(404)
+
+        @staticmethod
+        def _state_snapshot(a):
+            return {
                     "fps": round(a.fps, 1),
                     "ms_per_frame": round(float(np.mean(
                         a.frame_times_ms[-30:])) if a.frame_times_ms
@@ -458,9 +469,7 @@ def make_handler(vs: ViewerState):
                     "model_selected": a.model_picker.selected,
                     "env_entries": a.env_picker.entries,
                     "env_selected": a.env_picker.selected,
-                })
-            else:
-                self.send_error(404)
+            }
 
         @staticmethod
         def _apply_set(app, field, raw):

@@ -55,6 +55,13 @@ def _unfilter(raw: np.ndarray, h: int, w: int, c: int) -> np.ndarray:
     The Sub/Average/Paeth filters are sequential per pixel — the one
     part of PNG decode (after zlib) that is slow in python; the native
     path decodes a 2Kx1.5K cross in milliseconds."""
+    if raw.shape[0] < h * (1 + w * c):
+        # must be checked HERE: the C++ defilter trusts h/w/c and would
+        # read out of bounds on a truncated/corrupt IDAT stream (the
+        # numpy path would only raise an IndexError later)
+        raise ValueError(
+            f"PNG data too short: {raw.shape[0]} bytes for "
+            f"{h}x{w}x{c} (+filter bytes)")
     from .. import native
     out = native.png_unfilter(raw, h, w, c)
     if out is not None:
@@ -386,6 +393,9 @@ def read_jpeg(path: str) -> np.ndarray:
             pos += 1
             continue
         marker = data[pos + 1]
+        if marker == 0xFF:   # legal fill byte(s) before a marker
+            pos += 1
+            continue
         pos += 2
         if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
             continue

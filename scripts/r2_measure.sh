@@ -7,11 +7,8 @@
 set -x
 cd "$(dirname "$0")/.."
 
-timeout 120 python -c "
-import jax, numpy as np, jax.numpy as jnp
-assert jax.devices()[0].platform == 'tpu'
-print(float(np.asarray(jnp.sum(jnp.ones((128,128))))))
-" || { echo 'TPU unreachable, aborting'; exit 1; }
+timeout 150 python scripts/childproc.py --probe \
+  || { echo 'TPU unreachable, aborting'; exit 1; }
 
 timeout 600 python scripts/tpu_checks.py 2>&1 | tee /tmp/r2_checks.log
 BENCH_BUDGET=2400 timeout 2600 python bench.py 2>&1 | tee /tmp/r2_bench.log

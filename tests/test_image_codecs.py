@@ -229,3 +229,33 @@ def test_native_jpeg_scan_matches_python_path(tmp_path, monkeypatch):
     # identical entropy decode; IDCT batching may differ in the last ulp
     assert np.max(np.abs(ours.astype(int) - ref.astype(int))) <= 1
     assert (ours != ref).mean() < 0.01
+
+
+def test_jpeg_fill_bytes_before_marker(tmp_path):
+    """JPEG allows any number of 0xFF fill bytes before a marker
+    (ITU T.81 B.1.1.2); the segment scanner must skip them."""
+    img = _pattern(48, 64)
+    path = str(tmp_path / "f.jpg")
+    PIL.fromarray(img).save(path, quality=90)
+    data = open(path, "rb").read()
+    i = data.index(b"\xff\xdb")          # first DQT
+    padded = data[:i] + b"\xff\xff\xff" + data[i:]
+    path2 = str(tmp_path / "f_pad.jpg")
+    open(path2, "wb").write(padded)
+    assert np.array_equal(read_jpeg(path2), read_jpeg(path))
+
+
+def test_png_truncated_raises(tmp_path):
+    """A PNG whose IHDR dims exceed the IDAT payload must raise a
+    catchable ValueError (the native defilter would otherwise read out
+    of bounds trusting h*w*c)."""
+    from opengl_raytracing_tpu.utils.image import read_png
+    img = _pattern(8, 8)
+    data = bytearray(encode_png(img))
+    # IHDR payload starts at byte 16; height field at 20..24 (no CRC
+    # validation in read_png, so patching in place is enough)
+    data[20:24] = (64).to_bytes(4, "big")
+    p = str(tmp_path / "trunc.png")
+    open(p, "wb").write(bytes(data))
+    with pytest.raises(ValueError, match="too short"):
+        read_png(p)
