@@ -253,7 +253,7 @@ def render_frame(params: RenderParams, fin: FrameInputs, state: RenderState,
                  env_map: Optional[jnp.ndarray] = None,
                  bvh: Optional[BVHDevice] = None,
                  *, height: int, width: int, use_bvh: bool = False,
-                 show_motion: bool = False):
+                 show_motion: bool = False, allow_svgf_pallas: bool = True):
     """One frame: trace + shade + TAA into accum, then present.
 
     Returns (new_state, FrameOutputs).  `state.accum` is read as history
@@ -275,7 +275,8 @@ def render_frame(params: RenderParams, fin: FrameInputs, state: RenderState,
                             params, moved=moved)
 
     image = present(accum_new, motion, gpos, gnrm, params,
-                    show_motion=show_motion)
+                    show_motion=show_motion,
+                    allow_pallas=allow_svgf_pallas)
 
     new_state = RenderState(accum_new, frame_index + 1)
     return new_state, FrameOutputs(image, motion, gpos, gnrm)

@@ -16,6 +16,7 @@ Scene parity (reference: render.cpp:264-294):
 
 from __future__ import annotations
 
+import dataclasses
 from typing import Optional
 
 import jax.numpy as jnp
@@ -42,6 +43,10 @@ MARKER_RADIUS = 0.15
 def render_raster(params: RenderParams, fin: FrameInputs,
                   bvh: Optional[BVHDevice], *, height: int, width: int):
     """Flat-shaded visibility image [H,W,3] (GL bottom-up rows)."""
+    # the reference raster pass renders with the UNJITTERED view/proj
+    # (render.cpp sets plain currView/currProj); zero the TAA jitter so
+    # the preview doesn't shimmer frame-to-frame
+    fin = dataclasses.replace(fin, jitter=jnp.zeros_like(fin.jitter))
     _, _, rd = primary_rays(height, width, fin, params)
     ro = jnp.broadcast_to(fin.cam_pos, rd.shape)
 

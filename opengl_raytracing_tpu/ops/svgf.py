@@ -122,9 +122,14 @@ def svgf_filter(accum, motion, gpos, gnrm, params: RenderParams, *,
 
 
 def present(accum, motion, gpos, gnrm, params: RenderParams,
-            show_motion: bool = False):
+            show_motion: bool = False, allow_pallas: bool = True):
     """Present pass: motion debug | SVGF blend -> ACES -> gamma
-    (reference: rt_present.frag:231-266).  Returns sRGB [H,W,3]."""
+    (reference: rt_present.frag:231-266).  Returns sRGB [H,W,3].
+
+    `allow_pallas=False` forces the jnp stencil — required under the
+    jit-SPMD multi-chip path (parallel/sharding.py): GSPMD cannot
+    partition a Mosaic custom call over a row-sharded image, while the
+    jnp shifted-slice form partitions into halo collectives."""
     if show_motion:
         return visualize_motion(motion, jnp.float32(params.motion_scale))
 
@@ -134,16 +139,25 @@ def present(accum, motion, gpos, gnrm, params: RenderParams,
         import jax
         # Pallas banded-halo stencil measured 13.8 vs 17.3 ms (jnp) at
         # 1080p (PERF.md) — default on TPU; ORT_SVGF_PALLAS=0 reverts.
-        use_pallas = (os.environ.get("ORT_SVGF_PALLAS", "1") == "1"
+        use_pallas = (allow_pallas
+                      and os.environ.get("ORT_SVGF_PALLAS", "1") == "1"
                       and jax.default_backend() == "tpu")
         if use_pallas:
             from .svgf_pallas import svgf_filter_pallas
             filtered = svgf_filter_pallas(accum, motion, gpos, gnrm, params)
         else:
             filtered = svgf_filter(accum, motion, gpos, gnrm, params)
-        s = jnp.clip(jnp.float32(params.svgf_strength), 0.0, 1.0)
-        linear = raw + (filtered - raw) * s
     else:
-        linear = raw
+        filtered = raw
+    return blend_tonemap(raw, filtered, params)
+
+
+def blend_tonemap(raw, filtered, params: RenderParams):
+    """Shared present tail: SVGF strength blend -> ACES -> gamma
+    (reference: rt_present.frag:244-266).  `filtered == raw` degrades
+    to plain tonemapping.  Also used by the shard_map renderer so the
+    two paths cannot drift."""
+    s = jnp.clip(jnp.float32(params.svgf_strength), 0.0, 1.0)
+    linear = raw + (filtered - raw) * s
     mapped = aces_tonemap(linear, jnp.float32(params.exposure))
     return gamma_encode(mapped)

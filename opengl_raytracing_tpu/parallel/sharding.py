@@ -46,9 +46,13 @@ def render_frame_sharded(mesh: Mesh, params, fin: FrameInputs,
     rows = NamedSharding(mesh, P(axis, None, None))
 
     def fn(params, fin, state, env_map, bvh):
+        # allow_svgf_pallas=False: GSPMD cannot partition the Mosaic
+        # SVGF custom call over the row-sharded image; the jnp stencil
+        # partitions into collective-permute halo exchanges
         st, out = render_frame(params, fin, state, env_map, bvh,
                                height=height, width=width, use_bvh=use_bvh,
-                               show_motion=show_motion)
+                               show_motion=show_motion,
+                               allow_svgf_pallas=False)
         st = RenderState(jax.lax.with_sharding_constraint(st.accum, rows),
                          st.frame_index)
         return st, out

@@ -19,12 +19,9 @@ tests/test_shardmap.py).
 
 from __future__ import annotations
 
-import functools
-
 import jax
 import jax.numpy as jnp
-import numpy as np
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 from jax import shard_map
 
 from ..constants import YCOEFF
@@ -33,26 +30,29 @@ from ..models.pipeline import (FrameInputs, RenderState, FrameOutputs,
                                pixel_centers, primary_dirs, trace_and_shade)
 from ..ops.scene import SceneCtx
 from ..ops.taa import resolve_taa
-from ..ops.svgf import svgf_filter, present
+from ..ops.svgf import svgf_filter, present, blend_tonemap
 from ..ops.vecmath import luminance
 
 HALO = 3  # SVGF stencil radius
 
 
-def _ring_halos(band, axis: str, n: int):
-    """Exchange HALO rows with both neighbors -> (ext, row0_is_edge...).
+def _ring_halos(planes, axis: str, n: int):
+    """Exchange HALO rows with both neighbors.
 
-    band [BH,W,C].  Returns [BH+2*HALO, W, C] where the first HALO rows
-    came from the previous shard (lower global rows) and the last HALO
-    rows from the next shard.  Edge shards receive zeros; the filter's
+    planes [C,BH,W] CHANNEL-MAJOR: the collectives' operands must
+    materialize, and a [rows,W,C<128] layout would lane-pad its minor
+    dim ~10x (CLAUDE.md SoA rule) — channel-major keeps the dense W on
+    lanes.  Returns [C, BH+2*HALO, W] where the first HALO rows came
+    from the previous shard (lower global rows) and the last HALO rows
+    from the next shard.  Edge shards receive zeros; the filter's
     global-bounds validity masks zero their weights anyway.
     """
     down = [(i, i + 1) for i in range(n - 1)]   # i sends to i+1
     up = [(i + 1, i) for i in range(n - 1)]     # i+1 sends to i
-    from_prev = jax.lax.ppermute(band[-HALO:], axis, down)
-    from_next = jax.lax.ppermute(band[:HALO], axis, up)
+    from_prev = jax.lax.ppermute(planes[:, -HALO:, :], axis, down)
+    from_next = jax.lax.ppermute(planes[:, :HALO, :], axis, up)
     # ppermute leaves non-receiving shards with zeros
-    return jnp.concatenate([from_prev, band, from_next], axis=0)
+    return jnp.concatenate([from_prev, planes, from_next], axis=1)
 
 
 def render_frame_shardmap(mesh: Mesh, params: RenderParams,
@@ -108,19 +108,19 @@ def render_frame_shardmap(mesh: Mesh, params: RenderParams,
             image = present(accum_new, motion, gpos, gnrm, params,
                             show_motion=True)
         elif params.enable_svgf:
-            # halo exchange for the stencil inputs
-            stack = jnp.concatenate([accum_new, motion, gpos, gnrm],
-                                    axis=-1)  # [bh,W,12]
-            ext = _ring_halos(stack, axis, n)
+            # halo exchange for the stencil inputs (channel-major, see
+            # _ring_halos)
+            stack = jnp.concatenate(
+                [jnp.moveaxis(a, -1, 0)
+                 for a in (accum_new, motion, gpos, gnrm)], axis=0)
+            ext = _ring_halos(stack, axis, n)              # [12,bh+6,W]
+
+            def ch(a, b):
+                return jnp.moveaxis(ext[a:b], 0, -1)
             filtered = svgf_filter(
-                ext[..., 0:4], ext[..., 4:6], ext[..., 6:9], ext[..., 9:12],
+                ch(0, 4), ch(4, 6), ch(6, 9), ch(9, 12),
                 params, halo=HALO, row_offset=row0, full_height=height)
-            raw = accum_new[..., :3]
-            s = jnp.clip(jnp.float32(params.svgf_strength), 0.0, 1.0)
-            linear = raw + (filtered - raw) * s
-            from ..ops.tonemap import aces_tonemap, gamma_encode
-            image = gamma_encode(aces_tonemap(
-                linear, jnp.float32(params.exposure)))
+            image = blend_tonemap(accum_new[..., :3], filtered, params)
         else:
             image = present(accum_new, motion, gpos, gnrm, params)
 

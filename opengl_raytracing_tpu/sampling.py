@@ -13,6 +13,7 @@ ops all run on the VPU and fuse with the surrounding shading code.
 from __future__ import annotations
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 from .constants import PI
@@ -173,7 +174,13 @@ def cp_offset(px, py, frame):
 # -----------------------------------------------------------------------------
 
 def ndc_from_world(p, vp):
-    """Project world positions [...,3] by VP [4,4] -> NDC xy [...,2]."""
-    clip = p @ vp[:3, :3].T + vp[:3, 3]
-    w = p @ vp[3, :3] + vp[3, 3]
+    """Project world positions [...,3] by VP [4,4] -> NDC xy [...,2].
+
+    precision=HIGHEST: motion vectors are DIFFERENCES of two such
+    projections, compared against taa_still_thresh=1e-5 and the SVGF
+    smoothstep(0.005, 0.05) band — the MXU's default bf16 rounding
+    (~4e-3 at NDC scale) would drown them (CLAUDE.md precision rule)."""
+    hp = jax.lax.Precision.HIGHEST
+    clip = jnp.matmul(p, vp[:3, :3].T, precision=hp) + vp[:3, 3]
+    w = jnp.matmul(p, vp[3, :3], precision=hp) + vp[3, 3]
     return clip[..., :2] / jnp.maximum(w, 1e-6)[..., None]
