@@ -77,7 +77,8 @@ def _fin(cam):
         prev_view_proj=jnp.asarray(vp), camera_moved=jnp.int32(0))
 
 
-def _run_frames(params, bvh, fin, height, width, frames):
+def _run_frames(params, bvh, fin, height, width, frames, *, use_bvh=True,
+                env_map=None):
     """Chained frame scan; returns (seconds_per_frame, checksum)."""
     import numpy as np
     import jax
@@ -95,8 +96,8 @@ def _run_frames(params, bvh, fin, height, width, frames):
                         fin.tan_half_fov, fin.aspect, jitter,
                         fin.curr_view_proj, fin.prev_view_proj,
                         fin.camera_moved)
-        st, out = render_frame(params, f, state, None, bvh,
-                               height=height, width=width, use_bvh=True)
+        st, out = render_frame(params, f, state, env_map, bvh,
+                               height=height, width=width, use_bvh=use_bvh)
         return st, jnp.sum(out.image)
 
     @jax.jit
@@ -181,6 +182,42 @@ def measure_closefar(height, width, frames, case) -> dict:
     }
 
 
+def measure_analytic(height, width, frames, case) -> dict:
+    """BASELINE staged configs 1 and 3 (BASELINE.json:6-12):
+    an_baseline = analytic scene, ray mode, BVH off, 800x600, baseline
+    preset; an_full = multi-bounce glass+mirror+albedo with sun/sky +
+    cubemap environment (full preset) at the requested size."""
+    import jax.numpy as jnp
+    from opengl_raytracing_tpu import Camera
+    from opengl_raytracing_tpu.models import preset
+
+    if case == "an_baseline":
+        params, env, h, w = preset("baseline"), None, 600, 800
+    else:
+        params = preset("full")
+        h, w = height, width
+        env = None
+        cross = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             "cubemaps", "sky_day.png")
+        if os.path.exists(cross):
+            from opengl_raytracing_tpu.utils.image import load_cubemap_cross
+            env = jnp.asarray(load_cubemap_cross(cross))
+    cam = Camera()
+    cam.aspect = w / h
+    sec, checksum = _run_frames(params, None, _fin(cam), h, w, frames,
+                                use_bvh=False, env_map=env)
+    spp = params.spp_per_frame
+    return {
+        "metric": (f"analytic scene ({'full+env' if env is not None else 'baseline'}), "
+                   f"{w}x{h} {spp}spp"),
+        "ms_per_frame": round(sec * 1e3, 2),
+        "fps": round(1.0 / sec, 1),
+        "mrays": round(h * w * spp / sec / 1e6, 2),
+        "frames": frames,
+        "checksum": round(checksum, 1),
+    }
+
+
 def measure_moving(height, width, frames) -> dict:
     """BASELINE config 5: full preset with a MOVING camera — every
     frame has a fresh view-projection, so TAA takes the reprojection
@@ -256,6 +293,8 @@ def child(case: str) -> None:
         jax.config.update("jax_platforms", "cpu")
     if case in PRESET_CASES:
         rec = measure_preset(H, W, FRAMES, case)
+    elif case.startswith("an_"):
+        rec = measure_analytic(H, W, FRAMES, case)
     elif case == "moving":
         rec = measure_moving(H, W, FRAMES)
     else:
@@ -278,7 +317,8 @@ def main() -> int:
     env = dict(os.environ)
     cases = (os.environ["BENCH_CASES"].split(",")
              if "BENCH_CASES" in os.environ
-             else PRESET_CASES + ["moving", "cf_close", "cf_far"])
+             else PRESET_CASES + ["an_baseline", "an_full", "moving",
+                                  "cf_close", "cf_far"])
 
     # Liveness pre-gate: when the worker is already unreachable (it can
     # wedge for hours), fail each case fast instead of burning the whole
