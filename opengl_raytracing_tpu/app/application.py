@@ -87,16 +87,38 @@ class Application:
             self._render_cache[key] = fn
         return fn
 
+    def _raster_fn(self) -> Callable:
+        """Jit-cached raster preview — the reference's raster path is one
+        GL draw (render.cpp:247-295); dispatching it eagerly would re-trace
+        Python and issue dozens of XLA ops per frame over the tunnel."""
+        app = self.app
+        key = ("raster", app.height, app.width, app.bvh is not None)
+        fn = self._render_cache.get(key)
+        if fn is None:
+            h, w = app.height, app.width
+
+            def raw(params, fin, bvh):
+                return render_raster(params, fin, bvh, height=h, width=w)
+            fn = jax.jit(raw) if self._jit else raw
+            self._render_cache[key] = fn
+        return fn
+
     # -- one frame (reference: application.cpp:330-554) --
 
     def step(self, dt: float = 1.0 / 60.0):
         app = self.app
 
-        # 1. point-light orbit animation (application.cpp:343-348)
+        # 1. point-light orbit animation, wrapped to [-360, 360] like the
+        # reference so long sessions don't lose f32 precision
+        # (application.cpp:343-348)
         if app.params.point_light_orbit_enabled:
-            app.params = app.params.replace(
-                point_light_yaw=float(np.asarray(app.params.point_light_yaw))
-                + float(np.asarray(app.params.point_light_orbit_speed)) * dt)
+            yaw = (float(np.asarray(app.params.point_light_yaw))
+                   + float(np.asarray(app.params.point_light_orbit_speed)) * dt)
+            if yaw > 360.0:
+                yaw -= 360.0
+            elif yaw < -360.0:
+                yaw += 360.0
+            app.params = app.params.replace(point_light_yaw=yaw)
 
         # 2. consume hotkey flags (application.cpp:410-440)
         inp = self.input
@@ -125,9 +147,12 @@ class Application:
                                       np.zeros(2, np.float32))
         camera_moved = frame.camera_moved() or inp.camera_changed_this_frame
 
-        # jitter scaled by motion state (application.cpp:397-405)
+        # jitter scaled by motion state (application.cpp:397-405).
+        # host_frame_index mirrors render_state.frame_index (+1 per ray
+        # frame, 0 on reset) so the jitter lookup never forces a blocking
+        # device readback mid-loop.
         if app.params.enable_jitter:
-            base = generate_jitter2d(int(app.render_state.frame_index))
+            base = generate_jitter2d(app.host_frame_index)
             scale = (app.params.jitter_moving_scale if camera_moved
                      else app.params.jitter_still_scale)
             jitter = base * float(np.asarray(scale))
@@ -156,11 +181,11 @@ class Application:
             eff_params = app.params.replace(ordered_primary=ordered)
             app.render_state, out = fn(eff_params, fin, app.render_state,
                                        app.env_map, app.bvh)
+            app.host_frame_index += 1
             self.last_output = out
             image = out.image
         else:
-            image = render_raster(app.params, fin, app.bvh,
-                                  height=app.height, width=app.width)
+            image = self._raster_fn()(app.params, fin, app.bvh)
             self.last_output = None
         app.frame = frame.end_frame()
 

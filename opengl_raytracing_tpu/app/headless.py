@@ -22,7 +22,8 @@ import time
 import numpy as np
 
 from ..models.presets import preset, PRESETS
-from ..scene.geometry import make_bunny, gather_triangles, model_transform
+from ..scene.geometry import (make_bunny, gather_triangles_fast,
+                              model_transform)
 from ..constants import DEFAULT_BVH_TRANSLATE, DEFAULT_BVH_SCALE
 from ..utils import write_png
 from ..utils.log import log
@@ -64,7 +65,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--resume", help="snapshot .npz to resume from")
     p.add_argument("--snapshot", help="write a snapshot .npz at the end")
     p.add_argument("--save-preset", help="write current params as JSON")
-    p.add_argument("--jit", action="store_true", default=True)
+    p.add_argument("--jit", action=argparse.BooleanOptionalAction,
+               default=True,
+               help="jit the frame function (--no-jit for eager debug tracebacks)")
     p.add_argument("--cpu", action="store_true",
                    help="force the CPU backend (the axon TPU plugin "
                         "overrides JAX_PLATFORMS, so an env var is not "
@@ -110,7 +113,7 @@ def make_app(args) -> Application:
         if args.model:
             state.load_bvh_model(args.model)
         else:
-            tris = gather_triangles(
+            tris = gather_triangles_fast(
                 make_bunny(4), model_transform(DEFAULT_BVH_TRANSLATE,
                                                DEFAULT_BVH_SCALE))
             state.set_bvh_from_tris(tris)

@@ -22,7 +22,7 @@ from ..frame_state import FrameState
 from ..params import RenderParams
 from ..models.pipeline import RenderState
 from ..ops.scene import BVHDevice, prepare_bvh
-from ..scene.geometry import gather_triangles, model_transform
+from ..scene.geometry import gather_triangles_fast, model_transform
 from ..scene.importers import load_model, MODEL_EXTENSIONS
 from ..constants import DEFAULT_BVH_TRANSLATE, DEFAULT_BVH_SCALE
 from ..utils.log import log
@@ -73,6 +73,10 @@ class AppState:
         self.camera.aspect = width / height
 
         self.render_state = RenderState.create(height, width)
+        # Host-side mirror of render_state.frame_index (+1 per ray frame,
+        # 0 on reset) so the app loop can index the jitter sequence without
+        # a blocking device readback every frame.
+        self.host_frame_index = 0
         self.frame = FrameState.initial(self.camera.view_projection(),
                                         self.camera.position)
 
@@ -93,7 +97,8 @@ class AppState:
         # reference: include/scene/model.h:108-115).
         self.model_picker = PickerState(
             resolve_dir("models"),
-            tuple("*" + ext for ext in MODEL_EXTENSIONS))
+            tuple("*" + ext for ext in MODEL_EXTENSIONS)
+            + tuple("*" + ext.upper() for ext in MODEL_EXTENSIONS))
         # same pattern surface as the reference env picker
         # (gui.cpp:806-838); all five formats decode via utils/image.py
         # (PNG / baseline JPEG / Radiance HDR / OpenEXR scanline).
@@ -122,7 +127,7 @@ class AppState:
                 raise ValueError("no faces")
             m = transform if transform is not None else model_transform(
                 DEFAULT_BVH_TRANSLATE, DEFAULT_BVH_SCALE)
-            tris = gather_triangles(mesh, m)
+            tris = gather_triangles_fast(mesh, m)
             self.bvh = prepare_bvh(tris)
             self.bvh_tri_count = int(tris.shape[0])
             self.bvh_node_count = int(self.bvh.arrays.bounds.shape[0])
@@ -166,6 +171,7 @@ class AppState:
         self.height, self.width = height, width
         self.camera.aspect = width / height
         self.render_state = RenderState.create(height, width)
+        self.host_frame_index = 0
         self.frame = FrameState.initial(self.camera.view_projection(),
                                         self.camera.position)
         log("INIT", "resized to %dx%d (accum + gbuffer recreated)",
@@ -175,6 +181,7 @@ class AppState:
 
     def reset_accumulation(self, reason: str = "") -> None:
         self.render_state = self.render_state.reset()
+        self.host_frame_index = 0
         if reason:
             log("ACCUM", "reset (%s)", reason)
 

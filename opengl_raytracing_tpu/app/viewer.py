@@ -488,6 +488,14 @@ def make_handler(vs: ViewerState):
                 val = min(max(val, lo), hi)
                 val = int(val) if isinstance(cur, int) else float(val)
             app.app.params = app.app.params.replace(**{field: val})
+            # keep the hotkey mirrors in sync (the reference seeds
+            # input.exposure from params at startup, application.cpp:309);
+            # otherwise the next ]/ArrowUp press would compute from a
+            # stale value and snap the panel setting back
+            if field == "exposure":
+                app.input.exposure = float(val)
+            elif field == "spp_per_frame":
+                app.input.spp_per_frame = int(val)
 
     return Handler
 

@@ -200,6 +200,13 @@ void *obj_load(const char *path) {
             float x, y, z;
             if (std::sscanf(line.c_str() + 2, "%f %f %f", &x, &y, &z) == 3) {
                 res->verts.insert(res->verts.end(), {x, y, z});
+            } else {
+                // Malformed vertex: fail the whole parse.  Silently
+                // dropping the line would shift every later face index
+                // into the wrong vertex; returning null routes the caller
+                // to the python parser, which raises like the oracle.
+                delete res;
+                return nullptr;
             }
         } else if (line[0] == 'f' && line[1] == ' ') {
             idx.clear();

@@ -147,6 +147,12 @@ def params_changed(a: RenderParams, b: RenderParams, tol: float = 1e-5) -> bool:
     for f in dataclasses.fields(RenderParams):
         if f.name == "ordered_primary":
             continue  # traversal schedule only — never changes radiance
+        if f.name in ("exposure", "motion_scale"):
+            # Tonemap/debug-only params: the reference's paramsChanged
+            # deliberately omits them (src/app/application.cpp:51-145
+            # checks every field EXCEPT exposure/motionScale), so turning
+            # the exposure knob must NOT flush a converged accumulation.
+            continue
         va, vb = getattr(a, f.name), getattr(b, f.name)
         if f.name in _META_FIELDS:
             if int(va) != int(vb):

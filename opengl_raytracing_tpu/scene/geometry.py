@@ -198,3 +198,23 @@ def gather_triangles(mesh: Mesh, transform: np.ndarray) -> np.ndarray:
     p1 = w[faces[:, 1]]
     p2 = w[faces[:, 2]]
     return np.concatenate([p0, p1 - p0, p2 - p0], axis=1).astype(np.float32)
+
+
+def gather_triangles_fast(mesh: Mesh, transform: np.ndarray) -> np.ndarray:
+    """Triangle gather via the native C++ path when available, else numpy.
+
+    The native gather does no index bounds-checking, so validate faces
+    against the vertex count first (the numpy path would raise its own
+    IndexError for the same inputs).
+    """
+    from .. import native
+    verts, faces = mesh
+    if native.available():
+        if faces.size and (faces.min() < 0 or faces.max() >= len(verts)):
+            raise IndexError(
+                f"face index out of range (verts={len(verts)}, "
+                f"max index={int(faces.max())})")
+        result = native.gather_triangles(mesh, transform)
+        if result is not None:
+            return result
+    return gather_triangles(mesh, transform)

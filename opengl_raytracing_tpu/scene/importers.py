@@ -168,10 +168,33 @@ def load_ply(path: str) -> Mesh:
                     for j in range(1, len(idx) - 1):
                         faces.append([int(idx[0]), int(idx[j]),
                                       int(idx[j + 1])])
-            else:  # skip unknown fixed-size element
-                width = sum(np.dtype("<" + p[1]).itemsize for p in props
-                            if p[0] == "scalar")
+            elif all(p[0] == "scalar" for p in props):
+                # unknown fixed-size element: skip in one read
+                width = sum(np.dtype("<" + p[1]).itemsize for p in props)
                 fh.read(width * count)
+            else:
+                # element with list properties: width is data-dependent, so
+                # walk row by row honoring each list count (a scalar-only
+                # skip would desync the stream for every later element);
+                # vertex elements still yield x/y/z from their scalars
+                rows = []
+                for _ in range(count):
+                    vals = {}
+                    for p in props:
+                        if p[0] == "scalar":
+                            dt = np.dtype("<" + p[1])
+                            (v,) = np.frombuffer(fh.read(dt.itemsize), dt)
+                            vals[p[2]] = v
+                        else:
+                            cnt_t, item_t = p[1]
+                            cnt_dt = np.dtype("<" + cnt_t)
+                            (k,) = np.frombuffer(fh.read(cnt_dt.itemsize),
+                                                 cnt_dt)
+                            fh.read(np.dtype("<" + item_t).itemsize * int(k))
+                    rows.append(vals)
+                if name == "vertex":
+                    verts = np.asarray([[r["x"], r["y"], r["z"]]
+                                        for r in rows], np.float32)
         if verts is None or not faces:
             raise ValueError(f"PLY missing vertex/face data: {path}")
         return verts, np.asarray(faces, np.int32)

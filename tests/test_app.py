@@ -42,9 +42,36 @@ def test_param_change_resets_accumulation():
     a.step()
     a.step()
     assert int(a.app.render_state.frame_index) == 2
-    a.app.params = a.app.params.replace(exposure=2.0)
+    a.app.params = a.app.params.replace(sun_intensity=0.9)
     a.step()  # detected at end of frame -> reset
     assert int(a.app.render_state.frame_index) == 0
+
+
+def test_exposure_change_does_not_reset_accumulation():
+    # the reference's paramsChanged omits exposure/motionScale
+    # (src/app/application.cpp:51-145): tonemap-only knobs must not
+    # flush a converged accumulation
+    a = small_app()
+    a.step()
+    a.step()
+    a.act("exposure_up")
+    a.step()
+    assert int(a.app.render_state.frame_index) == 3
+    a.app.params = a.app.params.replace(motion_scale=8.0)
+    a.step()
+    assert int(a.app.render_state.frame_index) == 4
+
+
+def test_host_frame_index_mirrors_device():
+    a = small_app()
+    a.step()
+    a.step()
+    assert a.app.host_frame_index == int(a.app.render_state.frame_index) == 2
+    a.app.params = a.app.params.replace(sun_intensity=0.9)
+    a.step()  # reset at end of frame
+    assert a.app.host_frame_index == int(a.app.render_state.frame_index) == 0
+    a.step()
+    assert a.app.host_frame_index == int(a.app.render_state.frame_index) == 1
 
 
 def test_camera_move_sets_camera_moved_and_keeps_accumulating():

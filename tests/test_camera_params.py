@@ -63,7 +63,11 @@ def test_pitch_clamp():
 def test_params_changed_detects_each_kind():
     a = RenderParams()
     assert not params_changed(a, RenderParams())
-    assert params_changed(a, a.replace(exposure=1.1))
+    # exposure/motion_scale are tonemap/debug-only: the reference's
+    # paramsChanged omits them (src/app/application.cpp:51-145)
+    assert not params_changed(a, a.replace(exposure=1.1))
+    assert not params_changed(a, a.replace(motion_scale=8.0))
     assert params_changed(a, a.replace(spp_per_frame=4))
     assert params_changed(a, a.replace(mat_albedo_color=(0.1, 0.2, 0.3)))
-    assert not params_changed(a, a.replace(exposure=1.0 + 1e-7))
+    assert params_changed(a, a.replace(sun_intensity=0.9))
+    assert not params_changed(a, a.replace(sun_intensity=0.45 + 1e-7))

@@ -153,3 +153,56 @@ def test_appstate_loads_every_format(tmp_path, ref_mesh):
     for e in entries:
         assert st.load_bvh_model(e), e
         assert st.bvh_tri_count == ref_mesh[1].shape[0]
+
+
+def test_ply_binary_vertex_with_list_property(tmp_path, ref_mesh):
+    """A vertex element carrying a list property must still load: list
+    widths are data-dependent, so the loader walks rows instead of the
+    scalar fast path (regression: list props used to desync the stream)."""
+    verts, faces = ref_mesh
+    p = tmp_path / "m_listvert.ply"
+    head = ("ply\nformat binary_little_endian 1.0\n"
+            f"element vertex {len(verts)}\n"
+            "property float x\nproperty float y\nproperty float z\n"
+            "property list uchar float extras\n"
+            f"element face {len(faces)}\n"
+            "property list uchar int vertex_indices\n"
+            "end_header\n")
+    import struct
+    with open(p, "wb") as fh:
+        fh.write(head.encode("ascii"))
+        for v in verts:
+            fh.write(struct.pack("<3f", *[float(x) for x in v]))
+            fh.write(struct.pack("<B2f", 2, 0.5, 0.25))  # list payload
+        for f in faces:
+            fh.write(struct.pack("<B3i", 3, *[int(x) for x in f]))
+    got = load_model(str(p))
+    np.testing.assert_allclose(_tri_soup(got), _tri_soup(ref_mesh),
+                               atol=1e-6)
+
+
+def test_ply_binary_unknown_list_element_before_faces(tmp_path, ref_mesh):
+    """An unknown element with a list property placed between vertex and
+    face must be skipped row-by-row, keeping the stream aligned."""
+    verts, faces = ref_mesh
+    p = tmp_path / "m_unknown.ply"
+    head = ("ply\nformat binary_little_endian 1.0\n"
+            f"element vertex {len(verts)}\n"
+            "property float x\nproperty float y\nproperty float z\n"
+            "element edge 3\n"
+            "property int flag\nproperty list uchar int verts\n"
+            f"element face {len(faces)}\n"
+            "property list uchar int vertex_indices\n"
+            "end_header\n")
+    import struct
+    with open(p, "wb") as fh:
+        fh.write(head.encode("ascii"))
+        fh.write(verts.astype("<f4").tobytes())
+        for k in range(3):  # variable-length edge rows
+            fh.write(struct.pack("<iB", k, k + 1))
+            fh.write(struct.pack(f"<{k + 1}i", *range(k + 1)))
+        for f in faces:
+            fh.write(struct.pack("<B3i", 3, *[int(x) for x in f]))
+    got = load_model(str(p))
+    np.testing.assert_allclose(_tri_soup(got), _tri_soup(ref_mesh),
+                               atol=1e-6)

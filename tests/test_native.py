@@ -153,3 +153,31 @@ def test_native_hdr_read_roundtrip(tmp_path):
     got = read_hdr(p)
     # RGBE shares one exponent per pixel: absolute step = max/256
     np.testing.assert_allclose(got, img, rtol=0.01, atol=4.0 / 256.0)
+
+
+def test_native_obj_rejects_malformed_vertex(tmp_path=None):
+    """A malformed 'v' line must fail the parse (silently dropping it
+    would shift every later face index); the load_obj_fast dispatcher
+    then raises via the python oracle."""
+    from opengl_raytracing_tpu.scene.geometry import load_obj_fast
+    with tempfile.TemporaryDirectory() as d:
+        p = os.path.join(d, "bad.obj")
+        with open(p, "w") as fh:
+            fh.write("v 0 0 0\nv 1 2 abc\nv 0 1 0\nf 1 2 3\n")
+        assert native.load_obj(p) is None
+        with pytest.raises(ValueError):
+            load_obj_fast(p)
+
+
+def test_gather_triangles_fast_matches_and_bounds_checks():
+    from opengl_raytracing_tpu.scene.geometry import (gather_triangles,
+                                                      gather_triangles_fast)
+    mesh = make_icosphere(1.0, 1)
+    m = model_transform((0.5, -1.0, 2.0), 0.75)
+    np.testing.assert_allclose(gather_triangles_fast(mesh, m),
+                               gather_triangles(mesh, m), atol=1e-6)
+    verts, faces = mesh
+    bad = faces.copy()
+    bad[0, 0] = len(verts) + 7  # out of range
+    with pytest.raises(IndexError):
+        gather_triangles_fast((verts, bad), m)

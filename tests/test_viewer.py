@@ -115,6 +115,14 @@ def test_viewer_panel_endpoints(tmp_path):
         # color tuple set
         get("/set?sun_color=1,0.5,0.25")
         assert app.app.params.sun_color == (1.0, 0.5, 0.25)
+        # panel writes keep the hotkey mirrors in sync: a ] press after a
+        # slider drag must continue from the panel value, not snap back
+        get("/set?exposure=4.0")
+        assert app.input.exposure == 4.0
+        app.act("exposure_up")
+        assert abs(app.input.exposure - 4.0 * 1.03) < 1e-6
+        get("/set?spp_per_frame=8")
+        assert app.input.spp_per_frame == 8
         # unknown field is a clean error, not a 500
         assert not json.loads(get("/set?notafield=1"))["ok"]
 
