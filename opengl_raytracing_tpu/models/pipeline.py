@@ -184,8 +184,13 @@ def _sanitize_hit(h: Hit, ro, rd) -> Hit:
                h.mat)
 
 
-def _shade_analytic(scene: SceneCtx, h: Hit, seed, frame_index, vdir, px, py):
-    """Analytic-scene material dispatch (reference: rt.frag:119-162)."""
+def _shade_analytic(scene: SceneCtx, h: Hit, seed, frame_index, vdir, px, py,
+                    ao=None):
+    """Analytic-scene material dispatch (reference: rt.frag:119-162).
+
+    `ao` may carry a precomputed occlusion term: AO depends only on
+    (pixel, frame_index), never the per-sample seed, so the caller hoists
+    it out of the SPP batch (one hemisphere wavefront instead of spp)."""
     params = scene.params
     mat = get_material(h.mat, params)
 
@@ -197,7 +202,8 @@ def _shade_analytic(scene: SceneCtx, h: Hit, seed, frame_index, vdir, px, py):
             * lt.one_bounce_gi_analytic(scene, h, frame_index, seed,
                                         frame_index, px, py))
     if params.enable_ao:
-        ao = lt.compute_ao(scene, h, frame_index, px, py)
+        if ao is None:
+            ao = lt.compute_ao(scene, h, frame_index, px, py)
         radiance = radiance * ao[..., None]
 
     # emissive point-light marker (reference: rt.frag:137-148)
@@ -229,12 +235,12 @@ def _shade_analytic(scene: SceneCtx, h: Hit, seed, frame_index, vdir, px, py):
 
 
 def _shade_bvh(scene: SceneCtx, h: Hit, seed, frame_index, vdir, px, py,
-               active=None):
+               active=None, ao=None):
     """BVH-scene shading (reference: rt.frag:105-117).
 
     `active` marks lanes whose radiance survives the final sky select;
     sky lanes skip the shadow/GI/AO wavefront work tile-by-tile (their
-    values are unspecified and discarded)."""
+    values are unspecified and discarded).  `ao` as in _shade_analytic."""
     params = scene.params
     radiance = lt.direct_light_bvh(scene, h, seed, frame_index, vdir, px, py,
                                    active=active)
@@ -244,7 +250,8 @@ def _shade_bvh(scene: SceneCtx, h: Hit, seed, frame_index, vdir, px, py,
             * lt.one_bounce_gi_bvh(scene, h, frame_index, seed, frame_index,
                                    px, py, active=active))
     if params.enable_ao:
-        ao = lt.compute_ao(scene, h, frame_index, px, py, active=active)
+        if ao is None:
+            ao = lt.compute_ao(scene, h, frame_index, px, py, active=active)
         radiance = radiance * ao[..., None]
     return radiance
 
@@ -340,6 +347,14 @@ def trace_and_shade(scene: SceneCtx, params: RenderParams, fin: FrameInputs,
     def bshape(x):
         return jnp.broadcast_to(x, (spp,) + x.shape)
 
+    # AO depends only on (pixel, frame_index) — hoist it out of the SPP
+    # batch so spp>1 traces one hemisphere wavefront, not spp identical
+    # ones (the per-sample value in the reference's loop is the same).
+    ao = None
+    if params.enable_ao and spp > 1:
+        ao = lt.compute_ao(scene, h, frame_index, px, py,
+                           active=hit_mask if use_bvh else None)
+
     if spp == 1:
         seeds = frame_index * spp
         h_b, px_b, py_b, vdir_b = h, px, py, vdir
@@ -358,10 +373,10 @@ def trace_and_shade(scene: SceneCtx, params: RenderParams, fin: FrameInputs,
 
     if use_bvh:
         shaded = _shade_bvh(scene, h_b, seeds, frame_index, vdir_b,
-                            px_b, py_b, active=mask_b)
+                            px_b, py_b, active=mask_b, ao=ao)
     else:
         shaded = _shade_analytic(scene, h_b, seeds, frame_index, vdir_b,
-                                 px_b, py_b)
+                                 px_b, py_b, ao=ao)
 
     if spp == 1:
         frame_sum = jnp.where(hit_mask[..., None], shaded, sky_radiance)
@@ -378,7 +393,7 @@ def trace_and_shade(scene: SceneCtx, params: RenderParams, fin: FrameInputs,
     return curr, motion, gpos, gnrm
 
 
-def make_render_fn(params: RenderParams, height: int, width: int,
+def make_render_fn(height: int, width: int,
                    use_bvh: bool = False, show_motion: bool = False,
                    donate: bool = True):
     """jit-compiled frame function specialized on the static config.

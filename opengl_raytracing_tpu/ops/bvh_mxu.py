@@ -276,6 +276,14 @@ def _tile_chunk_ranges(chunk_bounds, hulls, t_cap=None):
         tmax_hi = jnp.minimum(tmax_hi, jnp.maximum(hi0, hi1))
 
     hit = tmax_hi >= tmin_lo                     # [NC,NT]
+    # Group-pad chunks carry inverted bounds (+1e30/-1e30), but interval
+    # min/max products are insensitive to the swap, so they'd PASS the
+    # slab test — making every tile (sky included) look occupied on any
+    # page whose chunk count isn't a GROUP multiple, which defeats the
+    # sparse-grid block skip and widens the ordered walk window.  Mask
+    # them out explicitly.
+    valid = chunk_bounds[:, 0] <= chunk_bounds[:, 3]  # [NC] False for pads
+    hit = hit & valid[:, None]
     if t_cap is not None:
         hit = hit & (tmin_lo <= t_cap[None, :])
     if any_act is not None:

@@ -12,17 +12,12 @@ import jax.numpy as jnp
 
 from ..constants import YCOEFF
 from ..params import RenderParams
-from .vecmath import smoothstep, luminance
+from .vecmath import smoothstep, luminance, normalize
 from .tonemap import aces_tonemap, gamma_encode, visualize_motion
 
 _RADIUS = 3          # 7x7 kernel (rt_present.frag:169)
 _K_NRM = 2.0         # rt_present.frag:160
 _K_POS = 0.02        # rt_present.frag:161
-
-
-def _safe_normalize(v):
-    n = jnp.sqrt(jnp.maximum(jnp.sum(v * v, axis=-1, keepdims=True), 1e-24))
-    return v / n
 
 
 def svgf_filter(accum, motion, gpos, gnrm, params: RenderParams, *,
@@ -81,7 +76,7 @@ def svgf_filter(accum, motion, gpos, gnrm, params: RenderParams, *,
     # (exp(a)exp(b)exp(c) == exp(a+b+c)) — 49 exps/pixel instead of 147
     # and one sqrt instead of 49.  Same math as rt_present.frag:154-218
     # up to float rounding.
-    gnrm_n = _safe_normalize(gnrm)
+    gnrm_n = normalize(gnrm)
     n_center = _center(gnrm_n)
     k_col_scale = k_color * 0.3 + 0.05
     w_off_center = var_boost * (1.0 + var_center * 4.0)

@@ -60,7 +60,7 @@ def render_frame_sharded(mesh: Mesh, params, fin: FrameInputs,
     return fn(params, fin, state, env_map, bvh)
 
 
-def make_sharded_render_fn(mesh: Mesh, params, height: int, width: int,
+def make_sharded_render_fn(mesh: Mesh, height: int, width: int,
                            use_bvh: bool = False, show_motion: bool = False,
                            donate: bool = True):
     """jit-compiled multi-chip frame function.

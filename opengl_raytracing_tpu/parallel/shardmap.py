@@ -142,7 +142,7 @@ def render_frame_shardmap(mesh: Mesh, params: RenderParams,
     return new_state, FrameOutputs(image, motion, gpos, gnrm), mean_lum
 
 
-def make_shardmap_render_fn(mesh: Mesh, params: RenderParams, height: int,
+def make_shardmap_render_fn(mesh: Mesh, height: int,
                             width: int, use_bvh: bool = False,
                             show_motion: bool = False, donate: bool = True):
     def fn(params, fin, state, env_map, bvh):

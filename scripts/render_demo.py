@@ -62,7 +62,7 @@ def main():
             sum(p.coef_dt.shape[0] for p in bvh.mxu), len(bvh.mxu),
             tris.shape[0], time.time() - t0)
 
-    render = make_render_fn(params, H, W, use_bvh=use_bvh, donate=False)
+    render = make_render_fn(H, W, use_bvh=use_bvh, donate=False)
     fs = FrameState.initial(cam.view_projection(), cam.position)
 
     for f in range(frames):

@@ -266,3 +266,35 @@ def test_sparse_grid_matches_dense(scene, monkeypatch):
     np.testing.assert_array_equal(a[4][sel & a[3]], b[4][sel & b[3]])
     np.testing.assert_array_equal(a[5], b[5])  # shadow: inactive==False
     assert not a[5][~sel].any()
+
+
+def test_pad_chunks_fail_cull():
+    """Group-pad chunks (inverted +/-1e30 bounds) must NOT pass the
+    interval cull: min/max interval products are insensitive to the bound
+    swap, so without the explicit validity mask a sky tile on any padded
+    page looked occupied — defeating the sparse-grid block skip and the
+    ordered walk window (regression test)."""
+    from opengl_raytracing_tpu.ops.bvh_mxu import (_tile_hulls,
+                                                   _tile_chunk_ranges)
+    tris = gather_triangles(make_icosphere(1.0, 1),
+                            model_transform((0.0, 1.0, -3.0), 1.0))
+    mxu = build_mxu_arrays(build_bvh(tris))
+    nc = mxu.chunk_bounds.shape[0]
+    assert nc % 8 == 0 and float(mxu.chunk_bounds[-1, 0]) > 1e29  # has pads
+
+    def ranges(ro_row, rd_row, n_rays=256):
+        ro = np.tile(np.asarray(ro_row, np.float32), (n_rays, 1))
+        rd = np.tile(np.asarray(rd_row, np.float32), (n_rays, 1))
+        soa_o = tuple(jnp.asarray(ro[:, k]) for k in range(3))
+        soa_d = tuple(jnp.asarray(rd[:, k]) for k in range(3))
+        lo, n, _, _, _, gn, _ = _tile_chunk_ranges(
+            mxu.chunk_bounds, _tile_hulls(soa_o, soa_d))
+        return np.asarray(n), np.asarray(gn)
+
+    # sky tile: rays point away from all geometry -> nothing survives
+    n_sky, gn_sky = ranges([0.0, 10.0, 0.0], [0.0, 1.0, 0.0])
+    assert (n_sky == 0).all() and (gn_sky == 0).all()
+
+    # control: rays at the sphere still select its real chunk
+    n_hit, gn_hit = ranges([0.0, 1.0, 3.0], [0.0, 0.0, -1.0])
+    assert (n_hit >= 1).all() and (gn_hit >= 1).all()

@@ -28,7 +28,7 @@ def test_row_sharded_render_matches_single_device():
 
     mesh = make_mesh(jax.devices()[:8])
     st1 = shard_image_rows(mesh, RenderState.create(H, W))
-    fn = make_sharded_render_fn(mesh, params, H, W, donate=False)
+    fn = make_sharded_render_fn(mesh, H, W, donate=False)
     st1, out1 = fn(params, fin, st1, None, None)
 
     # partitioned compilation reassociates float ops; expect tiny drift
@@ -47,7 +47,7 @@ def test_sharded_temporal_sequence():
 
     st_a = RenderState.create(H, W)
     st_b = shard_image_rows(mesh, RenderState.create(H, W))
-    fn = make_sharded_render_fn(mesh, params, H, W, donate=False)
+    fn = make_sharded_render_fn(mesh, H, W, donate=False)
     for _ in range(3):
         st_a, out_a = render_frame(params, fin, st_a, height=H, width=W)
         st_b, out_b = fn(params, fin, st_b, None, None)

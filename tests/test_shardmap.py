@@ -31,7 +31,7 @@ def _run_pair(params, frames=3, moved=0):
 
     st_a = RenderState.create(H, W)
     st_b = shard_image_rows(mesh, RenderState.create(H, W))
-    fn = make_shardmap_render_fn(mesh, params, H, W, donate=False)
+    fn = make_shardmap_render_fn(mesh, H, W, donate=False)
     out_a = out_b = lum = None
     for _ in range(frames):
         st_a, out_a = render_frame(params, fin, st_a, height=H, width=W)
