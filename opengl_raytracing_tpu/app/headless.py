@@ -90,6 +90,12 @@ def _apply_overrides(params, pairs):
 
 
 def make_app(args) -> Application:
+    # --cpu must act before ANY backend init (the axon TPU plugin
+    # overrides JAX_PLATFORMS); handled here rather than in main() so
+    # every make_app caller (viewer included) honors the flag
+    if getattr(args, "cpu", False):
+        import jax
+        jax.config.update("jax_platforms", "cpu")
     w, h = (int(x) for x in args.size.lower().split("x"))
     params = (load_preset(args.preset_file) if args.preset_file
               else preset(args.preset))
@@ -138,7 +144,7 @@ def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
     if args.cpu:
         import jax
-        jax.config.update("jax_platforms", "cpu")
+        jax.config.update("jax_platforms", "cpu")  # also for non-make_app paths
     os.makedirs(args.out, exist_ok=True)
 
     if args.sweep:
