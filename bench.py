@@ -77,40 +77,54 @@ def _fin(cam):
         prev_view_proj=jnp.asarray(vp), camera_moved=jnp.int32(0))
 
 
+def _stack_fins(fins):
+    """List of per-frame FrameInputs -> one stacked pytree for lax.scan."""
+    import jax
+    import jax.numpy as jnp
+    return jax.tree.map(lambda *xs: jnp.stack([jnp.asarray(x) for x in xs]),
+                        *fins)
+
+
 def _run_frames(params, bvh, fin, height, width, frames, *, use_bvh=True,
-                env_map=None):
-    """Chained frame scan; returns (seconds_per_frame, checksum)."""
+                env_map=None, fins=None):
+    """Chained frame scan; returns (seconds_per_frame, checksum).
+
+    `fin` + still-scale jitters describe a static camera; pass `fins`
+    (a stacked FrameInputs, one leaf-row per frame) instead for moving-
+    camera sequences — both go through the same scan/warmup/timing
+    harness so methodology can never diverge between cases."""
+    import dataclasses
     import numpy as np
     import jax
     import jax.numpy as jnp
-    from opengl_raytracing_tpu.models import (FrameInputs, RenderState,
-                                              render_frame)
+    from opengl_raytracing_tpu.models import RenderState, render_frame
     from opengl_raytracing_tpu.sampling import generate_jitter2d
 
-    jitters = jnp.asarray(
-        np.stack([generate_jitter2d(i) * params.jitter_still_scale
-                  for i in range(frames)]), jnp.float32)
+    if fins is None:
+        fins = _stack_fins([
+            dataclasses.replace(
+                fin, jitter=jnp.asarray(
+                    generate_jitter2d(i)
+                    * float(np.asarray(params.jitter_still_scale)),
+                    jnp.float32))
+            for i in range(frames)])
 
-    def one_frame(state, jitter):
-        f = FrameInputs(fin.cam_pos, fin.cam_right, fin.cam_up, fin.cam_fwd,
-                        fin.tan_half_fov, fin.aspect, jitter,
-                        fin.curr_view_proj, fin.prev_view_proj,
-                        fin.camera_moved)
+    def one_frame(state, f):
         st, out = render_frame(params, f, state, env_map, bvh,
                                height=height, width=width, use_bvh=use_bvh)
         return st, jnp.sum(out.image)
 
     @jax.jit
-    def run(state, jitters):
-        st, sums = jax.lax.scan(one_frame, state, jitters)
+    def run(state, fins):
+        st, sums = jax.lax.scan(one_frame, state, fins)
         return st, jnp.sum(sums)
 
     state = RenderState.create(height, width)
-    _ = float(run(state, jitters)[1])  # warmup / compile
+    _ = float(run(state, fins)[1])  # warmup / compile
 
     state = RenderState.create(height, width)
     t0 = time.time()
-    _, s = run(state, jitters)
+    _, s = run(state, fins)
     checksum = float(s)
     dt = time.time() - t0
     return dt / frames, checksum
@@ -129,7 +143,12 @@ def measure_preset(height, width, frames, preset_name) -> dict:
 
     sec, checksum = _run_frames(params, bvh, _fin(cam), height, width,
                                 frames)
-    mrays = height * width * spp / sec / 1e6
+    # PRIMARY rays are traced once per pixel regardless of spp (the
+    # pipeline shares the deterministic primary hit across samples,
+    # models/pipeline.py; RayCounter counts primary = H*W the same way)
+    # — multiplying by spp here would inflate the heavy preset 4x.
+    # Per-sample work shows up honestly in total_mrays_per_s.
+    mrays = height * width / sec / 1e6
     total = RayCounter(height, width).rays_per_frame(params)["total"]
     return {
         "metric": (f"primary Mrays/s/chip, bunny BVH scene, "
@@ -212,7 +231,7 @@ def measure_analytic(height, width, frames, case) -> dict:
                    f"{w}x{h} {spp}spp"),
         "ms_per_frame": round(sec * 1e3, 2),
         "fps": round(1.0 / sec, 1),
-        "mrays": round(h * w * spp / sec / 1e6, 2),
+        "mrays": round(h * w / sec / 1e6, 2),  # primary (spp-invariant)
         "frames": frames,
         "checksum": round(checksum, 1),
     }
@@ -224,56 +243,34 @@ def measure_moving(height, width, frames) -> dict:
     path (history gather + luma confidence + box clamp) and SVGF runs
     its motion-aware k's.  Frames chain device-side like the other
     cases; per-frame camera inputs ride the scan as stacked leaves."""
+    import dataclasses
     import numpy as np
-    import jax
     import jax.numpy as jnp
     from opengl_raytracing_tpu import Camera
-    from opengl_raytracing_tpu.models import (FrameInputs, RenderState,
-                                              render_frame, preset)
+    from opengl_raytracing_tpu.models import preset
     from opengl_raytracing_tpu.sampling import generate_jitter2d
 
     params = preset("full")
     _, bvh = _scene()
     cam = Camera()
     cam.aspect = width / height
-    rows = []
+    per_frame = []
     prev_vp = np.asarray(cam.view_projection(), np.float32)
     for f in range(frames):
         cam.yaw += 0.4                      # slow look + dolly-in sweep
         cam.position = (cam.position
                         + np.asarray([0.0, 0.0, -0.05], np.float32))
-        curr_vp = np.asarray(cam.view_projection(), np.float32)
-        right, up, fwd, thf = cam.basis()
         jit = generate_jitter2d(f) * float(
             np.asarray(params.jitter_moving_scale))
-        rows.append((np.asarray(cam.position, np.float32),
-                     np.asarray(right, np.float32),
-                     np.asarray(up, np.float32),
-                     np.asarray(fwd, np.float32),
-                     np.float32(thf), np.float32(cam.aspect),
-                     jit.astype(np.float32), curr_vp, prev_vp,
-                     np.int32(1)))
-        prev_vp = curr_vp
-    fins = FrameInputs(*[jnp.asarray(np.stack([r[i] for r in rows]))
-                         for i in range(10)])
+        fin = dataclasses.replace(
+            _fin(cam), jitter=jnp.asarray(jit, jnp.float32),
+            prev_view_proj=jnp.asarray(prev_vp),
+            camera_moved=jnp.int32(1))
+        per_frame.append(fin)
+        prev_vp = np.asarray(cam.view_projection(), np.float32)
 
-    def one_frame(state, fin):
-        st, out = render_frame(params, fin, state, None, bvh,
-                               height=height, width=width, use_bvh=True)
-        return st, jnp.sum(out.image)
-
-    @jax.jit
-    def run(state, fins):
-        st, sums = jax.lax.scan(one_frame, state, fins)
-        return st, jnp.sum(sums)
-
-    state = RenderState.create(height, width)
-    _ = float(run(state, fins)[1])  # warmup / compile
-    state = RenderState.create(height, width)
-    t0 = time.time()
-    _, s = run(state, fins)
-    checksum = float(s)
-    sec = (time.time() - t0) / frames
+    sec, checksum = _run_frames(params, bvh, None, height, width, frames,
+                                fins=_stack_fins(per_frame))
     return {
         "metric": (f"moving-camera full pipeline (TAA reproj + SVGF), "
                    f"{width}x{height} 1spp, bunny BVH"),
@@ -293,12 +290,16 @@ def child(case: str) -> None:
         jax.config.update("jax_platforms", "cpu")
     if case in PRESET_CASES:
         rec = measure_preset(H, W, FRAMES, case)
-    elif case.startswith("an_"):
+    elif case in ("an_baseline", "an_full"):
         rec = measure_analytic(H, W, FRAMES, case)
     elif case == "moving":
         rec = measure_moving(H, W, FRAMES)
-    else:
+    elif case in ("cf_close", "cf_far"):
         rec = measure_closefar(H, W, FRAMES, case.replace("cf_", ""))
+    else:
+        # fail fast on typos instead of silently running a mislabeled
+        # several-minute BVH-heavy measurement
+        raise SystemExit(f"unknown bench case {case!r}")
     print(json.dumps(rec))
 
 
@@ -325,7 +326,10 @@ def main() -> int:
     # budget on 480s timeouts — cases still run, so a worker that
     # recovers mid-sweep still produces real numbers.
     timeout_s = TIMEOUT_S
-    if os.environ.get("BENCH_FORCE_CPU") != "1":
+    if (os.environ.get("BENCH_FORCE_CPU") != "1"
+            and os.environ.get("BENCH_SKIP_PROBE") != "1"):
+        # BENCH_SKIP_PROBE=1: caller (e.g. r2_measure.sh) already gated
+        # on its own probe — skip the duplicate jax-import round-trip
         from scripts.childproc import probe_alive
         if not probe_alive(env=env):
             print(json.dumps({"note": "liveness probe failed; "
@@ -364,12 +368,19 @@ def main() -> int:
             if case == PRESET:
                 headline = rec
 
-    if headline is None or "error" in headline:
+    if PRESET in cases and (headline is None or "error" in headline):
         # fall back to reduced resolution for the headline so the driver
-        # always gets a real number; try default knobs then safe-mode
+        # always gets a real number; try default knobs then safe-mode.
+        # Children stay inside the global budget (the final record must
+        # still print before any outer wall-clock cap) and the fallback
+        # only fires when the full-size run was actually attempted.
         env["BENCH_HEIGHT"], env["BENCH_WIDTH"] = "540", "960"
         for extra in ({}, SAFE):
-            rec = _run_child(PRESET, dict(env, **extra), timeout_s)
+            remaining = BUDGET_S - (time.time() - t_start)
+            if remaining < 60:
+                break
+            rec = _run_child(PRESET, dict(env, **extra),
+                             min(timeout_s, remaining))
             if "error" not in rec:
                 rec["note"] = (f"fell back to 960x540"
                                f"{' + safe-mode knobs' if extra else ''};"
@@ -381,7 +392,9 @@ def main() -> int:
             "metric": (f"primary Mrays/s/chip, bunny BVH scene, {W}x{H} "
                        f"1spp, preset={PRESET}"),
             "value": 0.0, "unit": "Mrays/s", "vs_baseline": 0.0,
-            "error": "TPU unavailable or wedged during benchmark"}
+            "error": ("headline case not in BENCH_CASES"
+                      if PRESET not in cases else
+                      "TPU unavailable or wedged during benchmark")}
 
     final = dict(headline)
     final["presets"] = {k: {kk: v[kk] for kk in

@@ -110,7 +110,7 @@ def make_app(args) -> Application:
         state.params = state.prev_params = p
         state.camera = cam
         state.frame = frame
-        state.render_state = rs
+        state.restore_render_state(rs)
         log("CKPT", "resumed from %s at frame %d", args.resume,
             int(np.asarray(rs.frame_index)))
 

@@ -179,6 +179,13 @@ class AppState:
 
     # -- accumulation control (reference: src/render/accum.cpp:98-102) --
 
+    def restore_render_state(self, rs) -> None:
+        """Install an externally loaded RenderState (snapshot resume),
+        keeping host_frame_index in sync so the jitter sequence continues
+        from the restored frame rather than restarting at 0."""
+        self.render_state = rs
+        self.host_frame_index = int(np.asarray(rs.frame_index))
+
     def reset_accumulation(self, reason: str = "") -> None:
         self.render_state = self.render_state.reset()
         self.host_frame_index = 0

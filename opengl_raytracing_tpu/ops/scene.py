@@ -180,7 +180,15 @@ class SceneCtx:
                                               t_max, eps, active=active)
         if isinstance(ro, (list, tuple)):
             ro, rd, t_max = jnp.stack(ro), jnp.stack(rd), jnp.stack(t_max)
-        return trace_bvh_shadow(self.bvh.arrays, ro, rd, t_max, eps)
+        hit = trace_bvh_shadow(self.bvh.arrays, ro, rd, t_max, eps)
+        if active is not None:
+            # honor the documented contract on every backend: inactive
+            # lanes are guaranteed False (the TPU kernel collapses their
+            # windows; mask here so CPU/TPU intermediates bit-match)
+            act = (jnp.stack(active) if isinstance(active, (list, tuple))
+                   else active)
+            hit = hit & act
+        return hit
 
     def sky(self, d):
         return sa.sky(d, self.params, self.env_map)

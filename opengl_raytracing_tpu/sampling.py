@@ -60,7 +60,10 @@ def eps_for_dist(d):
 # Halton / low-discrepancy (reference: shaders/rt/rt_common.glsl:106-129)
 # -----------------------------------------------------------------------------
 
-_HALTON_ITERS = 20  # ceil(log2(2^20)); indices stay far below that
+_HALTON_ITERS = 31  # covers every positive int32 index in base 2 (the
+# smallest base = most digits); callers pass scalar frame indices, so the
+# extra iterations are free — matching the reference's unbounded while-loop
+# (rt_common.glsl:106-119) even for multi-hour accumulation runs
 
 
 def halton(i, b: int):

@@ -25,6 +25,10 @@ def save_snapshot(path: str, params: RenderParams, camera: Camera,
                   frame: FrameState, render_state: RenderState) -> None:
     """Write a resumable snapshot (.npz + embedded params JSON)."""
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    # np.savez auto-appends .npz, but np.load does NOT — normalize here so
+    # save_snapshot(p) / load_snapshot(p) round-trip with any p
+    if not path.endswith(".npz"):
+        path += ".npz"
     np.savez_compressed(
         path,
         params_json=np.frombuffer(
@@ -45,6 +49,8 @@ def save_snapshot(path: str, params: RenderParams, camera: Camera,
 def load_snapshot(path: str) -> Tuple[RenderParams, Camera, FrameState,
                                       RenderState]:
     import jax.numpy as jnp
+    if not os.path.exists(path) and os.path.exists(path + ".npz"):
+        path += ".npz"
     z = np.load(path)
     params = params_from_dict(json.loads(bytes(z["params_json"]).decode()))
     cam = Camera(position=z["cam_position"].copy(),

@@ -112,7 +112,10 @@ def read_png(path: str) -> np.ndarray:
     """Returns [H,W,C] uint8 (row 0 = top)."""
     with open(path, "rb") as fh:
         data = fh.read()
-    assert data[:8] == _PNG_SIG, "not a PNG"
+    # explicit raises (not assert): untrusted-input checks must survive
+    # python -O, matching the other codecs' decode-or-raise contract
+    if data[:8] != _PNG_SIG:
+        raise ValueError("not a PNG")
     pos = 8
     idat = b""
     w = h = bitd = ctype = None
@@ -124,8 +127,10 @@ def read_png(path: str) -> np.ndarray:
         if tag == b"IHDR":
             w, h, bitd, ctype, _, _, interlace = struct.unpack(
                 ">IIBBBBB", payload)
-            assert bitd == 8 and interlace == 0, "unsupported PNG variant"
-            assert ctype in (2, 6), "only RGB/RGBA supported"
+            if bitd != 8 or interlace != 0:
+                raise ValueError("unsupported PNG variant")
+            if ctype not in (2, 6):
+                raise ValueError("only RGB/RGBA supported")
         elif tag == b"IDAT":
             idat += payload
         elif tag == b"IEND":
@@ -629,6 +634,10 @@ def read_exr(path: str) -> np.ndarray:
         name, pos = _exr_read_cstr(buf, pos)
         atype, pos = _exr_read_cstr(buf, pos)
         size = struct.unpack_from("<i", buf, pos)[0]
+        if size < 0 or pos + 4 + size > len(buf):
+            # a negative size would move pos BACKWARDS and spin this
+            # loop forever on a corrupt file; decode-or-raise, never hang
+            raise ValueError(f"corrupt EXR attribute size {size}: {path}")
         pos += 4
         payload = buf[pos:pos + size]
         pos += size

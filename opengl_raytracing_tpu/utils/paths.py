@@ -19,7 +19,10 @@ def repo_root(start: str | None = None) -> str:
         if parent == d:
             break
         d = parent
-    return os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    # fallback: the package parent (this file is <root>/<pkg>/utils/paths.py,
+    # so the repo root is three levels up)
+    return os.path.dirname(os.path.dirname(
+        os.path.dirname(os.path.abspath(__file__))))
 
 
 def resolve_path(rel: str) -> str:

@@ -26,7 +26,9 @@ def force_complete(tree) -> float:
     leaves = [x for x in jax.tree.leaves(tree) if hasattr(x, "dtype")]
     if not leaves:
         return 0.0
-    s = sum(jnp.sum(jnp.asarray(x, jnp.float32)) for x in leaves[:1])
+    # sum EVERY leaf: reading back only one would leave later independent
+    # dispatches async on the tunneled platform and under-time sections
+    s = sum(jnp.sum(jnp.asarray(x, jnp.float32)) for x in leaves)
     return float(s)
 
 

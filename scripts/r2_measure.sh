@@ -11,7 +11,9 @@ timeout 150 python scripts/childproc.py --probe \
   || { echo 'TPU unreachable, aborting'; exit 1; }
 
 timeout 600 python scripts/tpu_checks.py 2>&1 | tee /tmp/r2_checks.log
-BENCH_BUDGET=2400 timeout 2600 python bench.py 2>&1 | tee /tmp/r2_bench.log
+# BENCH_SKIP_PROBE: the gate above already proved liveness; budget 2400
+# keeps the final embedded-matrix record inside the 2600 outer cap.
+BENCH_SKIP_PROBE=1 BENCH_BUDGET=2400 timeout 2600 python bench.py 2>&1 | tee /tmp/r2_bench.log
 timeout 2400 python scripts/perf_report.py 2>&1 | tee /tmp/r2_perf.log
 timeout 1500 python scripts/ab_precision.py 2>&1 | tee /tmp/r2_ab.log
 TUNE_BUDGET=1800 timeout 2000 python scripts/tune_knobs.py 2>&1 | tee /tmp/r2_tune.log

@@ -7,9 +7,10 @@ chip (where layout/miscompile bugs live).  Exit code 0 = all checks pass.
 Usage: timeout 600 python scripts/tpu_checks.py
 """
 
+import os
 import sys
 
-sys.path.insert(0, ".")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 import jax

@@ -62,3 +62,17 @@ def test_corrupt_files_never_crash(fmt, tmp_path):
         except Exception:
             raised += 1  # graceful: catchable by the asset reload path
     assert decoded + raised == 87
+
+
+def test_exr_negative_attribute_size_raises(tmp_path):
+    """A corrupt EXR whose attribute size is negative must raise, not spin
+    the header loop forever (regression)."""
+    import struct
+    import pytest
+    from opengl_raytracing_tpu.utils.image import read_exr
+    p = tmp_path / "bad.exr"
+    buf = struct.pack("<I", 20000630) + struct.pack("<I", 2)
+    buf += b"a\0b\0" + struct.pack("<i", -8) + b"\0"
+    p.write_bytes(buf)
+    with pytest.raises(Exception):
+        read_exr(str(p))

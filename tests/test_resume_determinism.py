@@ -40,7 +40,7 @@ def test_resume_is_bit_identical():
         c.app.params = c.app.prev_params = params
         c.app.camera = cam
         c.app.frame = frame
-        c.app.render_state = rs
+        c.app.restore_render_state(rs)
         img_resumed = None
         for _ in range(2):
             img_resumed = c.step()

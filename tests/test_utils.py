@@ -73,3 +73,54 @@ def test_params_pytree_roundtrip():
     q = jax.tree.unflatten(treedef, leaves)
     assert q.spp_per_frame == 4
     assert q == p
+
+
+def test_repo_root_from_foreign_cwd(tmp_path, monkeypatch):
+    """repo_root's fallback must return the repo root (three levels above
+    utils/paths.py), not the package directory (regression)."""
+    import os
+    from opengl_raytracing_tpu.utils.paths import repo_root, resolve_path
+    monkeypatch.chdir(tmp_path)
+    root = repo_root()
+    assert os.path.exists(os.path.join(root, "bench.py"))
+    assert os.path.isdir(resolve_path("models"))
+
+
+def test_snapshot_path_without_npz_suffix(tmp_path):
+    """save_snapshot('x') / load_snapshot('x') must round-trip even though
+    numpy auto-appends .npz on save only (regression)."""
+    import numpy as np
+    from opengl_raytracing_tpu.camera import Camera
+    from opengl_raytracing_tpu.frame_state import FrameState
+    from opengl_raytracing_tpu.models.pipeline import RenderState
+    from opengl_raytracing_tpu.params import RenderParams
+    from opengl_raytracing_tpu.utils.checkpoint import (save_snapshot,
+                                                        load_snapshot)
+    cam = Camera()
+    frame = FrameState.initial(cam.view_projection(), cam.position)
+    rs = RenderState.create(8, 8)
+    p = str(tmp_path / "snap")  # no .npz
+    save_snapshot(p, RenderParams(), cam, frame, rs)
+    params, cam2, frame2, rs2 = load_snapshot(p)
+    assert int(np.asarray(rs2.frame_index)) == 0
+    assert params == RenderParams()
+
+
+def test_halton_large_indices_match_oracle():
+    """Device halton must stay exact for indices up to 2^30 (long
+    accumulation runs), matching an unbounded python radical inverse."""
+    import numpy as np
+    from opengl_raytracing_tpu.sampling import halton
+
+    def oracle(i, b):
+        f, r = 1.0, 0.0
+        while i > 0:
+            f /= b
+            r += f * (i % b)
+            i //= b
+        return r
+
+    for i in (1, 1023, 2 ** 20 + 17, 2 ** 25 + 3, 2 ** 30 - 1):
+        for b in (2, 3):
+            got = float(np.asarray(halton(i, b)))
+            assert abs(got - oracle(i, b)) < 1e-6, (i, b)
