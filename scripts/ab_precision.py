@@ -15,7 +15,9 @@ import os
 import sys
 import time
 
-sys.path.insert(0, ".")
+_SCRIPTS = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, os.path.dirname(_SCRIPTS))
+sys.path.insert(0, _SCRIPTS)
 
 H = int(os.environ.get("AB_HEIGHT", "1080"))
 W = int(os.environ.get("AB_WIDTH", "1920"))
@@ -31,27 +33,11 @@ def child(mode: str) -> None:
         # JAX_PLATFORMS, so force the backend before first use
         jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
-    from opengl_raytracing_tpu.scene import make_bunny, gather_triangles
-    from opengl_raytracing_tpu.scene.geometry import model_transform
-    from opengl_raytracing_tpu.ops.scene import prepare_bvh
     from opengl_raytracing_tpu.ops.bvh_mxu import trace_bvh_mxu_paged
-    from opengl_raytracing_tpu.constants import (DEFAULT_BVH_TRANSLATE,
-                                                 DEFAULT_BVH_SCALE)
+    from benchscene import bunny_bvh, camera_rays
 
-    tris = gather_triangles(make_bunny(4),
-                            model_transform(DEFAULT_BVH_TRANSLATE,
-                                            DEFAULT_BVH_SCALE))
-    bvh = prepare_bvh(tris)
-
-    import math
-    ys = (jnp.arange(H)[:, None] + 0.5) / H * 2 - 1
-    xs = (jnp.arange(W)[None, :] + 0.5) / W * 2 - 1
-    thf = math.tan(math.radians(30))
-    d = (jnp.asarray([0., 0., -1.])
-         + xs[..., None] * jnp.asarray([1., 0., 0.]) * (thf * W / H)
-         + ys[..., None] * jnp.asarray([0., 1., 0.]) * thf)
-    d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
-    ro = jnp.broadcast_to(jnp.asarray([0., 2., 8.]), d.shape)
+    bvh = bunny_bvh()
+    ro, d, _ = camera_rays(H, W)
 
     @jax.jit
     def fn(d):
@@ -83,8 +69,15 @@ def main() -> int:
         child(sys.argv[sys.argv.index("--child") + 1])
         return 0
     import numpy as np
-    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     from childproc import run_child
+    # stale .npy files from a previous run (possibly at another
+    # resolution) must never masquerade as this run's reference
+    for mode in MODES:
+        for sfx in ("t", "n"):
+            try:
+                os.remove(f"/tmp/ab_prec_{mode}_{sfx}.npy")
+            except FileNotFoundError:
+                pass
     results = {}
     for mode in MODES:
         results[mode] = run_child(
@@ -92,6 +85,9 @@ def main() -> int:
             480)
         print(mode, results[mode], flush=True)
 
+    if "error" in results.get("highest", {"error": "missing"}):
+        print("compare skipped: highest-precision reference failed")
+        return 0
     try:
         ref_t = np.load("/tmp/ab_prec_highest_t.npy")
         ref_n = np.load("/tmp/ab_prec_highest_n.npy")

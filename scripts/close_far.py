@@ -11,43 +11,25 @@ Usage: python scripts/close_far.py [--case KEY]   (child per case)
 """
 
 import json
-import math
-import subprocess
+import os
 import sys
 import time
 
-sys.path.insert(0, ".")
+_SCRIPTS = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, os.path.dirname(_SCRIPTS))
+sys.path.insert(0, _SCRIPTS)
 
 H, W = 1080, 1920
 
 CASES = ["close_unordered", "close_ordered", "far_unordered", "far_ordered"]
 
 
-def _scene():
-    from opengl_raytracing_tpu.scene import make_bunny, gather_triangles
-    from opengl_raytracing_tpu.scene.geometry import model_transform
-    from opengl_raytracing_tpu.ops.scene import prepare_bvh
-    tris = gather_triangles(make_bunny(4),
-                            model_transform((-2, 1.5, 0), 0.5))
-    return prepare_bvh(tris)
+from benchscene import bunny_bvh as _scene  # shared scene/camera
 
 
 def _rays(pos, look):
-    import numpy as np
-    import jax.numpy as jnp
-    fwd = np.asarray(look, np.float32) - np.asarray(pos, np.float32)
-    fwd /= np.linalg.norm(fwd)
-    right = np.cross(fwd, [0., 1., 0.]); right /= np.linalg.norm(right)
-    up = np.cross(right, fwd)
-    ys = (jnp.arange(H)[:, None] + 0.5) / H * 2 - 1
-    xs = (jnp.arange(W)[None, :] + 0.5) / W * 2 - 1
-    thf = math.tan(math.radians(30))
-    d = (jnp.asarray(fwd)
-         + xs[..., None] * jnp.asarray(right) * (thf * W / H)
-         + ys[..., None] * jnp.asarray(up) * thf)
-    d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
-    ro = jnp.broadcast_to(jnp.asarray(pos, jnp.float32), d.shape)
-    return ro, d, jnp.asarray(pos, jnp.float32)
+    from benchscene import camera_rays
+    return camera_rays(H, W, pos=pos, look=look)
 
 
 def child(key: str) -> None:
@@ -78,13 +60,14 @@ def child(key: str) -> None:
 
 
 def main() -> int:
+    # run_child: a wedged/crashed child records an error row instead of
+    # raising TimeoutExpired and killing the remaining cases
+    from childproc import run_child
     for key in CASES:
-        r = subprocess.run([sys.executable, __file__, "--case", key],
-                           capture_output=True, text=True, timeout=900)
-        line = (r.stdout.strip().splitlines() or ["(no output)"])[-1]
-        print(line, flush=True)
-        if r.returncode != 0:
-            print(r.stderr[-800:], file=sys.stderr)
+        rec = run_child([sys.executable, os.path.abspath(__file__),
+                         "--case", key], 900)
+        rec.setdefault("key", key)
+        print(json.dumps(rec), flush=True)
     return 0
 
 

@@ -24,6 +24,7 @@ import os
 import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 # the axon plugin overrides JAX_PLATFORMS; jax.config is authoritative
 import jax  # noqa: E402
@@ -51,18 +52,19 @@ def _measure(fn, *args):
     return out
 
 
-def _ctx(height, width):
+def _ctx(height, width, build_scene=True):
+    """params always; bvh/fin only when the stage traces (taa/svgf need
+    just the params — building the BVH three times per audit run would
+    triple the wall-clock on the single-CPU dev box for no output)."""
     import jax.numpy as jnp
     from opengl_raytracing_tpu.models import FrameInputs, preset
     from opengl_raytracing_tpu.camera import Camera
-    from opengl_raytracing_tpu.scene import make_bunny, gather_triangles
-    from opengl_raytracing_tpu.scene.geometry import model_transform
-    from opengl_raytracing_tpu.ops.scene import prepare_bvh
 
     params = preset("full")
-    tris = gather_triangles(make_bunny(4),
-                            model_transform((-2, 1.5, 0), 0.5))
-    bvh = prepare_bvh(tris)
+    if not build_scene:
+        return params, None, None
+    from benchscene import bunny_bvh
+    bvh = bunny_bvh()
     cam = Camera()
     cam.aspect = width / height
     right, up, fwd, thf = cam.basis()
@@ -76,15 +78,20 @@ def _ctx(height, width):
 
 def stage_raygen_cull(height, width):
     import jax.numpy as jnp
-    from opengl_raytracing_tpu.models.pipeline import primary_rays, swizzle
+    from opengl_raytracing_tpu.models.pipeline import (primary_rays, swizzle,
+                                                       _swizzle_pads,
+                                                       _pad_edge)
     from opengl_raytracing_tpu.ops import bvh_mxu as bm
 
     params, bvh, fin = _ctx(height, width)
     pages = bm._as_pages(bvh.mxu)
+    pads = _swizzle_pads(height, width)  # honors ORT_SWIZZLE like production
 
     def fn(fin):
         px, py, rd = primary_rays(height, width, fin, params)
-        rd = swizzle(rd, height, width)
+        if pads is not None:
+            sh, sw = height + pads[0], width + pads[1]
+            rd = swizzle(_pad_edge(rd, pads[0], pads[1]), sh, sw)
         ro = jnp.broadcast_to(fin.cam_pos, rd.shape)
         _, _, ro_soa, rd_soa, _, act = bm._pad_tiles(ro, rd, active=None)
         hulls = bm._tile_hulls(ro_soa, rd_soa, act)
@@ -110,7 +117,7 @@ def _taa_args(height, width):
 
 def stage_taa(height, width):
     from opengl_raytracing_tpu.ops.taa import resolve_taa
-    params, _, _ = _ctx(height, width)
+    params, _, _ = _ctx(height, width, build_scene=False)
     curr, motion, prev, fi = _taa_args(height, width)
 
     def fn(curr, motion, prev, fi):
@@ -123,7 +130,7 @@ def stage_taa(height, width):
 def stage_svgf(height, width):
     import jax.numpy as jnp
     from opengl_raytracing_tpu.ops.svgf import svgf_filter
-    params, _, _ = _ctx(height, width)
+    params, _, _ = _ctx(height, width, build_scene=False)
     curr, motion, prev, _ = _taa_args(height, width)
     gpos = curr * 3.0
     gnrm = curr - 0.5

@@ -13,7 +13,9 @@ import os
 import sys
 import time
 
-sys.path.insert(0, ".")
+_SCRIPTS = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, os.path.dirname(_SCRIPTS))
+sys.path.insert(0, _SCRIPTS)
 
 H, W = 1080, 1920
 
@@ -29,33 +31,16 @@ MARK_S = "<!-- perf-report:start -->"
 MARK_E = "<!-- perf-report:end -->"
 
 
-def _scene():
-    import jax
-    import jax.numpy as jnp
-    from opengl_raytracing_tpu.scene import make_bunny, gather_triangles
-    from opengl_raytracing_tpu.scene.geometry import model_transform
-    from opengl_raytracing_tpu.ops.scene import prepare_bvh
-    tris = gather_triangles(make_bunny(4),
-                            model_transform((-2, 1.5, 0), 0.5))
-    return prepare_bvh(tris)
+from benchscene import bunny_bvh as _scene  # shared scene/camera
 
 
 def _rays():
-    import math
-    import jax.numpy as jnp
-    ys = (jnp.arange(H)[:, None] + 0.5) / H * 2 - 1
-    xs = (jnp.arange(W)[None, :] + 0.5) / W * 2 - 1
-    thf = math.tan(math.radians(30))
-    d = (jnp.asarray([0., 0., -1.])
-         + xs[..., None] * jnp.asarray([1., 0., 0.]) * (thf * W / H)
-         + ys[..., None] * jnp.asarray([0., 1., 0.]) * thf)
-    d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
-    ro = jnp.broadcast_to(jnp.asarray([0., 2., 8.]), d.shape)
+    from benchscene import camera_rays
+    ro, d, _ = camera_rays(H, W)
     return ro, d
 
 
-def _time(jfn, *args, reps=6):
-    import jax.numpy as jnp
+def _time(jfn, *args):
     import jax
     s = jfn(*args)
     float(jax.tree.leaves(s)[0])
@@ -161,23 +146,15 @@ def child(key: str) -> None:
     raise SystemExit(f"unknown case {key}")
 
 
-def main() -> int:
-    if "--child" in sys.argv:
-        child(sys.argv[sys.argv.index("--child") + 1])
-        return 0
-    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
-    from childproc import run_child
-    results = {}
-    for key in CASES:
-        results[key] = run_child(
-            [sys.executable, os.path.abspath(__file__), "--child", key], 540)
-        print(key, results[key], flush=True)
+def _write_report(results) -> None:
+    """Patch the marked table into PERF.md (prose preserved)."""
+    perf_path = os.path.join(os.path.dirname(_SCRIPTS), "PERF.md")
     table = ("| case | result |\n|---|---|\n"
              + "".join(f"| {k} | `{json.dumps(v)}` |\n"
                        for k, v in results.items()))
     block = f"{MARK_S}\n{table}{MARK_E}"
     try:
-        with open("PERF.md") as fh:
+        with open(perf_path) as fh:
             doc = fh.read()
     except FileNotFoundError:
         doc = ("# PERF — per-component timings (1 TPU v5e chip, "
@@ -188,8 +165,30 @@ def main() -> int:
         doc = pre + block + post
     else:
         doc = doc.rstrip() + "\n\n" + block + "\n"
-    with open("PERF.md", "w") as fh:
+    with open(perf_path, "w") as fh:
         fh.write(doc)
+
+
+def main() -> int:
+    if "--child" in sys.argv:
+        child(sys.argv[sys.argv.index("--child") + 1])
+        return 0
+    from childproc import run_child, probe_alive
+    # liveness pre-gate: a wedged worker fails each case in 180s instead
+    # of burning 8 x 540s of timeouts (it can stay down for hours)
+    timeout_s = 540 if probe_alive() else 180
+    if timeout_s == 180:
+        print(json.dumps({"note": "liveness probe failed; "
+                          "shortening per-case timeouts"}), flush=True)
+    results = {}
+    for key in CASES:
+        results[key] = run_child(
+            [sys.executable, os.path.abspath(__file__), "--child", key],
+            timeout_s)
+        print(key, results[key], flush=True)
+        # write after EVERY case: an outer wall-clock kill mid-sweep
+        # still leaves the completed measurements in PERF.md
+        _write_report(results)
     print("wrote PERF.md (marked table only; prose preserved)")
     return 0
 

@@ -15,7 +15,7 @@ import os
 import sys
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
-from childproc import run_child  # noqa: E402
+from childproc import run_child, probe_alive  # noqa: E402
 
 CASE = os.environ.get("TUNE_CASE", "frame_baseline_bvh")
 SUBTILES = [16, 32, 64]
@@ -29,6 +29,10 @@ BUDGET = int(os.environ.get("TUNE_BUDGET", "3000"))
 def main() -> int:
     import time
     t0 = time.time()
+    if not probe_alive():
+        print(json.dumps({"note": "liveness probe failed; aborting sweep"}),
+              flush=True)
+        return 1
     report = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                           "perf_report.py")
     rows = []
@@ -53,26 +57,31 @@ def main() -> int:
         run(32, 4, "highest", "1", sparse=sp)
 
     # phase 1: precision/swizzle at the default tile knobs
-    for p in PRECISION:
-        for s in SWIZZLE:
-            if (p, s) == ("highest", "1"):
-                continue  # measured in phase 0
-            if time.time() - t0 > BUDGET:
-                print("budget exhausted")
-                break
-            run(32, 4, p, s)
-    ok = [r for r in rows if "ms" in r]
-    best_prec = (min(ok, key=lambda r: r["ms"])["precision"]
-                 if ok else PRECISION[0])
+    for p, s in itertools.product(PRECISION, SWIZZLE):
+        if (p, s) == ("highest", "1"):
+            continue  # measured in phase 0
+        if time.time() - t0 > BUDGET:
+            print("budget exhausted")
+            break
+        run(32, 4, p, s)
+    # pick the phase-1 winner among LIKE-FOR-LIKE rows (sparse on): the
+    # phase-0 sparse=0 control must not leak its precision/swizzle into
+    # the tile sweep
+    ok1 = [r for r in rows if "ms" in r and r["sparse"] == "1"]
+    if ok1:
+        best1 = min(ok1, key=lambda r: r["ms"])
+        best_prec, best_sw = best1["precision"], best1["swizzle"]
+    else:
+        best_prec, best_sw = PRECISION[0], "1"
 
-    # phase 2: tile knobs at the phase-1 winning precision
+    # phase 2: tile knobs at the phase-1 winning precision AND swizzle
     for st, g in itertools.product(SUBTILES, GROUPS):
         if (st, g) == (32, 4):
             continue
         if time.time() - t0 > BUDGET:
             print("budget exhausted")
             break
-        run(st, g, best_prec, "1")
+        run(st, g, best_prec, best_sw)
 
     ok = [r for r in rows if "ms" in r]
     if ok:
