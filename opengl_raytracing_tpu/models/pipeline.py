@@ -173,6 +173,31 @@ def unswizzle(a, h: int, w: int):
             .swapaxes(1, 2).reshape(h, w, *rest))
 
 
+def swizzled_pixel_centers(grid_h: int, grid_w: int, pad_h: int, pad_w: int,
+                           row_offset=0):
+    """Flat [N] pixel centers directly in 8x16-block order.
+
+    Bit-identical to `swizzle(_pad_edge(pixel_centers(...)))` but built
+    from index math on one iota, so the ray stream is BORN in kernel
+    order: no [H,W] plane materialization + pad + transpose per
+    component (the audit prices that reshuffle at ~100 MB/frame at
+    1080p).  Edge padding duplicates the last row/col via a min-clamp,
+    exactly like _pad_edge's mode="edge"."""
+    sw_h, sw_w = grid_h + pad_h, grid_w + pad_w
+    i = jnp.arange(sw_h * sw_w, dtype=jnp.int32)
+    tile = TILE_H * TILE_W
+    bi, r = i // tile, i % tile
+    ty, tx = r // TILE_W, r % TILE_W
+    bpr = sw_w // TILE_W
+    by, bx = bi // bpr, bi % bpr
+    y = jnp.minimum(by * TILE_H + ty, grid_h - 1)
+    x = jnp.minimum(bx * TILE_W + tx, grid_w - 1)
+    px = x.astype(jnp.float32) + 0.5
+    py = (y.astype(jnp.float32) + 0.5
+          + jnp.asarray(row_offset, jnp.float32))
+    return px, py
+
+
 def _sanitize_hit(h: Hit, ro, rd) -> Hit:
     """Clamp miss lanes to finite values so masked shading math stays
     NaN-free (misses are overwritten by the sky select at the end)."""
@@ -273,7 +298,8 @@ def render_frame(params: RenderParams, fin: FrameInputs, state: RenderState,
     frame_index = state.frame_index
     curr, motion, gpos, gnrm = trace_and_shade(
         scene, params, fin, px, py, rd, frame_index,
-        use_bvh=use_bvh, show_motion=show_motion)
+        use_bvh=use_bvh, show_motion=show_motion,
+        raygen=(height, width, 0))
     moved = fin.camera_moved > 0
 
     # TAA (reference: rt.frag:184-190): zero motion when camera static.
@@ -291,11 +317,17 @@ def render_frame(params: RenderParams, fin: FrameInputs, state: RenderState,
 
 def trace_and_shade(scene: SceneCtx, params: RenderParams, fin: FrameInputs,
                     px, py, rd, frame_index, *, use_bvh: bool,
-                    show_motion: bool):
+                    show_motion: bool, raygen=None):
     """Trace + shade a pixel grid (full image or one shard's row band).
 
     Returns (curr [.,.,3], motion [.,.,2], gpos, gnrm) — everything up to
     (but excluding) the temporal/present stages.
+
+    `raygen=(full_h, full_w, row_offset)` lets the swizzled path
+    REGENERATE px/py/rd directly in block order (values identical — ray
+    math is elementwise — but the [H,W] pad+transpose reshuffle of four
+    planes never materializes); without it the passed-in grids are
+    padded and swizzled as before.
     """
     grid_h, grid_w = px.shape
     pads = _swizzle_pads(grid_h, grid_w)
@@ -305,9 +337,15 @@ def trace_and_shade(scene: SceneCtx, params: RenderParams, fin: FrameInputs,
         # four [H,W] outputs transpose back at the end.  Non-divisible
         # grids duplicate edge rows/cols (cropped after unswizzle).
         sw_h, sw_w = grid_h + pads[0], grid_w + pads[1]
-        px = swizzle(_pad_edge(px, *pads), sw_h, sw_w)
-        py = swizzle(_pad_edge(py, *pads), sw_h, sw_w)
-        rd = swizzle(_pad_edge(rd, *pads), sw_h, sw_w)
+        if raygen is not None:
+            full_h, full_w, row0 = raygen
+            px, py = swizzled_pixel_centers(grid_h, grid_w, *pads,
+                                            row_offset=row0)
+            rd = primary_dirs(px, py, full_h, full_w, fin, params)
+        else:
+            px = swizzle(_pad_edge(px, *pads), sw_h, sw_w)
+            py = swizzle(_pad_edge(py, *pads), sw_h, sw_w)
+            rd = swizzle(_pad_edge(rd, *pads), sw_h, sw_w)
     ro = jnp.broadcast_to(fin.cam_pos, rd.shape)
     spp = max(int(params.spp_per_frame), 1) if not show_motion else 1
 

@@ -76,7 +76,8 @@ def render_frame_shardmap(mesh: Mesh, params: RenderParams,
         rd = primary_dirs(px, py, height, width, fin, params)
         curr, motion, gpos, gnrm = trace_and_shade(
             scene, params, fin, px, py, rd, frame_index,
-            use_bvh=use_bvh, show_motion=show_motion)
+            use_bvh=use_bvh, show_motion=show_motion,
+            raygen=(height, width, row0))
 
         moved = fin.camera_moved > 0
         taa_motion = jnp.where(moved, motion, jnp.zeros_like(motion))

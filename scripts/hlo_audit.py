@@ -78,9 +78,8 @@ def _ctx(height, width, build_scene=True):
 
 def stage_raygen_cull(height, width):
     import jax.numpy as jnp
-    from opengl_raytracing_tpu.models.pipeline import (primary_rays, swizzle,
-                                                       _swizzle_pads,
-                                                       _pad_edge)
+    from opengl_raytracing_tpu.models.pipeline import (
+        primary_rays, primary_dirs, swizzled_pixel_centers, _swizzle_pads)
     from opengl_raytracing_tpu.ops import bvh_mxu as bm
 
     params, bvh, fin = _ctx(height, width)
@@ -88,10 +87,13 @@ def stage_raygen_cull(height, width):
     pads = _swizzle_pads(height, width)  # honors ORT_SWIZZLE like production
 
     def fn(fin):
-        px, py, rd = primary_rays(height, width, fin, params)
         if pads is not None:
-            sh, sw = height + pads[0], width + pads[1]
-            rd = swizzle(_pad_edge(rd, pads[0], pads[1]), sh, sw)
+            # production fast path: the ray stream is generated directly
+            # in block order (models/pipeline.py trace_and_shade raygen)
+            px, py = swizzled_pixel_centers(height, width, *pads)
+            rd = primary_dirs(px, py, height, width, fin, params)
+        else:
+            px, py, rd = primary_rays(height, width, fin, params)
         ro = jnp.broadcast_to(fin.cam_pos, rd.shape)
         _, _, ro_soa, rd_soa, _, act = bm._pad_tiles(ro, rd, active=None)
         hulls = bm._tile_hulls(ro_soa, rd_soa, act)

@@ -95,3 +95,60 @@ def test_swizzled_frame_nondivisible_grid(monkeypatch):
     for k in ("image", "motion", "gpos", "gnrm"):
         np.testing.assert_array_equal(np.asarray(getattr(on, k)),
                                       np.asarray(getattr(off, k)))
+
+
+def test_swizzled_pixel_centers_bit_identical():
+    """Direct block-order generation must equal pad+swizzle of the
+    [H,W] grids exactly, including edge-duplicate padding and row
+    offsets (the production raygen fast path)."""
+    import numpy as np
+    import jax.numpy as jnp
+    from opengl_raytracing_tpu.models.pipeline import (
+        pixel_centers, swizzle, _pad_edge, _swizzle_pads,
+        swizzled_pixel_centers, primary_dirs, FrameInputs)
+
+    for gh, gw, off in ((48, 64, 0), (45, 60, 0), (135, 1920 // 8, 135)):
+        pads = _swizzle_pads(gh, gw)
+        sh, sw = gh + pads[0], gw + pads[1]
+        px, py = pixel_centers(gh, gw, row_offset=off)
+        px_ref = swizzle(_pad_edge(px, *pads), sh, sw)
+        py_ref = swizzle(_pad_edge(py, *pads), sh, sw)
+        px_new, py_new = swizzled_pixel_centers(gh, gw, *pads,
+                                                row_offset=off)
+        np.testing.assert_array_equal(np.asarray(px_ref),
+                                      np.asarray(px_new))
+        np.testing.assert_array_equal(np.asarray(py_ref),
+                                      np.asarray(py_new))
+
+
+def test_raygen_regeneration_matches_swizzled_rays():
+    """primary_dirs over the flat block-order centers == swizzle of the
+    [H,W] direction grid (elementwise math, order-independent)."""
+    import numpy as np
+    import jax.numpy as jnp
+    from opengl_raytracing_tpu.camera import Camera
+    from opengl_raytracing_tpu.params import RenderParams
+    from opengl_raytracing_tpu.models.pipeline import (
+        pixel_centers, swizzle, _pad_edge, _swizzle_pads,
+        swizzled_pixel_centers, primary_dirs, FrameInputs)
+
+    H, W = 96, 128
+    cam = Camera()
+    cam.aspect = W / H
+    right, up, fwd, thf = cam.basis()
+    vp = cam.view_projection()
+    fin = FrameInputs(jnp.asarray(cam.position), jnp.asarray(right),
+                      jnp.asarray(up), jnp.asarray(fwd), jnp.float32(thf),
+                      jnp.float32(cam.aspect),
+                      jnp.asarray([0.13, -0.21], jnp.float32),
+                      jnp.asarray(vp), jnp.asarray(vp), jnp.int32(0))
+    params = RenderParams()
+    gh, gw = 45, 60  # non-divisible: exercises the edge-duplicate pads
+    pads = _swizzle_pads(gh, gw)
+    sh, sw = gh + pads[0], gw + pads[1]
+    px, py = pixel_centers(gh, gw, row_offset=17)
+    rd_ref = swizzle(_pad_edge(
+        primary_dirs(px, py, H, W, fin, params), *pads), sh, sw)
+    fx, fy = swizzled_pixel_centers(gh, gw, *pads, row_offset=17)
+    rd_new = primary_dirs(fx, fy, H, W, fin, params)
+    np.testing.assert_array_equal(np.asarray(rd_ref), np.asarray(rd_new))
