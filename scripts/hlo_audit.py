@@ -157,11 +157,32 @@ def stage_present(height, width):
     return _measure(fn, prev, motion, gpos, gnrm)
 
 
+def stage_frame(height, width):
+    """Whole render_frame (baseline preset, bunny BVH) — end-to-end
+    bytes/flops AFTER XLA fusion + DCE.  CPU-lowering caveats apply
+    (Pallas interpret-mode unrolling, unfused gathers), so use this for
+    RELATIVE A/Bs of pipeline restructurings, not absolute ms claims."""
+    import jax.numpy as jnp
+    from opengl_raytracing_tpu.models import RenderState, render_frame, preset
+
+    params, bvh, fin = _ctx(height, width)
+    params = preset("baseline")
+    state = RenderState.create(height, width)
+
+    def fn(fin, state):
+        st, out = render_frame(params, fin, state, None, bvh,
+                               height=height, width=width, use_bvh=True)
+        return st.accum, out.image
+
+    return _measure(fn, fin, state)
+
+
 STAGES = {
     "raygen_cull": stage_raygen_cull,
     "taa": stage_taa,
     "svgf": stage_svgf,
     "present": stage_present,
+    "frame": stage_frame,
 }
 
 
