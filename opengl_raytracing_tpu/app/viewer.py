@@ -211,7 +211,7 @@ function widget(sec,f){
  }else if(kind=='color'||kind=='vec3'){
   for(let k=0;k<3;k++){
    const n=document.createElement('input');n.type='number';
-   n.step=kind=='color'?0.05:0.1;n.id='w_'+name+'_'+k;
+   n.step=kind=='color'?0.05:0.1;n.min=lo;n.max=hi;n.id='w_'+name+'_'+k;
    n.onchange=()=>{const v=[0,1,2].map(j=>
      document.getElementById('w_'+name+'_'+j).value||0).join(',');
     setp(name,v);};
@@ -435,7 +435,9 @@ def make_handler(vs: ViewerState):
                 needle = unquote(q.get("filter", [""])[0]) or None
                 logger = default_logger()
                 lines = logger.filtered(needle)
-                self._json({"total": len(logger.lines),
+                # total: FILTERED count — the page's clear-view marker is
+                # in the same units as the returned lines
+                self._json({"total": len(lines),
                             "lines": lines[-n:]})
             elif url.path == "/state":
                 a = app.app
@@ -483,10 +485,15 @@ def make_handler(vs: ViewerState):
             else:
                 val = float(raw)
             clamp = _SET_CLAMPS.get(field)
-            if clamp is not None and not isinstance(val, tuple):
+            if clamp is not None:
                 _, lo, hi = clamp
-                val = min(max(val, lo), hi)
-                val = int(val) if isinstance(cur, int) else float(val)
+                if isinstance(val, tuple):
+                    # colors/vec3s clamp per component like ImGui's
+                    # bounded widgets (gui.cpp color pickers are [0,1])
+                    val = tuple(min(max(v, lo), hi) for v in val)
+                else:
+                    val = min(max(val, lo), hi)
+                    val = int(val) if isinstance(cur, int) else float(val)
             app.app.params = app.app.params.replace(**{field: val})
             # keep the hotkey mirrors in sync (the reference seeds
             # input.exposure from params at startup, application.cpp:309);

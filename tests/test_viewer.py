@@ -115,6 +115,9 @@ def test_viewer_panel_endpoints(tmp_path):
         # color tuple set
         get("/set?sun_color=1,0.5,0.25")
         assert app.app.params.sun_color == (1.0, 0.5, 0.25)
+        # tuple components clamp like ImGui's bounded color pickers
+        get("/set?sun_color=2,-1,0.5")
+        assert app.app.params.sun_color == (1.0, 0.0, 0.5)
         # panel writes keep the hotkey mirrors in sync: a ] press after a
         # slider drag must continue from the panel value, not snap back
         get("/set?exposure=4.0")
