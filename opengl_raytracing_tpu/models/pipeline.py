@@ -358,8 +358,8 @@ def trace_and_shade(scene: SceneCtx, params: RenderParams, fin: FrameInputs,
     # knowledge (ops.scene.resolve_ordered_primary); unresolved it means
     # "unordered" here.
     h_raw = scene.trace(
-        ro, rd,
-        shared_origin=scene.cam_pos if params.ordered_primary == 1 else None)
+        ro, rd, shared_origin=scene.cam_pos,
+        ordered=params.ordered_primary == 1)
     hit_mask = h_raw.valid
     h = _sanitize_hit(h_raw, ro, rd)
 

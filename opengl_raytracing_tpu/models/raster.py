@@ -68,8 +68,9 @@ def render_raster(params: RenderParams, fin: FrameInputs,
     if bvh is not None:
         # bvh.mxu is a tuple of VMEM-sized pages (prepare_bvh ->
         # build_mxu_paged); the paged wrapper handles both forms.
-        h = (trace_bvh_mxu_paged(bvh.mxu, ro, rd) if _tpu()
-             else trace_bvh(bvh.arrays, ro, rd))
+        h = (trace_bvh_mxu_paged(bvh.mxu, ro, rd,
+                                 shared_origin=fin.cam_pos, ordered=False)
+             if _tpu() else trace_bvh(bvh.arrays, ro, rd))
         best_t, color = consider(h.t, h.valid, MESH_COLOR, best_t, color)
 
     # Blue sphere

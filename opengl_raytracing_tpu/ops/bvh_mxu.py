@@ -200,7 +200,7 @@ def _safe_inv(d):
     return 1.0 / jnp.where(d == 0.0, 1e-30, d)
 
 
-def _tile_hulls(ro_soa, rd_soa, act=None):
+def _tile_hulls(ro_soa, rd_soa, act=None, shared_origin=None):
     """Per-tile interval hulls of the ray stream: for each axis,
     (o_lo, o_hi, i_lo, i_hi) [NT] min/max over the tile's ACTIVE lanes
     (i = 1/d), plus the per-tile any-active flag.  This is the part of
@@ -224,16 +224,28 @@ def _tile_hulls(ro_soa, rd_soa, act=None):
     act_t = None if act is None else act.reshape(nt, TILE_RAYS)
 
     def per_axis(k):
-        o = ro_soa[k].reshape(nt, TILE_RAYS)
         i = _safe_inv(rd_soa[k].reshape(nt, TILE_RAYS))
+        if shared_origin is not None:
+            # all rays share one origin (primary rays): the per-tile
+            # origin stats are the constant itself — skip six full-stream
+            # min/max reductions (even all-inactive tiles are safe: the
+            # any_act gate in _tile_chunk_ranges kills them regardless
+            # of their hull values)
+            ok = jnp.broadcast_to(shared_origin[k], (nt,))
+            o_lo = o_hi = ok
+        else:
+            o = ro_soa[k].reshape(nt, TILE_RAYS)
+            if act_t is not None:
+                o_lo = jnp.min(jnp.where(act_t, o, INF), axis=1)
+                o_hi = jnp.max(jnp.where(act_t, o, -INF), axis=1)
+            else:
+                o_lo, o_hi = jnp.min(o, axis=1), jnp.max(o, axis=1)
         if act_t is not None:
-            o_lo = jnp.min(jnp.where(act_t, o, INF), axis=1)
-            o_hi = jnp.max(jnp.where(act_t, o, -INF), axis=1)
             i_lo = jnp.min(jnp.where(act_t, i, INF), axis=1)
             i_hi = jnp.max(jnp.where(act_t, i, -INF), axis=1)
-            return o_lo, o_hi, i_lo, i_hi
-        return (jnp.min(o, axis=1), jnp.max(o, axis=1),
-                jnp.min(i, axis=1), jnp.max(i, axis=1))
+        else:
+            i_lo, i_hi = jnp.min(i, axis=1), jnp.max(i, axis=1)
+        return o_lo, o_hi, i_lo, i_hi
 
     axes = tuple(per_axis(k) for k in range(3))
     any_act = None if act_t is None else jnp.any(act_t, axis=1)
@@ -756,7 +768,7 @@ def trace_bvh_mxu_paged(mxu, ro, rd, eps: float = EPS,
 def _trace_closest_paged(pages, ro, rd, eps, shared_origin, ordered,
                          active):
     shape, n, ro_soa, rd_soa, _, act = _pad_tiles(ro, rd, active=active)
-    hulls = _tile_hulls(ro_soa, rd_soa, act)
+    hulls = _tile_hulls(ro_soa, rd_soa, act, shared_origin=shared_origin)
     planes = _soa_planes(ro_soa, rd_soa)
     t0, x0, y0, z0 = _closest_page_rows(pages[0], planes, hulls,
                                         shared_origin, ordered, eps)
@@ -973,7 +985,7 @@ def trace_bvh_mxu(mxu: MXUBVH, ro, rd, eps: float = EPS,
     skipped block-wise, and their OUTPUT IS GARBAGE (arbitrary finite
     hit/miss); the caller must mask.  The sort-free gating path."""
     shape, n, ro_soa, rd_soa, _, act = _pad_tiles(ro, rd, active=active)
-    hulls = _tile_hulls(ro_soa, rd_soa, act)
+    hulls = _tile_hulls(ro_soa, rd_soa, act, shared_origin=shared_origin)
     planes = _soa_planes(ro_soa, rd_soa)
     rows = _closest_page_rows(mxu, planes, hulls, shared_origin, ordered,
                               eps)

@@ -133,7 +133,7 @@ class SceneCtx:
     # -- trace dispatch --
 
     def trace(self, ro, rd, eps: float = EPS, coherent: bool = True,
-              shared_origin=None, active=None) -> sa.Hit:
+              shared_origin=None, active=None, ordered=None) -> sa.Hit:
         """`active`: optional bool mask — lanes whose hit result the
         caller discards.  On TPU they are excluded from the tile cull
         hulls (all-inactive tiles skip block-wise) and their output is
@@ -147,10 +147,17 @@ class SceneCtx:
             # sizes; front-to-back ordered walk when all rays share one
             # origin); elsewhere: jnp skip-link walk.
             if _tpu():
+                # `ordered` defaults to "on when a shared origin is
+                # given" for back-compat; callers may pass
+                # shared_origin with ordered=False to get just the
+                # constant-origin hull fast path (primary rays always
+                # share the camera origin, ordered walk or not).
+                if ordered is None:
+                    ordered = shared_origin is not None
                 return trace_bvh_mxu_paged(
                     self.bvh.mxu, ro, rd, eps,
                     shared_origin=shared_origin,
-                    ordered=shared_origin is not None,
+                    ordered=ordered,
                     active=active)
             return trace_bvh(self.bvh.arrays, ro, rd, eps)
         return sa.trace_analytic(ro, rd, self.params, self.point_light_pos,

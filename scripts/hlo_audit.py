@@ -96,7 +96,8 @@ def stage_raygen_cull(height, width):
             px, py, rd = primary_rays(height, width, fin, params)
         ro = jnp.broadcast_to(fin.cam_pos, rd.shape)
         _, _, ro_soa, rd_soa, _, act = bm._pad_tiles(ro, rd, active=None)
-        hulls = bm._tile_hulls(ro_soa, rd_soa, act)
+        hulls = bm._tile_hulls(ro_soa, rd_soa, act,
+                               shared_origin=fin.cam_pos)
         outs = []
         for pg in pages:
             cull = bm._tile_chunk_ranges(pg.chunk_bounds, hulls)

@@ -298,3 +298,32 @@ def test_pad_chunks_fail_cull():
     # control: rays at the sphere still select its real chunk
     n_hit, gn_hit = ranges([0.0, 1.0, 3.0], [0.0, 0.0, -1.0])
     assert (n_hit >= 1).all() and (gn_hit >= 1).all()
+
+
+def test_shared_origin_hulls_match_reduced():
+    """The constant-origin hull fast path (primary rays: one camera
+    origin) must produce the same cull output as the reduced form."""
+    from opengl_raytracing_tpu.ops.bvh_mxu import (_tile_hulls,
+                                                   _tile_chunk_ranges)
+    tris = gather_triangles(make_icosphere(1.0, 2),
+                            model_transform((0.0, 1.0, -3.0), 1.0))
+    mxu = build_mxu_arrays(build_bvh(tris))
+    rng = np.random.RandomState(7)
+    n = 512
+    origin = np.asarray([0.3, 1.7, 4.2], np.float32)
+    ro = np.tile(origin, (n, 1))
+    rd = rng.randn(n, 3).astype(np.float32)
+    rd /= np.linalg.norm(rd, axis=1, keepdims=True)
+    soa_o = tuple(jnp.asarray(ro[:, k]) for k in range(3))
+    soa_d = tuple(jnp.asarray(rd[:, k]) for k in range(3))
+    act = jnp.asarray(rng.rand(n) > 0.3)  # mixed active gating
+
+    for a in (None, act):
+        ref = _tile_chunk_ranges(mxu.chunk_bounds,
+                                 _tile_hulls(soa_o, soa_d, a))
+        fast = _tile_chunk_ranges(
+            mxu.chunk_bounds,
+            _tile_hulls(soa_o, soa_d, a,
+                        shared_origin=jnp.asarray(origin)))
+        for r, f in zip(ref, fast):
+            np.testing.assert_array_equal(np.asarray(r), np.asarray(f))
