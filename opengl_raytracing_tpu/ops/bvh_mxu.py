@@ -85,6 +85,20 @@ SHADOW_PRECISION = _PREC[os.environ.get("ORT_SHADOW_PRECISION", "default")]
 # ceil(PAGE_CHUNKS/GROUP) <= 32.
 GROUP = int(os.environ.get("ORT_CHUNK_GROUP", "4"))
 
+# Shared-origin kernels take the camera origin as a tiny broadcast-
+# constant input instead of streaming three [NT,128] planes of the same
+# value (25 MB/frame at 1080p).  ORT_SMEM_ORIGIN=0 reverts to the plane
+# form (bench.py safe-mode includes it).
+SMEM_ORIGIN = os.environ.get("ORT_SMEM_ORIGIN", "1") == "1"
+
+
+def _origin_rows(origin):
+    """[8,128] f32 whose rows 0..2 broadcast the shared origin (rows
+    3..7 pad to the full f32 sublane tile)."""
+    o = jnp.asarray(origin, jnp.float32)
+    return jnp.broadcast_to(jnp.pad(o, (0, 5)).reshape(8, 1),
+                            (8, TILE_RAYS))
+
 
 def _subtiles_for(nt: int) -> int:
     # Large batched ray streams (multi-sample shadow wavefronts) amortize
@@ -358,13 +372,24 @@ def _soa_planes(ro_soa, rd_soa, extra=None):
     return planes
 
 
-def _expand_features(rows, s, with_tmax: bool):
+def _expand_features(rows, s, with_tmax: bool, o_rows=None):
     """Subtile row s of the SoA plane refs -> [16,128] MT feature rows
-    (d, o x d, o, 1, tmax, pad) built on the VPU."""
-    o = [r[pl.ds(s, 1), :] for r in rows[0:3]]
-    d = [r[pl.ds(s, 1), :] for r in rows[3:6]]
-    tmax = (rows[6][pl.ds(s, 1), :] if with_tmax
-            else jnp.zeros((1, TILE_RAYS), jnp.float32))
+    (d, o x d, o, 1, tmax, pad) built on the VPU.
+
+    `o_rows` (shared-origin variant): a tiny [8,128] VMEM ref whose rows
+    0..2 are the broadcast camera origin — `rows` then carries only the
+    3 direction planes, so the kernel never streams origin planes that
+    are pure constants (25 MB/frame of broadcasts at 1080p)."""
+    if o_rows is not None:
+        o = [o_rows[pl.ds(k, 1), :] for k in range(3)]
+        d = [r[pl.ds(s, 1), :] for r in rows[0:3]]
+        tmax = (rows[3][pl.ds(s, 1), :] if with_tmax
+                else jnp.zeros((1, TILE_RAYS), jnp.float32))
+    else:
+        o = [r[pl.ds(s, 1), :] for r in rows[0:3]]
+        d = [r[pl.ds(s, 1), :] for r in rows[3:6]]
+        tmax = (rows[6][pl.ds(s, 1), :] if with_tmax
+                else jnp.zeros((1, TILE_RAYS), jnp.float32))
     mx = o[1] * d[2] - o[2] * d[1]
     my = o[2] * d[0] - o[0] * d[2]
     mz = o[0] * d[1] - o[1] * d[0]
@@ -393,11 +418,21 @@ def _epilogue_inputs(out_uv, out_dt, eps):
 
 
 def _closest_kernel(ids_ref, perm_ref, gate_ref, gorder_ref, gbound_ref,
-                    meta_ref,
-                    ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
-                    cuv_ref, cdt_ref, norms_ref,
-                    t_ref, nx_ref, ny_ref, nz_ref, *,
-                    eps: float, subtiles: int, ordered: bool):
+                    meta_ref, *refs,
+                    eps: float, subtiles: int, ordered: bool,
+                    shared_o: bool = False):
+    if shared_o:
+        # planes carry only directions; the origin rides a tiny [8,128]
+        # broadcast-constant input (rows 0..2)
+        plane_refs = refs[0:3]
+        orow_ref = refs[3]
+        cuv_ref, cdt_ref, norms_ref = refs[4:7]
+        t_ref, nx_ref, ny_ref, nz_ref = refs[7:11]
+    else:
+        plane_refs = refs[0:6]
+        orow_ref = None
+        cuv_ref, cdt_ref, norms_ref = refs[6:9]
+        t_ref, nx_ref, ny_ref, nz_ref = refs[9:13]
     b = pl.program_id(0)
     # Empty-block fast path: a sky block (no candidate chunks anywhere)
     # only writes the miss pattern.
@@ -460,9 +495,8 @@ def _closest_kernel(ids_ref, perm_ref, gate_ref, gorder_ref, gbound_ref,
 
             @pl.when(st_active)
             def _work():
-                f = _expand_features(
-                    (ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref),
-                    s, with_tmax=False)          # [16,128] in-register
+                f = _expand_features(plane_refs, s, with_tmax=False,
+                                     o_rows=orow_ref)  # [16,128]
                 walk(s, f, lo, n, mlo, mhi)
 
             return 0
@@ -769,7 +803,12 @@ def _trace_closest_paged(pages, ro, rd, eps, shared_origin, ordered,
                          active):
     shape, n, ro_soa, rd_soa, _, act = _pad_tiles(ro, rd, active=active)
     hulls = _tile_hulls(ro_soa, rd_soa, act, shared_origin=shared_origin)
-    planes = _soa_planes(ro_soa, rd_soa)
+    if shared_origin is not None and SMEM_ORIGIN:
+        nt = ro_soa[0].shape[0] // TILE_RAYS
+        planes = [v.reshape(nt, TILE_RAYS) for v in rd_soa]
+        o_rows = _origin_rows(shared_origin)
+    else:
+        planes, o_rows = _soa_planes(ro_soa, rd_soa), None
     t0, x0, y0, z0 = _closest_page_rows(pages[0], planes, hulls,
                                         shared_origin, ordered, eps)
     for page in pages[1:]:
@@ -986,17 +1025,23 @@ def trace_bvh_mxu(mxu: MXUBVH, ro, rd, eps: float = EPS,
     hit/miss); the caller must mask.  The sort-free gating path."""
     shape, n, ro_soa, rd_soa, _, act = _pad_tiles(ro, rd, active=active)
     hulls = _tile_hulls(ro_soa, rd_soa, act, shared_origin=shared_origin)
-    planes = _soa_planes(ro_soa, rd_soa)
+    if shared_origin is not None and SMEM_ORIGIN:
+        nt = ro_soa[0].shape[0] // TILE_RAYS
+        planes = [v.reshape(nt, TILE_RAYS) for v in rd_soa]
+        o_rows = _origin_rows(shared_origin)
+    else:
+        planes, o_rows = _soa_planes(ro_soa, rd_soa), None
     rows = _closest_page_rows(mxu, planes, hulls, shared_origin, ordered,
-                              eps)
+                              eps, o_rows=o_rows)
     return _assemble_hit(rows, ro, rd, shape, n)
 
 
 def _closest_page_rows(mxu: MXUBVH, planes, hulls, shared_origin, ordered,
-                       eps):
+                       eps, o_rows=None):
     """One page's closest-hit kernel: flat rows (t, nx, ny, nz), each
     [NT,128].  `planes`/`hulls` are page-independent (computed once by
-    the caller)."""
+    the caller).  With `o_rows` (shared-origin fast path) `planes`
+    holds only the 3 direction planes."""
     nt = planes[0].shape[0]
     subtiles = _subtiles_for(nt)
     cull = _tile_chunk_ranges(mxu.chunk_bounds, hulls)
@@ -1022,18 +1067,21 @@ def _closest_page_rows(mxu: MXUBVH, planes, hulls, shared_origin, ordered,
         jlo = jhi = None
 
     kern = functools.partial(_closest_kernel, eps=eps, subtiles=subtiles,
-                             ordered=ordered and shared_origin is not None)
+                             ordered=ordered and shared_origin is not None,
+                             shared_o=o_rows is not None)
+    extra = () if o_rows is None else (o_rows,)
     ids_in, perm, gate = _sparse_plan(cn, nt, subtiles)
     return pl.pallas_call(
         kern,
-        grid_spec=_grid_specs(nt, 4, n_planes=6, n_full_inputs=3,
+        grid_spec=_grid_specs(nt, 4, n_planes=len(planes),
+                              n_full_inputs=3 + len(extra),
                               subtiles=subtiles),
         out_shape=[jax.ShapeDtypeStruct((nt, TILE_RAYS), jnp.float32)] * 4,
         interpret=_use_interpret(),
         compiler_params=_COMPILER_PARAMS,
     )(ids_in, perm, gate, gorder, gbound,
-      _pack_meta(cull, jlo, jhi), *planes, mxu.coef_uv, mxu.coef_dt,
-      mxu.norms)
+      _pack_meta(cull, jlo, jhi), *planes, *extra, mxu.coef_uv,
+      mxu.coef_dt, mxu.norms)
 
 
 def _assemble_hit(rows, ro, rd, shape, n) -> Hit:

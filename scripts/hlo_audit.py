@@ -99,10 +99,15 @@ def stage_raygen_cull(height, width):
         hulls = bm._tile_hulls(ro_soa, rd_soa, act,
                                shared_origin=fin.cam_pos)
         outs = []
+        nt = ro_soa[0].shape[0] // bm.TILE_RAYS
         for pg in pages:
             cull = bm._tile_chunk_ranges(pg.chunk_bounds, hulls)
-            outs.append(bm._sparse_plan(cull[1], ro_soa[0].shape[0]
-                                        // bm.TILE_RAYS))
+            outs.append(bm._sparse_plan(cull[1], nt))
+        # production shared-origin kernels stream direction planes only
+        # (the origin rides a [8,128] broadcast-constant input)
+        if bm.SMEM_ORIGIN:
+            return (outs, [v.reshape(nt, bm.TILE_RAYS) for v in rd_soa],
+                    bm._origin_rows(fin.cam_pos))
         return outs, bm._soa_planes(ro_soa, rd_soa)
 
     return _measure(fn, fin)

@@ -327,3 +327,39 @@ def test_shared_origin_hulls_match_reduced():
                         shared_origin=jnp.asarray(origin)))
         for r, f in zip(ref, fast):
             np.testing.assert_array_equal(np.asarray(r), np.asarray(f))
+
+
+def test_shared_origin_kernel_matches_plane_form(scene, monkeypatch):
+    """The shared-origin kernel variant (origin as a broadcast-constant
+    input, direction-only planes) must be bit-identical to the plane
+    form — the feature rows it expands are the same values."""
+    import opengl_raytracing_tpu.ops.bvh_mxu as bm
+    mxu, _ = scene
+    rng = np.random.RandomState(11)
+    n = 4096
+    origin = jnp.asarray([0.4, 2.1, 3.0], jnp.float32)
+    ro = jnp.broadcast_to(origin, (n, 3))
+    rd = rng.randn(n, 3).astype(np.float32)
+    rd /= np.linalg.norm(rd, axis=1, keepdims=True)
+    rd = jnp.asarray(rd)
+
+    # SMEM_ORIGIN is read at trace time: clear the jit cache between
+    # modes or the second call would reuse the first trace
+    monkeypatch.setattr(bm, "SMEM_ORIGIN", True)
+    jax.clear_caches()
+    fast = bm.trace_bvh_mxu(mxu, ro, rd, shared_origin=origin,
+                            ordered=False)
+    fast = jax.tree.map(np.asarray, fast)
+    monkeypatch.setattr(bm, "SMEM_ORIGIN", False)
+    jax.clear_caches()
+    ref = bm.trace_bvh_mxu(mxu, ro, rd, shared_origin=origin,
+                           ordered=False)
+    ref = jax.tree.map(np.asarray, ref)
+    np.testing.assert_array_equal(np.asarray(fast.t), np.asarray(ref.t))
+    np.testing.assert_array_equal(np.asarray(fast.n), np.asarray(ref.n))
+    # and the ordered walk composes with it
+    monkeypatch.setattr(bm, "SMEM_ORIGIN", True)
+    jax.clear_caches()
+    fo = bm.trace_bvh_mxu(mxu, ro, rd, shared_origin=origin, ordered=True)
+    np.testing.assert_array_equal(np.asarray(fo.t), np.asarray(ref.t))
+    jax.clear_caches()
