@@ -340,7 +340,8 @@ def main() -> int:
     # to compile on this backend), retry once with the conservative knob
     # settings so the benchmark still records a real number.
     SAFE = {"ORT_SPARSE_GRID": "0", "ORT_SWIZZLE": "0",
-            "ORT_MT_PRECISION": "highest", "ORT_SMEM_ORIGIN": "0"}
+            "ORT_MT_PRECISION": "highest", "ORT_SMEM_ORIGIN": "0",
+            "ORT_SHARED_SHADOW_ORIGIN": "0"}
 
     presets, close_far = {}, {}
     headline = None

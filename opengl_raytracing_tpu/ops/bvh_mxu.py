@@ -91,6 +91,14 @@ GROUP = int(os.environ.get("ORT_CHUNK_GROUP", "4"))
 # form (bench.py safe-mode includes it).
 SMEM_ORIGIN = os.environ.get("ORT_SMEM_ORIGIN", "1") == "1"
 
+# Multi-batch shadow wavefronts whose batches share ONE origin array
+# (compute_ao: S hemisphere samples from the same offset hit points)
+# materialize the origin planes once and let the kernel's index map
+# repeat them per batch, instead of concatenating k identical copies.
+# ORT_SHARED_SHADOW_ORIGIN=0 reverts (bench safe-mode includes it).
+SHARED_SHADOW_ORIGIN = os.environ.get(
+    "ORT_SHARED_SHADOW_ORIGIN", "1") == "1"
+
 
 def _origin_rows(origin):
     """[8,128] f32 whose rows 0..2 broadcast the shared origin (rows
@@ -234,7 +242,7 @@ def _tile_hulls(ro_soa, rd_soa, act=None, shared_origin=None):
     its minor dim 43x on TPU (measured: each pass over one costs ~7ms at
     12M rays).
     """
-    nt = ro_soa[0].shape[0] // TILE_RAYS
+    nt = rd_soa[0].shape[0] // TILE_RAYS
     act_t = None if act is None else act.reshape(nt, TILE_RAYS)
 
     def per_axis(k):
@@ -248,12 +256,22 @@ def _tile_hulls(ro_soa, rd_soa, act=None, shared_origin=None):
             ok = jnp.broadcast_to(shared_origin[k], (nt,))
             o_lo = o_hi = ok
         else:
-            o = ro_soa[k].reshape(nt, TILE_RAYS)
-            if act_t is not None:
-                o_lo = jnp.min(jnp.where(act_t, o, INF), axis=1)
-                o_hi = jnp.max(jnp.where(act_t, o, -INF), axis=1)
+            # shared-origin wavefronts pass ONE batch of origin planes
+            # (length L) while directions span k*L: reduce the single
+            # copy and tile the stats per batch (per-batch `act` rows
+            # are identical by construction, so the first batch's mask
+            # slice is the right one)
+            nt_o = ro_soa[k].shape[0] // TILE_RAYS
+            o = ro_soa[k].reshape(nt_o, TILE_RAYS)
+            a_o = act_t[:nt_o] if act_t is not None else None
+            if a_o is not None:
+                o_lo = jnp.min(jnp.where(a_o, o, INF), axis=1)
+                o_hi = jnp.max(jnp.where(a_o, o, -INF), axis=1)
             else:
                 o_lo, o_hi = jnp.min(o, axis=1), jnp.max(o, axis=1)
+            if nt_o != nt:
+                o_lo = jnp.tile(o_lo, nt // nt_o)
+                o_hi = jnp.tile(o_hi, nt // nt_o)
         if act_t is not None:
             i_lo = jnp.min(jnp.where(act_t, i, INF), axis=1)
             i_hi = jnp.max(jnp.where(act_t, i, -INF), axis=1)
@@ -824,25 +842,56 @@ def _trace_closest_paged(pages, ro, rd, eps, shared_origin, ordered,
 
 def trace_bvh_shadow_mxu_paged(mxu, ro, rd, t_max, eps: float = EPS,
                                active=None):
-    """Any hit across all pages (or merge); prep shared across pages."""
+    """Any hit across all pages (or merge); prep shared across pages.
+
+    Detects shared-origin wavefronts HERE (outside jit — tuple
+    flattening would sever the array identity inside): when every batch
+    passes the same origin array, only one copy enters the stream."""
     pages = _as_pages(mxu)
+    shared_k = 0
+    if (SHARED_SHADOW_ORIGIN and isinstance(ro, (list, tuple))
+            and len(ro) > 1 and all(r is ro[0] for r in ro[1:])):
+        shared_k = len(ro)
+        ro = (ro[0],)
     if len(pages) == 1:
-        return trace_bvh_shadow_mxu(pages[0], ro, rd, t_max, eps, active)
-    return _trace_shadow_paged(pages, ro, rd, t_max, eps, active)
+        return trace_bvh_shadow_mxu(pages[0], ro, rd, t_max, eps, active,
+                                    shared_k=shared_k)
+    return _trace_shadow_paged(pages, ro, rd, t_max, eps, active, shared_k)
 
 
-@functools.partial(jax.jit, static_argnames=("eps",))
-def _trace_shadow_paged(pages, ro, rd, t_max, eps, active):
-    shape, n, ro_soa, rd_soa, tm, act = _shadow_prep(ro, rd, t_max, active)
-    nt = ro_soa[0].shape[0] // TILE_RAYS
+def _shadow_stream(ro_soa, rd_soa, tm, act):
+    """(t_cap, hulls, planes) of a prepped shadow stream; origin planes
+    may hold one batch of a shared-origin wavefront (shorter)."""
+    nt = rd_soa[0].shape[0] // TILE_RAYS
     t_cap = jnp.max(tm.reshape(nt, TILE_RAYS), axis=1)
     hulls = _tile_hulls(ro_soa, rd_soa, act)
-    planes = _soa_planes(ro_soa, rd_soa, tm)
+    nt_o = ro_soa[0].shape[0] // TILE_RAYS
+    if nt_o != nt:
+        planes = ([v.reshape(nt_o, TILE_RAYS) for v in ro_soa]
+                  + [v.reshape(nt, TILE_RAYS) for v in (*rd_soa, tm)])
+    else:
+        planes = _soa_planes(ro_soa, rd_soa, tm)
+    return t_cap, hulls, planes
+
+
+def _shadow_unpack(occ_rows, shape, n, layout):
+    flat = occ_rows.reshape(-1)
+    if layout is None:
+        return flat[:n].reshape(shape) > 0.5
+    k, L, n_item = layout  # interior per-batch padding
+    return flat.reshape(k, L)[:, :n_item].reshape(shape) > 0.5
+
+
+@functools.partial(jax.jit, static_argnames=("eps", "shared_k"))
+def _trace_shadow_paged(pages, ro, rd, t_max, eps, active, shared_k=0):
+    shape, n, ro_soa, rd_soa, tm, act, layout = _shadow_prep(
+        ro, rd, t_max, active, shared_k)
+    t_cap, hulls, planes = _shadow_stream(ro_soa, rd_soa, tm, act)
     occ = _shadow_page_rows(pages[0], planes, hulls, t_cap, eps)
     for page in pages[1:]:
         occ = jnp.maximum(occ, _shadow_page_rows(page, planes, hulls,
                                                  t_cap, eps))
-    return occ.reshape(-1)[:n].reshape(shape) > 0.5
+    return _shadow_unpack(occ, shape, n, layout)
 
 
 def _pad_tiles(ro, rd, extra=None, active=None):
@@ -853,19 +902,66 @@ def _pad_tiles(ro, rd, extra=None, active=None):
     Thin k=1 wrapper over _pad_tiles_multi (single source of truth for
     pad sentinels and group sizing); the caller shape drops the
     synthetic leading batch axis."""
-    shape, n, ro_soa, rd_soa, e, act = _pad_tiles_multi(
+    shape, n, ro_soa, rd_soa, e, act, _ = _pad_tiles_multi(
         (ro,), (rd,), None if extra is None else (extra,), active)
     return shape[1:], n, ro_soa, rd_soa, e, act
 
 
-def _pad_tiles_multi(ro_seq, rd_seq, extra_seq, active):
+def _pad_tiles_multi(ro_seq, rd_seq, extra_seq, active, shared_k=0):
     """Tuple-of-batches form of _pad_tiles: k same-shape ray batches
     (e.g. the 4-disk + sun + point shadow wavefront) trace as ONE
     concatenated stream WITHOUT materializing the [k,...,3] stacks the
     callers used to build — each batch's component plane is sliced
     straight out of its (fused) producer.  `active` has the per-ITEM
-    shape and is reused for every batch.  Returns the same tuple as
-    _pad_tiles with shape == (k,) + item_shape."""
+    shape and is reused for every batch.  Returns the _pad_tiles tuple
+    with shape == (k,) + item_shape, plus a `layout` field.
+
+    `shared_k > 0` (shared-origin wavefront; ro_seq holds ONE batch):
+    every batch is padded to a whole block-group so batch boundaries
+    are block-aligned, the origin planes materialize ONCE (length L =
+    padded item size; the kernel's index map repeats them per batch),
+    and layout = (k, L, n_item) describes the interior padding for
+    unpacking.  Otherwise layout is None and only the stream tail pads.
+    """
+    if shared_k:
+        k = shared_k
+        shape0 = jnp.broadcast_shapes(jnp.shape(ro_seq[0])[:-1],
+                                      jnp.shape(rd_seq[0])[:-1])
+        n_item = int(np.prod(shape0)) if shape0 else 1
+        group = TILE_RAYS * _subtiles_for(k * n_item // TILE_RAYS + 1)
+        item_pad = -n_item % group
+        L = n_item + item_pad
+
+        def comp_b(seq, kk, pad_val):
+            parts = []
+            for a in seq:
+                parts.append(jnp.broadcast_to(a, shape0 + (3,))[..., kk]
+                             .reshape(-1))
+                if item_pad:
+                    parts.append(jnp.full((item_pad,), pad_val,
+                                          jnp.float32))
+            return jnp.concatenate(parts) if len(parts) > 1 else parts[0]
+
+        ro_soa = (comp_b(ro_seq[:1], 0, 1e8), comp_b(ro_seq[:1], 1, 1e8),
+                  comp_b(ro_seq[:1], 2, 1e8))          # ONE copy [L]
+        rd_soa = (comp_b(rd_seq, 0, 1.0), comp_b(rd_seq, 1, 0.0),
+                  comp_b(rd_seq, 2, 0.0))              # full [k*L]
+        parts = []
+        for x in extra_seq:
+            parts.append(jnp.broadcast_to(x, shape0).reshape(-1))
+            if item_pad:
+                parts.append(jnp.zeros(item_pad, jnp.float32))
+        e = jnp.concatenate(parts) if len(parts) > 1 else parts[0]
+        if active is not None:
+            af = jnp.broadcast_to(active, shape0).reshape(-1)
+            one = [af] + ([jnp.zeros(item_pad, jnp.bool_)]
+                          if item_pad else [])
+            one = jnp.concatenate(one) if len(one) > 1 else one[0]
+            act = jnp.concatenate([one] * k) if k > 1 else one
+        else:
+            act = None
+        return (k,) + shape0, k * L, ro_soa, rd_soa, e, act, (k, L, n_item)
+
     k = len(ro_seq)
     shape0 = jnp.broadcast_shapes(jnp.shape(ro_seq[0])[:-1],
                                   jnp.shape(rd_seq[0])[:-1])
@@ -900,7 +996,7 @@ def _pad_tiles_multi(ro_seq, rd_seq, extra_seq, active):
         act = jnp.concatenate(acts) if len(acts) > 1 else acts[0]
     else:
         act = None
-    return (k,) + shape0, n, ro_soa, rd_soa, e, act
+    return (k,) + shape0, n, ro_soa, rd_soa, e, act, None
 
 
 # The GROUP-chunk matmul blocks ([GROUP*256,128] outs + epilogue temps)
@@ -909,7 +1005,8 @@ def _pad_tiles_multi(ro_seq, rd_seq, extra_seq, active):
 _COMPILER_PARAMS = pltpu.CompilerParams(vmem_limit_bytes=64 * 1024 * 1024)
 
 
-def _grid_specs(nt, n_out, n_planes, n_full_inputs=1, subtiles=SUBTILES):
+def _grid_specs(nt, n_out, n_planes, n_full_inputs=1, subtiles=SUBTILES,
+                o_mod_blocks=None):
     """SPARSE grid plumbing: the grid still runs NB steps, but the
     active blocks are compacted to the FRONT via prefetched dynamic
     index maps (`ids_in` for inputs, `perm` for outputs):
@@ -936,13 +1033,23 @@ def _grid_specs(nt, n_out, n_planes, n_full_inputs=1, subtiles=SUBTILES):
                             memory_space=pltpu.VMEM)
     in_spec = pl.BlockSpec((subtiles, TILE_RAYS), in_map,
                            memory_space=pltpu.VMEM)
+    plane_specs = [in_spec] * n_planes
+    if o_mod_blocks is not None:
+        # shared-origin wavefront: the 3 origin planes hold ONE batch
+        # (o_mod_blocks blocks); batches are block-aligned, so block b
+        # of the stream reads origin block ids[b] % o_mod_blocks
+        def in_map_o(b, ids, perm, n, go, gb):
+            return (ids[b] % o_mod_blocks, 0)
+        o_spec = pl.BlockSpec((subtiles, TILE_RAYS), in_map_o,
+                              memory_space=pltpu.VMEM)
+        plane_specs = [o_spec] * 3 + [in_spec] * (n_planes - 3)
     return pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=5,
         grid=(nt // subtiles,),
         in_specs=[
             pl.BlockSpec((subtiles, META_W), in_map,
                          memory_space=pltpu.VMEM),
-        ] + [in_spec] * n_planes
+        ] + plane_specs
           + [pl.BlockSpec(memory_space=pltpu.VMEM)] * n_full_inputs,
         out_specs=[out_spec] * n_out if n_out > 1 else out_spec,
     )
@@ -1099,21 +1206,23 @@ def _assemble_hit(rows, ro, rd, shape, n) -> Hit:
                jnp.ones(shape, jnp.int32))
 
 
-def _shadow_prep(ro, rd, t_max, active):
+def _shadow_prep(ro, rd, t_max, active, shared_k=0):
     """Collapse inactive windows and pad: handles both the array form
-    and the tuple-of-batches form."""
+    and the tuple-of-batches form.  Returns (..., layout); see
+    _pad_tiles_multi for the shared_k layout contract."""
     if isinstance(ro, (list, tuple)):
         if active is not None:
             t_max = tuple(jnp.where(active, w, -1.0) for w in t_max)
-        return _pad_tiles_multi(tuple(ro), tuple(rd), tuple(t_max), active)
+        return _pad_tiles_multi(tuple(ro), tuple(rd), tuple(t_max), active,
+                                shared_k=shared_k)
     if active is not None:
         t_max = jnp.where(active, t_max, -1.0)
-    return _pad_tiles(ro, rd, t_max, active=active)
+    return _pad_tiles(ro, rd, t_max, active=active) + (None,)
 
 
-@functools.partial(jax.jit, static_argnames=("eps",))
+@functools.partial(jax.jit, static_argnames=("eps", "shared_k"))
 def trace_bvh_shadow_mxu(mxu: MXUBVH, ro, rd, t_max, eps: float = EPS,
-                         active=None):
+                         active=None, shared_k: int = 0):
     """Any-hit with per-ray window via cull + MXU MT.  Returns bool mask.
 
     `active` tightens the tile cull hulls to real lanes (see
@@ -1124,19 +1233,24 @@ def trace_bvh_shadow_mxu(mxu: MXUBVH, ro, rd, t_max, eps: float = EPS,
     shadow wavefront): traced as one concatenated stream, result shape
     (k,) + item_shape, with `active` in the per-item shape — this avoids
     materializing [k,...,3] stacks caller-side."""
-    shape, n, ro_soa, rd_soa, tm, act = _shadow_prep(ro, rd, t_max, active)
-    nt = ro_soa[0].shape[0] // TILE_RAYS
-    t_cap = jnp.max(tm.reshape(nt, TILE_RAYS), axis=1)
-    hulls = _tile_hulls(ro_soa, rd_soa, act)
-    planes = _soa_planes(ro_soa, rd_soa, tm)
+    shape, n, ro_soa, rd_soa, tm, act, layout = _shadow_prep(
+        ro, rd, t_max, active, shared_k)
+    t_cap, hulls, planes = _shadow_stream(ro_soa, rd_soa, tm, act)
     occ_rows = _shadow_page_rows(mxu, planes, hulls, t_cap, eps)
-    return occ_rows.reshape(-1)[:n].reshape(shape) > 0.5
+    return _shadow_unpack(occ_rows, shape, n, layout)
 
 
 def _shadow_page_rows(mxu: MXUBVH, planes, hulls, t_cap, eps):
-    """One page's any-hit kernel: flat occlusion rows [NT,128] f32."""
-    nt = planes[0].shape[0]
+    """One page's any-hit kernel: flat occlusion rows [NT,128] f32.
+    Shared-origin wavefronts pass origin planes holding ONE batch
+    (shorter than the direction planes); the grid spec repeats them."""
+    nt = planes[3].shape[0]  # direction plane = full stream length
     subtiles = _subtiles_for(nt)
+    nt_o = planes[0].shape[0]
+    o_mod = None
+    if nt_o != nt:
+        assert nt_o % subtiles == 0, (nt_o, subtiles)
+        o_mod = nt_o // subtiles
     cull = _tile_chunk_ranges(mxu.chunk_bounds, hulls, t_cap)
     cn = cull[1]
     nc = mxu.coef_dt.shape[0]
@@ -1145,7 +1259,7 @@ def _shadow_page_rows(mxu: MXUBVH, planes, hulls, t_cap, eps):
     return pl.pallas_call(
         kern,
         grid_spec=_grid_specs(nt, 1, n_planes=7, n_full_inputs=2,
-                              subtiles=subtiles),
+                              subtiles=subtiles, o_mod_blocks=o_mod),
         out_shape=jax.ShapeDtypeStruct((nt, TILE_RAYS), jnp.float32),
         interpret=_use_interpret(),
         compiler_params=_COMPILER_PARAMS,

@@ -363,3 +363,40 @@ def test_shared_origin_kernel_matches_plane_form(scene, monkeypatch):
     fo = bm.trace_bvh_mxu(mxu, ro, rd, shared_origin=origin, ordered=True)
     np.testing.assert_array_equal(np.asarray(fo.t), np.asarray(ref.t))
     jax.clear_caches()
+
+
+def test_shared_shadow_origin_wavefront_matches(scene, monkeypatch):
+    """AO-style wavefront: k batches passing the SAME origin array must
+    produce identical occlusion through the deduplicated layout (one
+    origin copy + block-aligned batches + modulo index map) as through
+    the plain concatenated form — including a non-group-multiple item
+    size (interior padding) and active gating."""
+    import opengl_raytracing_tpu.ops.bvh_mxu as bm
+    mxu, _ = scene
+    rng = np.random.RandomState(23)
+    n_item = 5000  # NOT a multiple of the 4096-ray block group
+    org = jnp.asarray(rng.uniform(-2, 2, (n_item, 3)).astype(np.float32))
+    dirs = []
+    for _ in range(4):
+        d = rng.randn(n_item, 3).astype(np.float32)
+        d /= np.linalg.norm(d, axis=1, keepdims=True)
+        dirs.append(jnp.asarray(d))
+    win = jnp.full((n_item,), 6.0, jnp.float32)
+    active = jnp.asarray(rng.rand(n_item) > 0.25)
+
+    def run():
+        return np.asarray(bm.trace_bvh_shadow_mxu_paged(
+            (mxu,), (org,) * 4, tuple(dirs), (win,) * 4, active=active))
+
+    monkeypatch.setattr(bm, "SHARED_SHADOW_ORIGIN", True)
+    jax.clear_caches()
+    shared = run()
+    monkeypatch.setattr(bm, "SHARED_SHADOW_ORIGIN", False)
+    jax.clear_caches()
+    plain = run()
+    jax.clear_caches()
+    assert shared.shape == plain.shape == (4, n_item)
+    a = np.asarray(active)
+    np.testing.assert_array_equal(shared[:, a], plain[:, a])
+    # inactive lanes are contract-False on both paths
+    assert not shared[:, ~a].any() and not plain[:, ~a].any()
