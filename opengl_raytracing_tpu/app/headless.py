@@ -107,10 +107,18 @@ def make_app(args) -> Application:
 
     if args.resume:
         p, cam, frame, rs = load_snapshot(args.resume)
+        # CLI overrides win over the snapshot: re-apply --set/--sweep on
+        # the restored params (otherwise a sweep over a resumed run
+        # would silently render identical images)
+        p = _apply_overrides(p, args.set)
         state.params = state.prev_params = p
         state.camera = cam
         state.frame = frame
         state.restore_render_state(rs)
+        # keep the hotkey mirrors in sync with the restored params (the
+        # viewer's /set maintains the same invariant)
+        application.input.exposure = float(np.asarray(p.exposure))
+        application.input.spp_per_frame = int(p.spp_per_frame)
         log("CKPT", "resumed from %s at frame %d", args.resume,
             int(np.asarray(rs.frame_index)))
 
@@ -149,9 +157,12 @@ def main(argv=None) -> int:
 
     if args.sweep:
         field, values = args.sweep.split("=", 1)
+        base_set = list(args.set)
         for v in values.split(","):
-            sweep_args = args
-            sweep_args.set = list(args.set) + [f"{field}={v}"]
+            # fresh Namespace per value: aliasing args would accumulate
+            # every previous sweep override into later iterations
+            sweep_args = argparse.Namespace(**vars(args))
+            sweep_args.set = base_set + [f"{field}={v}"]
             application = make_app(sweep_args)
             img = application.run(args.frames)
             _dump(img, os.path.join(args.out, f"sweep_{field}_{v}.png"))
@@ -168,6 +179,12 @@ def main(argv=None) -> int:
         img = application.step()
         if args.dump_every and (f + 1) % args.dump_every == 0:
             _dump(img, os.path.join(args.out, f"frame_{f:04d}.png"))
+    if img is not None:
+        # force completion BEFORE reading the clock: dispatch is async
+        # and block_until_ready is unreliable on the axon platform
+        # (CLAUDE.md) — without the readback the BENCH line would time
+        # queueing, not rendering
+        img = np.asarray(img)
     wall = time.time() - t0
     if img is not None:
         _dump(img, os.path.join(args.out, "frame_last.png"))

@@ -66,17 +66,24 @@ def apply_action(state: InputState, action: str, app=None) -> InputState:
     elif action == "toggle_pointer_lock":   # P
         state.toggled_pointer_lock = True
     elif action == "spp_cycle":             # F3: 1-2-4-8-16-1 with wrap
-        i = SPP_PRESETS.index(_nearest_preset(state.spp_per_frame))
-        state.spp_per_frame = SPP_PRESETS[(i + 1) % len(SPP_PRESETS)]
+        # exact-match chain like the reference (input.cpp:76-84): any
+        # NON-preset value (e.g. --set spp_per_frame=6) wraps to 1
+        state.spp_per_frame = {1: 2, 2: 4, 4: 8, 8: 16}.get(
+            state.spp_per_frame, 1)
         state.changed_spp = True
     elif action == "spp_up":                # Up: saturate at 16
-        i = SPP_PRESETS.index(_nearest_preset(state.spp_per_frame))
-        state.spp_per_frame = SPP_PRESETS[min(i + 1, len(SPP_PRESETS) - 1)]
-        state.changed_spp = True
-    elif action == "spp_down":              # Down
-        i = SPP_PRESETS.index(_nearest_preset(state.spp_per_frame))
-        state.spp_per_frame = SPP_PRESETS[max(i - 1, 0)]
-        state.changed_spp = True
+        # threshold form, exact for NON-preset values too (spp=6 -> 8,
+        # not nearest-preset index math; reference: input.cpp:91-106)
+        old = state.spp_per_frame
+        state.spp_per_frame = (2 if old < 2 else 4 if old < 4
+                               else 8 if old < 8 else 16 if old < 16
+                               else old)
+        state.changed_spp = state.spp_per_frame != old or state.changed_spp
+    elif action == "spp_down":              # Down (input.cpp:108-121)
+        old = state.spp_per_frame
+        state.spp_per_frame = (8 if old > 8 else 4 if old > 4
+                               else 2 if old > 2 else 1)
+        state.changed_spp = state.spp_per_frame != old or state.changed_spp
     elif action.startswith("spp_preset_"):  # keys 1..4 -> 2/4/8/16
         idx = int(action.rsplit("_", 1)[1])  # (reference: input.cpp:124-144)
         state.spp_per_frame = SPP_PRESETS[max(1, min(idx,
@@ -102,13 +109,12 @@ def apply_action(state: InputState, action: str, app=None) -> InputState:
         app.camera.zoom(float(action.split()[1]))
         state.camera_changed_this_frame = True
         state.zoomed = True
+    elif (action.startswith(("move_", "look ", "zoom "))
+          and app is None):
+        raise ValueError(f"action {action!r} requires an app (camera)")
     else:
         raise ValueError(f"unknown action {action!r}")
     return state
-
-
-def _nearest_preset(spp: int) -> int:
-    return min(SPP_PRESETS, key=lambda p: abs(p - spp))
 
 
 ACTIONS: Dict[str, str] = {

@@ -218,7 +218,8 @@ def _tile_spec():
 
 def _flatten_rays(ro, rd, extra=None):
     """[...,3] rays -> padded SoA [S,128] arrays + shape/pad info."""
-    shape = jnp.broadcast_shapes(jnp.shape(ro)[:-1], jnp.shape(rd)[:-1])
+    shape = jnp.broadcast_shapes(jnp.shape(ro)[:-1], jnp.shape(rd)[:-1],
+                                 () if extra is None else jnp.shape(extra))
     ro = jnp.broadcast_to(ro, shape + (3,)).reshape(-1, 3)
     rd = jnp.broadcast_to(rd, shape + (3,)).reshape(-1, 3)
     n = ro.shape[0]

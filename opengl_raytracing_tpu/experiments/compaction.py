@@ -34,7 +34,11 @@ def compact_masked_eval(shade_fn, mask, radiance, lanes, budget_div=8):
     shape = mask.shape
     r = int(np.prod(shape))
     b = max(1024, -(-r // budget_div // 1024) * 1024)
-    b = min(b, r)
+    # b must stay a TILE multiple: min(b, r) with a small non-128-
+    # multiple r (tiny debug images) would make the in-loop reshape
+    # (b//TILE, TILE) fail — round r UP instead (the safe gather clamps
+    # indices, and .set(mode="drop") discards out-of-range writes)
+    b = min(b, -(-r // TILE) * TILE)
 
     mask_f = mask.reshape(r)
     count = jnp.sum(mask_f.astype(jnp.int32))

@@ -36,8 +36,7 @@ def _use_interpret() -> bool:
     return jax.default_backend() != "tpu"
 
 
-def _kernel(par_ref, planes_ref, out_ref, slab, sem, *, h: int, w: int,
-            wp: int):
+def _kernel(par_ref, planes_ref, out_ref, slab, sem, *, h: int, w: int):
     b = pl.program_id(0)
     var_max, k_var0, k_color0, k_var_m, k_color_m = (
         par_ref[0, 0], par_ref[0, 1], par_ref[0, 2], par_ref[0, 3],
@@ -152,7 +151,7 @@ def svgf_filter_pallas(accum, motion, gpos, gnrm, params: RenderParams):
         jnp.zeros((), jnp.float32), jnp.zeros((), jnp.float32),
         jnp.zeros((), jnp.float32)]).reshape(1, 8)
 
-    kern = functools.partial(_kernel, h=h, w=w, wp=wp)
+    kern = functools.partial(_kernel, h=h, w=w)
     out = pl.pallas_call(
         kern,
         grid=(hb // BH,),

@@ -225,3 +225,53 @@ def test_spp_number_keys():
     a.act("spp_preset_3")
     a.step()
     assert a.app.params.spp_per_frame == 8
+
+
+def test_spp_updown_threshold_semantics():
+    """Up/Down/F3 must follow the reference's threshold/exact-match
+    chains for NON-preset values too (input.cpp:76-121): spp=6 Up -> 8,
+    Down -> 4; F3 from a non-preset wraps to 1."""
+    from opengl_raytracing_tpu.app.input import InputState, apply_action
+    st = InputState(spp_per_frame=6)
+    apply_action(st, "spp_up")
+    assert st.spp_per_frame == 8
+    st = InputState(spp_per_frame=6)
+    apply_action(st, "spp_down")
+    assert st.spp_per_frame == 4
+    st = InputState(spp_per_frame=6)
+    apply_action(st, "spp_cycle")
+    assert st.spp_per_frame == 1
+    st = InputState(spp_per_frame=16)
+    apply_action(st, "spp_up")
+    assert st.spp_per_frame == 16 and not st.changed_spp
+
+
+def test_camera_action_without_app_raises_clear_error():
+    from opengl_raytracing_tpu.app.input import InputState, apply_action
+    import pytest
+    with pytest.raises(ValueError, match="requires an app"):
+        apply_action(InputState(), "move_w")
+
+
+def test_resume_reapplies_cli_overrides(tmp_path):
+    """--set overrides must win over a resumed snapshot's params, and
+    the hotkey mirrors must track the restored values."""
+    import argparse
+    from opengl_raytracing_tpu.app.headless import build_parser, make_app
+    base = build_parser().parse_args(
+        ["--cpu", "--size", "32x24", "--frames", "1"])
+    app1 = make_app(base)
+    p = str(tmp_path / "snap.npz")
+    from opengl_raytracing_tpu.utils.checkpoint import save_snapshot
+    a = app1.app
+    a.params = a.params.replace(exposure=2.0)
+    save_snapshot(p, a.params, a.camera, a.frame, a.render_state)
+
+    resumed = argparse.Namespace(**vars(base))
+    resumed.resume = p
+    resumed.set = ["sun_intensity=0.9"]
+    app2 = make_app(resumed)
+    assert float(np.asarray(app2.app.params.exposure)) == 2.0  # snapshot
+    assert abs(float(np.asarray(
+        app2.app.params.sun_intensity)) - 0.9) < 1e-6  # CLI override wins
+    assert app2.input.exposure == 2.0  # mirror synced
