@@ -10,11 +10,12 @@ Usage: python scripts/ablate.py [--case KEY]
 
 import json
 import os
-import subprocess
 import sys
 import time
 
-sys.path.insert(0, ".")
+_SCRIPTS = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, os.path.dirname(_SCRIPTS))
+sys.path.insert(0, _SCRIPTS)
 
 H, W = 1080, 1920
 REPS = int(os.environ.get("ABLATE_REPS", "16"))
@@ -57,8 +58,9 @@ def child(key: str) -> None:
     import jax
     import jax.numpy as jnp
     from opengl_raytracing_tpu.models import pipeline as pl
-    from opengl_raytracing_tpu.models.pipeline import (RenderState,
-                                                       primary_rays)
+    from opengl_raytracing_tpu.models.pipeline import (
+        RenderState, primary_rays, primary_dirs, swizzled_pixel_centers,
+        _swizzle_pads, unswizzle)
     from opengl_raytracing_tpu.ops.scene import SceneCtx
     from opengl_raytracing_tpu.ops import lighting as lt
     from opengl_raytracing_tpu.ops.taa import resolve_taa
@@ -67,17 +69,28 @@ def child(key: str) -> None:
     from opengl_raytracing_tpu.ops.vecmath import normalize
 
     params, bvh, fin, state = _setup()
+    pads = _swizzle_pads(H, W)
 
     def prefix(i, upto: str):
-        """One iteration of the pipeline prefix; returns a scalar."""
+        """One iteration of the pipeline prefix; returns a scalar.
+
+        Mirrors the PRODUCTION trace path (trace_and_shade): block-order
+        ray stream + shared-origin trace — a row-major unshared prefix
+        would measure a slower kernel path than render_frame executes
+        and misattribute the frame time."""
         scene = SceneCtx.create(params, fin.cam_pos, env_map=None,
                                 use_bvh=True, bvh=bvh)
-        px, py, rd = primary_rays(H, W, fin, params)
+        if pads is not None:
+            px, py = swizzled_pixel_centers(H, W, *pads)
+            rd = primary_dirs(px, py, H, W, fin, params)
+        else:
+            px, py, rd = primary_rays(H, W, fin, params)
         rd = rd + i * 1e-7  # defeat CSE across reps
         if upto == "raygen":
             return jnp.sum(rd)
         ro = jnp.broadcast_to(fin.cam_pos, rd.shape)
-        h_raw = scene.trace(ro, rd)
+        h_raw = scene.trace(ro, rd, shared_origin=scene.cam_pos,
+                            ordered=False)
         if upto == "primary":
             return jnp.sum(h_raw.t.clip(0, 1e3))
         hit_mask = h_raw.valid
@@ -104,12 +117,20 @@ def child(key: str) -> None:
         curr = jnp.where(hit_mask[..., None], shaded, sky_radiance)
         if upto == "shade":
             return jnp.sum(curr)
+
+        def grid(a):  # flat block-order -> [H,W] like trace_and_shade
+            if pads is None:
+                return a
+            sw_h, sw_w = H + pads[0], W + pads[1]
+            return unswizzle(a, sw_h, sw_w)[:H, :W]
+
+        curr, motion = grid(curr), grid(motion)
         accum = resolve_taa(curr, motion * 0, state.accum, jnp.int32(i),
                             params)
         if upto == "taa":
             return jnp.sum(accum)
-        gpos = jnp.where(hit_mask[..., None], h.p, 0.0)
-        gnrm = jnp.where(hit_mask[..., None], normalize(h.n), 0.0)
+        gpos = grid(jnp.where(hit_mask[..., None], h.p, 0.0))
+        gnrm = grid(jnp.where(hit_mask[..., None], normalize(h.n), 0.0))
         img = present(accum, motion, gpos, gnrm, params, show_motion=False)
         return jnp.sum(img)
 
@@ -139,19 +160,11 @@ def child(key: str) -> None:
 
 
 def main() -> int:
+    from childproc import run_child
     results = {}
     for key in CASES:
-        try:
-            out = subprocess.run(
-                [sys.executable, os.path.abspath(__file__), "--case", key],
-                capture_output=True, timeout=560, text=True)
-            lines = [ln for ln in out.stdout.splitlines()
-                     if ln.startswith("{")]
-            results[key] = (json.loads(lines[-1]) if lines
-                            else {"error": f"rc={out.returncode}",
-                                  "stderr": out.stderr[-400:]})
-        except subprocess.TimeoutExpired:
-            results[key] = {"error": "timeout (tpu wedged?)"}
+        results[key] = run_child(
+            [sys.executable, os.path.abspath(__file__), "--case", key], 560)
         print(key, results[key], flush=True)
     return 0
 

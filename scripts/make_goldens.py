@@ -45,7 +45,7 @@ def golden_configs():
                                    height=144, width=192),
         "analytic_full_large": dict(preset="full", height=144, width=192,
                                     frames=2),
-        # camera-in-motion TAA: 4 frames with the camera strafing right,
+        # camera-in-motion TAA: 3 frames with the camera strafing right,
         # real motion vectors + reprojection weights exercised end-to-end
         # (reference: rt_taa.glsl:116-174)
         "taa_motion_seq": dict(preset="realistic", motion=True, frames=3,

@@ -13,11 +13,12 @@ Usage: python scripts/probe_incoherent.py [--case KEY]
 
 import json
 import os
-import subprocess
 import sys
 import time
 
-sys.path.insert(0, ".")
+_SCRIPTS = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, os.path.dirname(_SCRIPTS))
+sys.path.insert(0, _SCRIPTS)
 
 H, W = 1080, 1920
 REPS = int(os.environ.get("PROBE_REPS", "8"))
@@ -29,7 +30,7 @@ CASES = [
     "gi_coherent",      # closest-hit, pixel order, ungated
     "gi_masked",        # closest-hit, pixel order, masked cull (production)
     "gi_walk",          # closest-hit, jnp skip-link walk (gather-based)
-    "gishadow_sorted",  # 6-ray shadow from GI hits, direction-sorted
+    "gishadow_sorted",    # GI bounce + 4 disk shadows, direction-sorted
     "gishadow_coherent",  # same rays, pixel order, masked cull (production)
 ]
 
@@ -94,10 +95,10 @@ def child(key: str) -> None:
         uy = rand(py + seed * 2 + 1.0, px + seed, jnp.int32(0))
         wi = sample_hemisphere_cosine(n0, ux, uy)
         org = h.p + n0 * 1e-3
-        return scene, h, n0, act, org, wi
+        return scene, h, n0, act, org, wi, px, py
 
     def run_case(seed):
-        scene, h, n0, act, org, wi = prep(seed)
+        scene, h, n0, act, org, wi, px, py = prep(seed)
         if key.startswith("ao"):
             win = jnp.where(act, jnp.float32(params.ao_radius), -1.0)
             if key == "ao_sorted":
@@ -110,8 +111,10 @@ def child(key: str) -> None:
         if key.startswith("gishadow"):
             h1 = trace_bvh_mxu_paged(bvh.mxu, org, wi, active=act)
             act1 = act & h1.valid
-            xls = lt._disk_samples(jnp.int32(0), jnp.int32(0),
-                                   jnp.zeros_like(h.t), jnp.zeros_like(h.t))
+            # real per-pixel px/py: production's cp_offset decorrelates
+            # the disk targets per pixel — a shared target point would
+            # make the probe's shadow rays artificially coherent
+            xls = lt._disk_samples(jnp.int32(0), jnp.int32(0), px, py)
             origins, dirs, wins = [], [], []
             for xl in xls:
                 o, d, w = lt._segment_shadow_query(h1.p, xl)
@@ -152,7 +155,11 @@ def child(key: str) -> None:
     t0 = time.time()
     cs = float(run_scan(seeds))
     dt = (time.time() - t0) / REPS
-    rays = H * W * (6 if key.startswith("gishadow") else 1)
+    # gishadow's timed region traces 1 GI bounce + SOFT_SHADOW_SAMPLES
+    # disk shadows per pixel (sun/point omitted here)
+    from opengl_raytracing_tpu.constants import SOFT_SHADOW_SAMPLES
+    rays = H * W * ((1 + SOFT_SHADOW_SAMPLES)
+                    if key.startswith("gishadow") else 1)
     print(json.dumps({"key": key, "ms": round(dt * 1e3, 2),
                       "mrays": round(rays / dt / 1e6, 1),
                       "checksum": round(cs, 1)}))
@@ -162,20 +169,12 @@ def main() -> int:
     if "--case" in sys.argv:
         child(sys.argv[sys.argv.index("--case") + 1])
         return 0
-    env = dict(os.environ)
+    from childproc import run_child
     for key in CASES:
-        try:
-            out = subprocess.run(
-                [sys.executable, os.path.abspath(__file__), "--case", key],
-                env=env, capture_output=True, timeout=900, text=True)
-            line = next((ln for ln in out.stdout.splitlines()
-                         if ln.startswith("{")), None)
-            print(line or json.dumps(
-                {"key": key, "error": f"rc={out.returncode}",
-                 "stderr": out.stderr.strip().splitlines()[-1][-200:]
-                 if out.stderr.strip() else ""}), flush=True)
-        except subprocess.TimeoutExpired:
-            print(json.dumps({"key": key, "error": "timeout"}), flush=True)
+        rec = run_child([sys.executable, os.path.abspath(__file__),
+                         "--case", key], 900)
+        rec.setdefault("key", key)
+        print(json.dumps(rec), flush=True)
     return 0
 
 

@@ -42,7 +42,10 @@ def main():
     frames = 8
     for i, a in enumerate(sys.argv):
         if a == "--frames":
+            if i + 1 >= len(sys.argv):
+                raise SystemExit("--frames needs a value")
             frames = int(sys.argv[i + 1])
+    frames = max(frames, 1)  # the final PNG needs at least one frame
     import os
     os.makedirs(outdir, exist_ok=True)
 
@@ -71,8 +74,12 @@ def main():
         fin = frame_inputs(cam, fs, fs.camera_moved())
         t0 = time.time()
         state, out = render(params, fin, state, None, bvh)
-        out.image.block_until_ready()
-        log("BENCH", "frame %d: %.1f ms", f, (time.time() - t0) * 1e3)
+        # CLAUDE.md: block_until_ready does NOT block on the axon
+        # platform — force completion with a scalar readback so the
+        # logged time is render time, not dispatch time
+        chk = float(jnp.sum(out.image))
+        log("BENCH", "frame %d: %.1f ms (mean %.4f)", f,
+            (time.time() - t0) * 1e3, chk / (H * W * 3))
         fs = fs.end_frame()
 
     img = np.asarray(out.image)

@@ -10,7 +10,6 @@ Usage: python scripts/tpu_tune.py            # sweep
 
 import json
 import os
-import subprocess
 import sys
 import time
 
@@ -106,22 +105,17 @@ def main() -> int:
     if "--child" in sys.argv:
         child(sys.argv[sys.argv.index("--child") + 1])
         return 0
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from childproc import run_child
     for mode in ("trace", "frame"):
         for var in VARIANTS:
             env = dict(os.environ)
             env.update({k: v for k, v in var.items() if k != "name"})
-            try:
-                out = subprocess.run(
-                    [sys.executable, os.path.abspath(__file__), "--child",
-                     mode], env=env, capture_output=True,
-                    timeout=540, text=True)
-                line = [ln for ln in out.stdout.splitlines()
-                        if ln.startswith("{")]
-                print(mode, var["name"],
-                      line[-1] if line else f"FAILED rc={out.returncode}")
-            except subprocess.TimeoutExpired:
-                print(mode, var["name"], "TIMEOUT (tpu wedged?)")
-                return 1
+            # run_child records a timeout as an error row — a wedged TPU
+            # must not abort the remaining variants
+            rec = run_child([sys.executable, os.path.abspath(__file__),
+                             "--child", mode], 540, env=env)
+            print(mode, var["name"], json.dumps(rec), flush=True)
     return 0
 
 
