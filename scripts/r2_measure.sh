@@ -17,4 +17,7 @@ BENCH_SKIP_PROBE=1 BENCH_BUDGET=2400 timeout 2600 python bench.py 2>&1 | tee /tm
 timeout 2400 python scripts/perf_report.py 2>&1 | tee /tmp/r2_perf.log
 timeout 1500 python scripts/ab_precision.py 2>&1 | tee /tmp/r2_ab.log
 TUNE_BUDGET=1800 timeout 2000 python scripts/tune_knobs.py 2>&1 | tee /tmp/r2_tune.log
+# attribution diagnostics (optional tail — headline artifacts are done)
+timeout 1500 python scripts/ablate.py 2>&1 | tee /tmp/r2_ablate.log
+timeout 1500 python scripts/probe_incoherent.py 2>&1 | tee /tmp/r2_probe.log
 echo DONE
