@@ -22,7 +22,8 @@ completion.
 
 Env knobs: BENCH_FRAMES, BENCH_HEIGHT/WIDTH, BENCH_PRESET (headline),
 BENCH_CASES (comma list to restrict), BENCH_TIMEOUT (per child),
-BENCH_BUDGET (whole sweep).
+BENCH_BUDGET (whole sweep), BENCH_SKIP_PROBE=1 (caller already probed),
+BENCH_FORCE_CPU=1 (harness smoke off-TPU).
 """
 
 import json
