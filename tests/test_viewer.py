@@ -141,3 +141,18 @@ def test_viewer_panel_endpoints(tmp_path):
     finally:
         vs.running = False
         server.shutdown()
+
+
+def test_page_keymap_covers_hotkey_surface():
+    """Every reference hotkey action (input.py ACTIONS) that makes sense
+    in a browser must be reachable from the page's JS keymap."""
+    import re
+    from opengl_raytracing_tpu.app.viewer import _PAGE
+    from opengl_raytracing_tpu.app.input import ACTIONS
+    m = re.search(r"const keymap=\{(.*?)\};", _PAGE, re.S)
+    assert m, "keymap block missing from page"
+    mapped = set(re.findall(r":'([a-z_0-9]+)'", m.group(1)))
+    # ESC is the browser's pointer-lock release; quit has no browser analog
+    expected = {a for k, a in ACTIONS.items() if a != "quit"}
+    missing = expected - mapped
+    assert not missing, f"page keymap missing actions: {missing}"
