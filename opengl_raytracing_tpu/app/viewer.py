@@ -178,6 +178,11 @@ _PAGE = r"""<!doctype html><html><head><title>opengl_raytracing_tpu</title>
    <button onclick="act('toggle_motion_debug')">F6 motion</button>
    <button onclick="act('reset')">R reset</button></div>
   <div class="row"><span id="modes"></span></div>
+  <div class="row"><label>resize</label>
+   <input id="rsz" type="text" size="9" placeholder="640x360">
+   <button onclick="fetch('/resize?size='+
+     encodeURIComponent(document.getElementById('rsz').value))">apply</button>
+  </div>
  </details>
  <details open><summary>Assets</summary>
   <div class="row"><label>model</label><select id="pick_model"></select></div>
@@ -418,6 +423,20 @@ def make_handler(vs: ViewerState):
                             self._apply_set(app, field, vals[0])
                     self._json({"ok": True})
                 except (AttributeError, ValueError, TypeError) as exc:
+                    self._json({"ok": False, "err": str(exc)})
+            elif url.path == "/resize":
+                # reference resize callback recreates accum/gbuffer
+                # (src/app/application.cpp:216-231); the next frame
+                # compiles at the new shape
+                try:
+                    w, h = (int(x) for x in
+                            q.get("size", ["0x0"])[0].lower().split("x"))
+                    if not (8 <= h <= 4320 and 8 <= w <= 7680):
+                        raise ValueError(f"bad size {w}x{h}")
+                    with vs.lock:
+                        app.app.resize(h, w)
+                    self._json({"ok": True, "height": h, "width": w})
+                except (ValueError, TypeError) as exc:
                     self._json({"ok": False, "err": str(exc)})
             elif url.path == "/pick":
                 kind = q.get("kind", [""])[0]

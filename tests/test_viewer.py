@@ -129,6 +129,15 @@ def test_viewer_panel_endpoints(tmp_path):
         # unknown field is a clean error, not a 500
         assert not json.loads(get("/set?notafield=1"))["ok"]
 
+        # resize recreates the buffers (reference resize callback,
+        # application.cpp:216-231) and the next frame follows the shape
+        r = json.loads(get("/resize?size=40x20"))
+        assert r["ok"] and app.app.height == 20 and app.app.width == 40
+        img = np.asarray(app.step())
+        assert img.shape == (20, 40, 3)
+        assert not json.loads(get("/resize?size=0x0"))["ok"]
+        assert not json.loads(get("/resize?size=junk"))["ok"]
+
         # picker request flags a reload for the app loop
         if app.app.model_picker.entries:
             r = json.loads(get("/pick?kind=model&index=0"))
