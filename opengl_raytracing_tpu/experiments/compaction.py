@@ -43,9 +43,16 @@ def compact_masked_eval(shade_fn, mask, radiance, lanes, budget_div=8):
     mask_f = mask.reshape(r)
     count = jnp.sum(mask_f.astype(jnp.int32))
     pos = jnp.cumsum(mask_f.astype(jnp.int32)) - 1
-    # idx_buf[k] = flat lane index of the k-th masked lane; sentinel r
-    idx_buf = jnp.full(r, r, jnp.int32)
-    idx_buf = idx_buf.at[jnp.where(mask_f, pos, r)].set(
+    # idx_buf[k] = flat lane index of the k-th masked lane; sentinel r.
+    # Length rounds up to a batch multiple so dynamic_slice of the last
+    # (partial) batch stays in bounds — sentinel tail lanes gather lane
+    # r-1 (clamped) and scatter out of range (dropped).
+    buf_len = -(-r // b) * b
+    idx_buf = jnp.full(buf_len, r, jnp.int32)
+    # unmasked lanes scatter PAST the padded buffer (dropped) — using r
+    # as their target would be IN range after padding and overwrite a
+    # sentinel slot with a real lane index
+    idx_buf = idx_buf.at[jnp.where(mask_f, pos, buf_len)].set(
         jnp.arange(r, dtype=jnp.int32), mode="drop")
 
     # radiance carried as three 1D planes (+1 dummy slot for dropped lanes)

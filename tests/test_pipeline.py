@@ -124,3 +124,24 @@ def test_compact_masked_eval_edges():
     want = np.where(np.arange(128) % 17 == 0,
                     np.arange(128, dtype=np.float32), 0.0)
     np.testing.assert_allclose(np.asarray(out[..., 0]).reshape(-1), want)
+
+
+def test_compact_masked_eval_tiny_non_lane_multiple():
+    """A 10x10 debug image (100 lanes, not a 128 multiple) must work:
+    the batch rounds UP to a lane-tile multiple and clamped gathers /
+    dropped scatters handle the tail (regression)."""
+    from opengl_raytracing_tpu.experiments.compaction import (
+        compact_masked_eval as _compact_masked_eval)
+    shape = (10, 10)
+    rad = jnp.zeros(shape + (3,))
+    lanes = {"v": jnp.arange(100, dtype=jnp.float32)}
+
+    def fn(sub):
+        v = sub["v"]
+        return jnp.stack([v + 1.0, v, v], axis=-1)
+
+    mask = (jnp.arange(100) % 7 == 0).reshape(shape)
+    out = _compact_masked_eval(fn, mask, rad, lanes)
+    want = np.where(np.arange(100) % 7 == 0,
+                    np.arange(100, dtype=np.float32) + 1.0, 0.0)
+    np.testing.assert_allclose(np.asarray(out[..., 0]).reshape(-1), want)
