@@ -129,6 +129,28 @@ def main():
     if not tup_ok:
         failures += 1
 
+    # shared-origin wavefront dedup (AO form: SAME origin array per
+    # batch -> one origin copy + modulo block map) == plain concat
+    from opengl_raytracing_tpu.ops import bvh_mxu as _bm
+    org_shared = jnp.asarray(ro)
+    s_shared = np.asarray(trace_bvh_shadow_mxu_paged(
+        bvh.mxu, (org_shared,) * k, tuple(rds), tuple(wins), active=act))
+    prev_sso = _bm.SHARED_SHADOW_ORIGIN
+    try:
+        _bm.SHARED_SHADOW_ORIGIN = False
+        jax.clear_caches()
+        s_plain = np.asarray(trace_bvh_shadow_mxu_paged(
+            bvh.mxu, (org_shared,) * k, tuple(rds), tuple(wins),
+            active=act))
+    finally:
+        _bm.SHARED_SHADOW_ORIGIN = prev_sso
+        jax.clear_caches()
+    sso_ok = ((s_shared[:, act_np] == s_plain[:, act_np]).all()
+              and not s_shared[:, ~act_np].any())
+    print(f"shared-origin wavefront == plain concat: {sso_ok}")
+    if not sso_ok:
+        failures += 1
+
     # sparse grid (dynamic prefetched index maps) == dense identity,
     # with a concentrated mask so whole blocks land on the inactive tail
     from opengl_raytracing_tpu.ops import bvh_mxu
