@@ -94,9 +94,13 @@ def trace_bvh(bvh: BVHArrays, ro, rd, eps: float = EPS) -> Hit:
         cur = jnp.where(active, nxt, cur)
         return cur, t_best, n_best
 
-    cur0 = jnp.zeros(shape, jnp.int32)
-    t0 = jnp.full(shape, INF, jnp.float32)
-    nb0 = jnp.zeros(shape + (3,), jnp.float32)
+    # carry inits derive from the (possibly sharded) ray stream so their
+    # shard_map variance matches the body outputs (constant inits are
+    # "unvarying" and the while_loop type check rejects the mix)
+    vary0 = 0.0 * rd[..., 0]
+    cur0 = vary0.astype(jnp.int32)
+    t0 = vary0 + INF
+    nb0 = jnp.zeros(shape + (3,), jnp.float32) + vary0[..., None]
     _, t_best, n_best = jax.lax.while_loop(cond, body, (cur0, t0, nb0))
 
     hit = t_best < INF
@@ -139,8 +143,9 @@ def trace_bvh_shadow(bvh: BVHArrays, ro, rd, t_max, eps: float = EPS):
         cur = jnp.where(active & ~occ, nxt, jnp.where(occ, n_nodes, cur))
         return cur, occ
 
-    cur0 = jnp.zeros(shape, jnp.int32)
-    occ0 = jnp.zeros(shape, bool)
+    vary0 = 0.0 * rd[..., 0]  # shard_map-variance-correct zeros (see trace_bvh)
+    cur0 = vary0.astype(jnp.int32)
+    occ0 = cur0 > 0
     _, occ = jax.lax.while_loop(cond, body, (cur0, occ0))
     return occ
 

@@ -69,3 +69,30 @@ def test_shardmap_svgf_seams_match():
         seam = slice(k * bh - 2, k * bh + 2)
         diff = np.abs(a[seam] - b[seam])
         assert diff.max() < 2e-2, f"seam {k} max diff {diff.max()}"
+
+
+def test_shardmap_bvh_scene_runs():
+    """shard_map + BVH walker: the while_loop carries must be
+    shard-variance-correct (regression — constant inits tripped the
+    vma type check, caught by dryrun_multichip phase 2)."""
+    params = _slim(preset("baseline"))
+    fin = make_inputs()
+    mesh = make_mesh(jax.devices()[:8])
+    from opengl_raytracing_tpu.scene import build_bvh, make_icosphere
+    from opengl_raytracing_tpu.scene.geometry import (gather_triangles,
+                                                      model_transform)
+    from opengl_raytracing_tpu.ops.scene import prepare_bvh
+    tris = gather_triangles(make_icosphere(1.0, 1),
+                            model_transform((0.0, 1.0, -3.0), 1.0))
+    bvh = prepare_bvh(tris)
+    st = shard_image_rows(mesh, RenderState.create(H, W))
+    fn = make_shardmap_render_fn(mesh, H, W, use_bvh=True, donate=False)
+    st, out, _ = fn(params, fin, st, None, bvh)
+    img = np.asarray(out.image)
+    assert img.shape == (H, W, 3) and np.isfinite(img).all()
+    # single-device reference
+    st1 = RenderState.create(H, W)
+    _, ref = render_frame(params, fin, st1, None, bvh, height=H, width=W,
+                          use_bvh=True)
+    diff = np.abs(img - np.asarray(ref.image))
+    assert diff.max() < 2e-2 and np.quantile(diff, 0.99) < 1e-3
