@@ -83,3 +83,35 @@ def test_2d_mesh_sharding_compiles_and_matches():
     st1, out1 = step(params, fin, state)
     diff = np.abs(np.asarray(out0.image) - np.asarray(out1.image))
     assert np.quantile(diff, 0.99) < 1e-3 and diff.max() < 2e-2
+
+
+def test_row_sharded_bvh_scene_matches():
+    """SPMD row sharding with the BVH walker (the explicit-collective
+    analog lives in test_shardmap): compiler-partitioned while_loop +
+    replicated scene arrays must match single-device."""
+    from opengl_raytracing_tpu.scene import make_icosphere
+    from opengl_raytracing_tpu.scene.geometry import (gather_triangles,
+                                                      model_transform)
+    from opengl_raytracing_tpu.ops.scene import prepare_bvh
+    params = preset("baseline").replace(enable_gi=0, enable_ao=0)
+    tris = gather_triangles(make_icosphere(1.0, 1),
+                            model_transform((0.0, 1.0, -3.0), 1.0))
+    bvh = prepare_bvh(tris)
+    fin = make_inputs()
+    mesh = Mesh(np.asarray(jax.devices()[:8]), ("rows",))
+    rows = NamedSharding(mesh, P("rows", None, None))
+    st = RenderState(
+        jax.device_put(RenderState.create(H, W).accum, rows),
+        jax.device_put(jnp.zeros((), jnp.int32), NamedSharding(mesh, P())))
+
+    @jax.jit
+    def step(params, fin, state, bvh):
+        _, out = render_frame(params, fin, state, None, bvh,
+                              height=H, width=W, use_bvh=True)
+        return jax.lax.with_sharding_constraint(out.image, rows)
+
+    img = np.asarray(step(params, fin, st, bvh))
+    st1 = RenderState.create(H, W)
+    _, ref = render_frame(params, fin, st1, None, bvh, height=H, width=W,
+                          use_bvh=True)
+    assert np.abs(img - np.asarray(ref.image)).max() < 1e-5
