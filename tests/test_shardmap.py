@@ -24,6 +24,12 @@ def _slim(params):
                           mat_mirror_enabled=0)
 
 
+# Tolerance provenance: band-vs-full trace_and_shade is bit-exact OUTSIDE
+# shard_map (verified directly), but XLA lowers the same math differently
+# INSIDE the shard_map body (fusion/FMA contraction), and an ulp-level
+# shift can flip a discrete visibility test on isolated pixels (measured:
+# ~5 px with one 0.02 outlier at a shadow edge on a 32x64 baseline
+# frame).  Hence q99 ~1e-3 with a 2e-2 max, not array_equal.
 def _run_pair(params, frames=3, moved=0):
     params = _slim(params)
     fin = make_inputs(moved=moved)
