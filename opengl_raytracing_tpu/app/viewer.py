@@ -356,14 +356,22 @@ class ViewerState:
         pending = None
         while self.running:
             t0 = time.time()
-            with self.lock:
-                img = self.application.step()
-                dev = quant(img)
-            if pending is not None:
-                arr = np.asarray(pending)
-                # fast in-memory encode (level 1: this is a live stream)
-                self.png = encode_png(arr[::-1], level=1)
-            pending = dev
+            try:
+                with self.lock:
+                    img = self.application.step()
+                    dev = quant(img)
+                if pending is not None:
+                    arr = np.asarray(pending)
+                    # fast in-memory encode (level 1: live stream)
+                    self.png = encode_png(arr[::-1], level=1)
+                pending = dev
+            except Exception as exc:  # noqa: BLE001
+                # a failed frame must not kill the stream thread (the
+                # reference logs render errors and keeps its loop alive);
+                # the last good frame keeps serving while we retry
+                log("GUI", "frame failed: %s (retrying)", exc)
+                pending = None
+                time.sleep(0.5)
             dt = time.time() - t0
             time.sleep(max(0.0, 1.0 / target_fps - dt))
 
