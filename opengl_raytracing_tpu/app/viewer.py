@@ -355,6 +355,11 @@ class ViewerState:
         # doubles stream FPS at the cost of one frame of latency.
         pending = None
         while self.running:
+            if self.application.input.quit:
+                # ESC parity (reference: input.cpp quitRequested -> main
+                # loop exit): /act?name=quit ends the render loop
+                self.running = False
+                break
             t0 = time.time()
             try:
                 with self.lock:

@@ -165,3 +165,20 @@ def test_page_keymap_covers_hotkey_surface():
     expected = {a for k, a in ACTIONS.items() if a != "quit"}
     missing = expected - mapped
     assert not missing, f"page keymap missing actions: {missing}"
+
+
+def test_quit_action_stops_render_loop():
+    """ESC parity: /act?name=quit ends the render loop like the
+    reference's quitRequested -> main-loop exit."""
+    app = Application(state=AppState(height=16, width=24,
+                                     params=preset("baseline")), jit=False)
+    vs = ViewerState(app)
+    t = threading.Thread(target=vs.loop, args=(60.0,), daemon=True)
+    t.start()
+    deadline = time.time() + 60
+    while not vs.png and time.time() < deadline:
+        time.sleep(0.1)
+    assert vs.png
+    app.act("quit")
+    t.join(timeout=30)
+    assert not t.is_alive() and not vs.running
