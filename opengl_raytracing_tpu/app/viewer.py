@@ -337,11 +337,14 @@ img.addEventListener('wheel',ev=>{
 
 
 class ViewerState:
-    def __init__(self, application):
+    def __init__(self, application, stream_level: int = 1):
         self.application = application
         self.lock = threading.Lock()
         self.png: bytes = b""
         self.running = True
+        # PNG zlib level for the stream: 0 = stored (fastest encode,
+        # ~3x bytes — right for localhost), 1 = fast deflate (default)
+        self.stream_level = stream_level
 
     def loop(self, target_fps: float = 30.0):
         # quantize to u8 ON DEVICE: the per-frame readback over the host
@@ -367,8 +370,9 @@ class ViewerState:
                     dev = quant(img)
                 if pending is not None:
                     arr = np.asarray(pending)
-                    # fast in-memory encode (level 1: live stream)
-                    self.png = encode_png(arr[::-1], level=1)
+                    # fast in-memory encode (live stream)
+                    self.png = encode_png(arr[::-1],
+                                          level=self.stream_level)
                 pending = dev
             except Exception as exc:  # noqa: BLE001
                 # a failed frame must not kill the stream thread (the
@@ -543,9 +547,13 @@ def main(argv=None):
     parser = build_parser()
     parser.add_argument("--port", type=int, default=8000)
     parser.add_argument("--fps", type=float, default=30.0)
+    parser.add_argument("--stream-level", type=int, default=1,
+                        choices=range(0, 10),
+                        help="PNG zlib level for the stream (0 = stored, "
+                             "fastest encode for localhost)")
     args = parser.parse_args(argv)
     application = make_app(args)
-    vs = ViewerState(application)
+    vs = ViewerState(application, stream_level=args.stream_level)
     t = threading.Thread(target=vs.loop, args=(args.fps,), daemon=True)
     t.start()
     server = ThreadingHTTPServer(("0.0.0.0", args.port), make_handler(vs))
