@@ -67,7 +67,8 @@ def child(key: str) -> None:
     from opengl_raytracing_tpu.ops.scene import SceneCtx
     from opengl_raytracing_tpu.ops import lighting as lt
     from opengl_raytracing_tpu.ops.bvh_mxu import (
-        trace_bvh_mxu_paged, trace_bvh_shadow_mxu_paged,
+        trace_bvh_mxu_paged, trace_bvh_shadow_mxu_paged)
+    from opengl_raytracing_tpu.experiments.bvh_sorted import (
         trace_bvh_mxu_sorted, trace_bvh_shadow_mxu_sorted)
     from opengl_raytracing_tpu.ops.bvh_traverse import trace_bvh
     from opengl_raytracing_tpu.sampling import rand, sample_hemisphere_cosine

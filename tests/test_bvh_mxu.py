@@ -76,8 +76,8 @@ def test_mxu_coherent_camera_rays(scene):
 
 
 def test_sorted_variants_match_unsorted(scene):
-    from opengl_raytracing_tpu.ops.bvh_mxu import (trace_bvh_mxu_sorted,
-                                                   trace_bvh_shadow_mxu_sorted)
+    from opengl_raytracing_tpu.experiments.bvh_sorted import (
+        trace_bvh_mxu_sorted, trace_bvh_shadow_mxu_sorted)
     mxu, tris = scene
     ro, rd = _rays(2)
     a = trace_bvh_mxu(mxu, ro, rd)
