@@ -707,6 +707,32 @@ def _use_interpret() -> bool:
     return jax.default_backend() != "tpu"
 
 
+def _union_vma(*xs):
+    """Union of the varying-mesh-axes sets of the kernel inputs.
+
+    Under `shard_map(..., check_vma=True)` every pallas_call out_shape
+    must declare which mesh axes the output varies over; outside
+    shard_map all inputs have empty vma and this reduces to frozenset().
+    The union over ALL inputs is exact here: each kernel's outputs are
+    per-ray and the ray planes carry the sharded axes."""
+    vma = frozenset()
+    for x in xs:
+        vma |= getattr(jax.typeof(x), "vma", frozenset())
+    return vma
+
+
+def _pvary_to(vma, *xs):
+    """Promote every input to the common varying set (replicated scene
+    pages meet 'rows'-varying ray planes inside one kernel; interpret
+    mode slices them together, so their vma must agree)."""
+    if not vma:
+        return xs
+    return tuple(
+        jax.lax.pcast(x, tuple(vma - getattr(jax.typeof(x), "vma",
+                                             frozenset())), to="varying")
+        for x in xs)
+
+
 # Direction-sorted tracing (measured negative) lives in
 # experiments/bvh_sorted.py — see PERF.md "ray sorting".
 
@@ -1100,17 +1126,19 @@ def _closest_page_rows(mxu: MXUBVH, planes, hulls, shared_origin, ordered,
                              shared_o=o_rows is not None)
     extra = () if o_rows is None else (o_rows,)
     ids_in, perm, gate = _sparse_plan(cn, nt, subtiles)
+    vma = _union_vma(ids_in, perm, gate, gorder, gbound, *planes, *extra)
     return pl.pallas_call(
         kern,
         grid_spec=_grid_specs(nt, 4, n_planes=len(planes),
                               n_full_inputs=3 + len(extra),
                               subtiles=subtiles),
-        out_shape=[jax.ShapeDtypeStruct((nt, TILE_RAYS), jnp.float32)] * 4,
+        out_shape=[jax.ShapeDtypeStruct((nt, TILE_RAYS), jnp.float32,
+                                        vma=vma)] * 4,
         interpret=_use_interpret(),
         compiler_params=_COMPILER_PARAMS,
-    )(ids_in, perm, gate, gorder, gbound,
-      _pack_meta(cull, jlo, jhi), *planes, *extra, mxu.coef_uv,
-      mxu.coef_dt, mxu.norms)
+    )(*_pvary_to(vma, ids_in, perm, gate, gorder, gbound,
+                 _pack_meta(cull, jlo, jhi), *planes, *extra, mxu.coef_uv,
+                 mxu.coef_dt, mxu.norms))
 
 
 def _assemble_hit(rows, ro, rd, shape, n) -> Hit:
@@ -1178,13 +1206,15 @@ def _shadow_page_rows(mxu: MXUBVH, planes, hulls, t_cap, eps):
     nc = mxu.coef_dt.shape[0]
     kern = functools.partial(_shadow_kernel, eps=eps, subtiles=subtiles)
     ids_in, perm, gate = _sparse_plan(cn, nt, subtiles)
+    vma = _union_vma(ids_in, perm, gate, *planes)
     return pl.pallas_call(
         kern,
         grid_spec=_grid_specs(nt, 1, n_planes=7, n_full_inputs=2,
                               subtiles=subtiles, o_mod_blocks=o_mod),
-        out_shape=jax.ShapeDtypeStruct((nt, TILE_RAYS), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((nt, TILE_RAYS), jnp.float32,
+                                       vma=vma),
         interpret=_use_interpret(),
         compiler_params=_COMPILER_PARAMS,
-    )(ids_in, perm, gate, jnp.arange(nc, dtype=jnp.int32),
-      jnp.zeros(nc, jnp.float32), _pack_meta(cull), *planes,
-      mxu.coef_uv, mxu.coef_dt)
+    )(*_pvary_to(vma, ids_in, perm, gate, jnp.arange(nc, dtype=jnp.int32),
+                 jnp.zeros(nc, jnp.float32), _pack_meta(cull), *planes,
+                 mxu.coef_uv, mxu.coef_dt))

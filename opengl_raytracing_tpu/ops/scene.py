@@ -44,6 +44,16 @@ def prepare_bvh(tris) -> BVHDevice:
 
 
 def _tpu() -> bool:
+    """True when the MXU cull+matmul path should be used.
+
+    `ORT_FORCE_MXU=1` forces it on any backend (Pallas falls back to
+    interpret mode off-TPU, see bvh_mxu._use_interpret) — this is how the
+    test suite exercises MXU-under-shard_map on the 8-device CPU mesh,
+    the exact production configuration, before it ever meets multi-chip
+    hardware.  Read at trace time so tests can monkeypatch the env."""
+    import os
+    if os.environ.get("ORT_FORCE_MXU", "") == "1":
+        return True
     return jax.default_backend() == "tpu"
 
 

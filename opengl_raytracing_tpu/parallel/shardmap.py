@@ -58,7 +58,8 @@ def _ring_halos(planes, axis: str, n: int):
 def render_frame_shardmap(mesh: Mesh, params: RenderParams,
                           fin: FrameInputs, state: RenderState,
                           env_map=None, bvh=None, *, height: int, width: int,
-                          use_bvh: bool = False, show_motion: bool = False):
+                          use_bvh: bool = False, show_motion: bool = False,
+                          check_vma: bool = True):
     """One frame with hand-written collectives.  Returns
     (new_state, FrameOutputs, stats) with image/accum row-sharded."""
     axis = mesh.axis_names[0]
@@ -132,10 +133,17 @@ def render_frame_shardmap(mesh: Mesh, params: RenderParams,
         return accum_new, image, motion, gpos, gnrm, mean_lum
 
     banded = P(axis, None, None)
+    # check_vma=False is needed ONLY for the forced-MXU interpret-mode
+    # configuration (tests/dryrun): Pallas interpret mode's internal
+    # dynamic_slice mixes 'rows'-varying operands with unvarying block
+    # indices, which the vma checker rejects (JAX suggests exactly this
+    # workaround in its error).  On real TPU the kernels compile through
+    # Mosaic and full variance checking stays on.
     f = shard_map(
         band_step, mesh=mesh,
         in_specs=(banded, P()),
         out_specs=(banded, banded, banded, banded, banded, P()),
+        check_vma=check_vma,
     )
     accum_new, image, motion, gpos, gnrm, mean_lum = f(
         state.accum, state.frame_index)
@@ -145,10 +153,12 @@ def render_frame_shardmap(mesh: Mesh, params: RenderParams,
 
 def make_shardmap_render_fn(mesh: Mesh, height: int,
                             width: int, use_bvh: bool = False,
-                            show_motion: bool = False, donate: bool = True):
+                            show_motion: bool = False, donate: bool = True,
+                            check_vma: bool = True):
     def fn(params, fin, state, env_map, bvh):
         return render_frame_shardmap(mesh, params, fin, state, env_map, bvh,
                                      height=height, width=width,
                                      use_bvh=use_bvh,
-                                     show_motion=show_motion)
+                                     show_motion=show_motion,
+                                     check_vma=check_vma)
     return jax.jit(fn, donate_argnums=(2,) if donate else ())

@@ -77,6 +77,37 @@ def test_shardmap_svgf_seams_match():
         assert diff.max() < 2e-2, f"seam {k} max diff {diff.max()}"
 
 
+def test_shardmap_bvh_mxu_forced(monkeypatch):
+    """MXU Pallas kernels (interpret mode) under shard_map — the exact
+    production configuration (multi-chip x MXU), never otherwise reached
+    off-TPU because SceneCtx.trace dispatches on the backend.  Compares
+    against the single-device MXU render (same forced path)."""
+    monkeypatch.setenv("ORT_FORCE_MXU", "1")
+    params = _slim(preset("baseline"))
+    fin = make_inputs()
+    mesh = make_mesh(jax.devices()[:8])
+    from opengl_raytracing_tpu.scene import make_icosphere
+    from opengl_raytracing_tpu.scene.geometry import (gather_triangles,
+                                                      model_transform)
+    from opengl_raytracing_tpu.ops.scene import prepare_bvh
+    tris = gather_triangles(make_icosphere(1.0, 1),
+                            model_transform((0.0, 1.0, -3.0), 1.0))
+    bvh = prepare_bvh(tris)
+    st = shard_image_rows(mesh, RenderState.create(H, W))
+    # check_vma=False: Pallas interpret mode's internal dynamic_slice
+    # trips the vma checker (see shardmap.py) — compiled TPU is unaffected
+    fn = make_shardmap_render_fn(mesh, H, W, use_bvh=True, donate=False,
+                                 check_vma=False)
+    st, out, _ = fn(params, fin, st, None, bvh)
+    img = np.asarray(out.image)
+    assert img.shape == (H, W, 3) and np.isfinite(img).all()
+    st1 = RenderState.create(H, W)
+    _, ref = render_frame(params, fin, st1, None, bvh, height=H, width=W,
+                          use_bvh=True)
+    diff = np.abs(img - np.asarray(ref.image))
+    assert diff.max() < 2e-2 and np.quantile(diff, 0.99) < 1e-3
+
+
 def test_shardmap_bvh_scene_runs():
     """shard_map + BVH walker: the while_loop carries must be
     shard-variance-correct (regression — constant inits tripped the
