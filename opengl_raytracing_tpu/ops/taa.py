@@ -18,11 +18,17 @@ from .vecmath import smoothstep, luminance
 
 
 def _sample_nearest(tex, u, v):
-    """NEAREST + CLAMP_TO_EDGE fetch of tex [H,W,C] at uv in [0,1]."""
+    """NEAREST + CLAMP_TO_EDGE fetch of tex [H,W,C] at uv in [0,1].
+
+    One FLAT gather (row-major linear index into [H*W,C]) instead of a
+    2D index concatenate: selects the identical element, but XLA neither
+    materializes an s32[H,W,2] index buffer nor re-derives the row
+    stride — the r2 audit showed the concatenate alone streaming
+    16.6 MB/frame at 1080p."""
     h, w = tex.shape[0], tex.shape[1]
     x = jnp.clip(jnp.floor(u * w), 0, w - 1).astype(jnp.int32)
     y = jnp.clip(jnp.floor(v * h), 0, h - 1).astype(jnp.int32)
-    return tex[y, x]
+    return tex.reshape(h * w, -1)[y * w + x]
 
 
 def resolve_taa(curr, motion, prev_accum, frame_index, params: RenderParams,
@@ -47,12 +53,19 @@ def resolve_taa(curr, motion, prev_accum, frame_index, params: RenderParams,
     """
     l_curr = luminance(curr, YCOEFF)
     l_curr2 = l_curr * l_curr
-    passthrough = jnp.concatenate([curr, l_curr2[..., None]], axis=-1)
 
     if not params.enable_taa:
         # Still store M2 so SVGF can compute variance (rt_taa.glsl:58-61).
-        return passthrough
+        return jnp.concatenate([curr, l_curr2[..., None]], axis=-1)
 
+    # The whole resolve is computed CHANNELWISE as ([BH,W,3] color,
+    # [BH,W] M2) pairs and concatenated exactly once at the end.  The
+    # previous form concatenated each case to [BH,W,4] and selected
+    # between the concatenations — select distributes over concatenate
+    # bit-exactly, and the channelwise form lets XLA fuse the entire
+    # resolve around the one history gather instead of materializing
+    # passthrough/still/moving planes (r2 audit: 473 MB/frame at 1080p,
+    # ~3.4x the stage's true I/O).
     bh, w = curr.shape[0], curr.shape[1]
     h = prev_accum.shape[0]
     ix = jnp.arange(w, dtype=jnp.float32)[None, :] + 0.5
@@ -68,12 +81,14 @@ def resolve_taa(curr, motion, prev_accum, frame_index, params: RenderParams,
     fi = jnp.asarray(frame_index, jnp.int32)
 
     # ---- CASE 1: effectively still (rt_taa.glsl:86-105) ----
-    prev_same = jax.lax.dynamic_slice_in_dim(
-        prev_accum, jnp.asarray(row_offset, jnp.int32), bh, axis=0)
+    if isinstance(row_offset, int) and row_offset == 0 and bh == h:
+        prev_same = prev_accum  # whole image: skip the slice
+    else:
+        prev_same = jax.lax.dynamic_slice_in_dim(
+            prev_accum, jnp.asarray(row_offset, jnp.int32), bh, axis=0)
     w_still = jnp.where(fi < 8, min_w, jnp.where(fi < 32, avg_w, max_w))
-    mean_still = prev_same[..., :3] * w_still + curr * (1.0 - w_still)
+    col_still = prev_same[..., :3] * w_still + curr * (1.0 - w_still)
     m2_still = prev_same[..., 3] * w_still + l_curr2 * (1.0 - w_still)
-    still_out = jnp.concatenate([mean_still, m2_still[..., None]], axis=-1)
 
     # ---- CASE 2: moving — reproject (rt_taa.glsl:116-179) ----
     def with_moving(_):
@@ -81,9 +96,20 @@ def resolve_taa(curr, motion, prev_accum, frame_index, params: RenderParams,
         uv_prev_y = uvy - motion[..., 1] * 0.5
         oob = ((uv_prev_x < 0.0) | (uv_prev_x > 1.0)
                | (uv_prev_y < 0.0) | (uv_prev_y > 1.0))
-        prev = _sample_nearest(prev_accum, uv_prev_x, uv_prev_y)
+        # ONE history fetch for both per-pixel cases: pixels under the
+        # still threshold read their own texel (identity uv fetches
+        # exactly prev_same's pixel — uvx*w floors back to x, uvy*h to
+        # row_offset+y), moving pixels read the reprojected one.  The
+        # previous form streamed the full history twice (identity read
+        # + gather, 33 MB each at 1080p).
+        still_px = (mot_mag < params.taa_still_thresh)
+        prev = _sample_nearest(prev_accum,
+                               jnp.where(still_px, uvx, uv_prev_x),
+                               jnp.where(still_px, uvy, uv_prev_y))
         prev_col = prev[..., :3]
         prev_m2 = prev[..., 3]
+        col_still_g = prev_col * w_still + curr * (1.0 - w_still)
+        m2_still_g = prev_m2 * w_still + l_curr2 * (1.0 - w_still)
 
         w_hist = 1.0 - smoothstep(0.02, params.taa_hard_moving_thresh,
                                   mot_mag)
@@ -103,14 +129,15 @@ def resolve_taa(curr, motion, prev_accum, frame_index, params: RenderParams,
         hist_col = jnp.clip(prev_col, curr - box, curr + box)
         taa_col = w_hist[..., None] * hist_col + w_curr[..., None] * curr
         m2_new = w_hist * prev_m2 + w_curr * l_curr2
-        moving_out = jnp.concatenate([taa_col, m2_new[..., None]], axis=-1)
-        moving_out = jnp.where(oob[..., None], passthrough, moving_out)
+        # out-of-bounds reprojection: passthrough (rt_taa.glsl:124-127)
+        col_mov = jnp.where(oob[..., None], curr, taa_col)
+        m2_mov = jnp.where(oob, l_curr2, m2_new)
 
-        return jnp.where((mot_mag < params.taa_still_thresh)[..., None],
-                         still_out, moving_out)
+        return (jnp.where(still_px[..., None], col_still_g, col_mov),
+                jnp.where(still_px, m2_still_g, m2_mov))
 
     if moved is None:
-        out = with_moving(None)
+        col, m2 = with_moving(None)
     else:
         # zero motion => every pixel takes the still branch of the
         # motMag<thresh select (mot_mag==0 < thresh) — skip the
@@ -120,7 +147,9 @@ def resolve_taa(curr, motion, prev_accum, frame_index, params: RenderParams,
         need_moving = jnp.logical_or(
             jnp.asarray(moved, jnp.bool_),
             jnp.asarray(params.taa_still_thresh, jnp.float32) <= 0.0)
-        out = jax.lax.cond(need_moving, with_moving,
-                           lambda _: still_out, None)
+        col, m2 = jax.lax.cond(need_moving, with_moving,
+                               lambda _: (col_still, m2_still), None)
     # First frame: no history yet (rt_taa.glsl:66-68).
-    return jnp.where(fi == 0, passthrough, out)
+    col = jnp.where(fi == 0, curr, col)
+    m2 = jnp.where(fi == 0, l_curr2, m2)
+    return jnp.concatenate([col, m2[..., None]], axis=-1)
