@@ -377,11 +377,204 @@ def _decode_block(br: _BitReader, lut_dc, lut_ac, qt, pred):
     return out.reshape(8, 8), pred
 
 
-def read_jpeg(path: str) -> np.ndarray:
-    """Baseline sequential JPEG -> [H,W,3] uint8 (row 0 = top).
+def _extend(v: int, s: int) -> int:
+    """JPEG sign extension (T.81 F.2.2.1 EXTEND)."""
+    if s and v < (1 << (s - 1)):
+        return v - ((1 << s) - 1)
+    return v
 
-    Supports SOF0, 8-bit, 1 or 3 components, 4:4:4/4:2:2/4:2:0 sampling,
-    restart intervals.  Progressive (SOF2) is rejected with a clear error.
+
+def _huff_decode(br: _BitReader, lut) -> int:
+    v = br.peek16()
+    ln = int(lut[1][v])
+    if ln == 0:
+        raise ValueError("bad huffman code")
+    br.drop(ln)
+    return int(lut[0][v])
+
+
+# -----------------------------------------------------------------------------
+# Progressive JPEG (SOF2): spectral selection + successive approximation.
+# Coefficients accumulate across scans in zigzag order as int32; the
+# batched dequant+IDCT runs once at EOI.  Algorithms follow ITU T.81
+# G.1.2 (the parity target is stb_image's stbi__jpeg progressive paths,
+# reference: include/stb_image.h).
+# -----------------------------------------------------------------------------
+
+
+def _prog_dc_scan(br, scan, units_x, units_y, interleaved, ah, al, ri):
+    """One DC scan (Ss=0).  First pass (Ah=0) decodes full DC diffs into
+    bit-plane Al; refinements append one bit per block."""
+    preds = [0] * len(scan)
+    n = 0
+    for my in range(units_y):
+        for mx in range(units_x):
+            if ri and n and n % ri == 0:
+                br.reset_at_rst()
+                preds = [0] * len(scan)
+            n += 1
+            for ci, c in enumerate(scan):
+                vs, hs = (c["vs"], c["hs"]) if interleaved else (1, 1)
+                coef = c["coef"]
+                for by in range(vs):
+                    for bx in range(hs):
+                        y, x = my * vs + by, mx * hs + bx
+                        if ah == 0:
+                            s = _huff_decode(br, c["dc"])
+                            preds[ci] += _extend(br.receive(s), s)
+                            coef[y, x, 0] = preds[ci] << al
+                        elif br.receive(1):
+                            coef[y, x, 0] |= (1 << al)
+
+
+def _prog_ac_first(br, coef, wb, hb, ss, se, al, ac, ri):
+    """First AC scan of a band: EOB-run skipping + coefficients placed
+    at bit-plane Al (T.81 G.1.2.2)."""
+    eobrun = 0
+    n = 0
+    for y in range(hb):
+        for x in range(wb):
+            if ri and n and n % ri == 0:
+                br.reset_at_rst()
+                eobrun = 0
+            n += 1
+            if eobrun:
+                eobrun -= 1
+                continue
+            blk = coef[y, x]
+            k = ss
+            while k <= se:
+                rs = _huff_decode(br, ac)
+                r, s = rs >> 4, rs & 15
+                if s == 0:
+                    if r < 15:
+                        eobrun = (1 << r) - 1
+                        if r:
+                            eobrun += br.receive(r)
+                        break
+                    k += 16  # ZRL
+                else:
+                    k += r
+                    if k > se:
+                        raise ValueError("AC index overflow")
+                    blk[k] = _extend(br.receive(s), s) << al
+                    k += 1
+
+
+def _prog_ac_refine(br, coef, wb, hb, ss, se, al, ac, ri):
+    """AC refinement scan: correction bits for already-nonzero
+    coefficients, newly-nonzero ones at +-2^Al (T.81 G.1.2.3)."""
+    bit = 1 << al
+    eobrun = 0
+    n = 0
+    for y in range(hb):
+        for x in range(wb):
+            if ri and n and n % ri == 0:
+                br.reset_at_rst()
+                eobrun = 0
+            n += 1
+            blk = coef[y, x]
+            k = ss
+            if eobrun == 0:
+                while k <= se:
+                    rs = _huff_decode(br, ac)
+                    r, s = rs >> 4, rs & 15
+                    newval = 0
+                    if s == 0:
+                        if r < 15:
+                            eobrun = 1 << r
+                            if r:
+                                eobrun += br.receive(r)
+                            break
+                        # ZRL: pass over 16 zero-history coefficients
+                    else:
+                        if s != 1:
+                            raise ValueError("bad AC refinement size")
+                        newval = bit if br.receive(1) else -bit
+                    # advance past r zero-history coefficients, applying
+                    # correction bits to nonzero-history ones en route
+                    while k <= se:
+                        c = int(blk[k])
+                        if c != 0:
+                            if br.receive(1) and (c & bit) == 0:
+                                blk[k] = c + (bit if c > 0 else -bit)
+                        else:
+                            if r == 0:
+                                break
+                            r -= 1
+                        k += 1
+                    if newval and k <= se:
+                        blk[k] = newval
+                    k += 1
+            if eobrun > 0:
+                # rest of this block: correction bits only
+                while k <= se:
+                    c = int(blk[k])
+                    if c != 0:
+                        if br.receive(1) and (c & bit) == 0:
+                            blk[k] = c + (bit if c > 0 else -bit)
+                    k += 1
+                eobrun -= 1
+
+
+def _progressive_scan(data, pos, scan, ss, se, ah, al, ri, mcux, mcuy):
+    """Decode one progressive SOS; returns the offset of the next marker."""
+    br = _BitReader(data + b"\xff\xd9", pos)
+    if ss == 0:
+        if se != 0:
+            raise ValueError("DC progressive scan with Se != 0")
+        if len(scan) > 1:
+            _prog_dc_scan(br, scan, mcux, mcuy, True, ah, al, ri)
+        else:
+            c = scan[0]
+            _prog_dc_scan(br, scan, c["wb"], c["hb"], False, ah, al, ri)
+    else:
+        if len(scan) != 1:
+            raise ValueError("interleaved AC progressive scan")
+        c = scan[0]
+        args = (br, c["coef"], c["wb"], c["hb"], ss, se, al, c["ac"], ri)
+        if ah == 0:
+            _prog_ac_first(*args)
+        else:
+            _prog_ac_refine(*args)
+    # skip any padding bits / RST markers up to the next real marker
+    p = br.pos
+    n = len(data)
+    while p < n - 1:
+        if (data[p] == 0xFF and data[p + 1] != 0x00
+                and not (0xD0 <= data[p + 1] <= 0xD7)):
+            break
+        p += 1
+    return p
+
+
+def _finish_progressive(comps, qts, w, h, hmax, vmax):
+    """Dequantize + batched-GEMM IDCT of the accumulated coefficient
+    planes, then the shared plane assembly."""
+    for c in comps:
+        qt = qts[c["tq"]]
+        hb, wb = c["coef"].shape[:2]
+        nb = hb * wb
+        zz = c["coef"].reshape(nb, 64).astype(np.float32) * qt
+        nat = np.zeros((nb, 64), np.float32)
+        nat[:, _ZIGZAG] = zz
+        y_ = (nat.reshape(nb * 8, 8) @ _IDCT_M).reshape(nb, 8, 8)
+        blks = (np.ascontiguousarray(y_.transpose(0, 2, 1))
+                .reshape(nb * 8, 8) @ _IDCT_M).reshape(nb, 8, 8
+                                                       ).transpose(0, 2, 1)
+        c["plane"] = (blks.reshape(hb, wb, 8, 8)
+                      .transpose(0, 2, 1, 3).reshape(hb * 8, wb * 8))
+    return _finish_planes(comps, w, h, hmax, vmax)
+
+
+def read_jpeg(path: str) -> np.ndarray:
+    """Sequential (SOF0/1) or progressive (SOF2) JPEG -> [H,W,3] uint8
+    (row 0 = top).
+
+    Supports 8-bit, 1 or 3 components, 4:4:4/4:2:2/4:2:0 sampling,
+    restart intervals, and progressive spectral-selection/successive-
+    approximation scans (stb_image decodes both; reference:
+    include/stb_image.h stbi__jpeg).
     """
     with open(path, "rb") as fh:
         data = fh.read()
@@ -393,6 +586,8 @@ def read_jpeg(path: str) -> np.ndarray:
     comps = None
     h = w = 0
     restart_interval = 0
+    progressive = False
+    hmax = vmax = mcux = mcuy = 0
     while pos < len(data):
         if data[pos] != 0xFF:
             pos += 1
@@ -404,6 +599,10 @@ def read_jpeg(path: str) -> np.ndarray:
         pos += 2
         if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
             continue
+        if marker == 0xD9:  # EOI
+            if progressive and comps is not None:
+                return _finish_progressive(comps, qts, w, h, hmax, vmax)
+            break
         ln = struct.unpack(">H", data[pos:pos + 2])[0]
         seg = data[pos + 2:pos + ln]
         if marker == 0xDB:  # DQT
@@ -428,7 +627,8 @@ def read_jpeg(path: str) -> np.ndarray:
                 (huff_dc if tc == 0 else huff_ac)[th] = _build_huff(bits,
                                                                     vals)
                 s += 17 + n
-        elif marker == 0xC0 or marker == 0xC1:  # SOF0/1 baseline
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 sequential, SOF2 prog.
+            progressive = marker == 0xC2
             h, w = struct.unpack(">HH", seg[1:5])
             nc = seg[5]
             comps = []
@@ -436,8 +636,21 @@ def read_jpeg(path: str) -> np.ndarray:
                 cid, sf, tq = seg[6 + 3 * i:9 + 3 * i]
                 comps.append({"id": cid, "hs": sf >> 4, "vs": sf & 15,
                               "tq": tq})
-        elif marker == 0xC2:
-            raise ValueError("progressive JPEG not supported (baseline only)")
+            if progressive:
+                # coefficient planes persist across scans (int32,
+                # zigzag order), allocated at MCU-padded block dims;
+                # non-interleaved scans cover only wb x hb (T.81 A.2.2)
+                hmax = max(c["hs"] for c in comps)
+                vmax = max(c["vs"] for c in comps)
+                mcux = -(-w // (8 * hmax))
+                mcuy = -(-h // (8 * vmax))
+                for c in comps:
+                    cw = -(-(w * c["hs"]) // hmax)   # samples, ceil
+                    ch = -(-(h * c["vs"]) // vmax)
+                    c["wb"] = -(-cw // 8)            # blocks, ceil
+                    c["hb"] = -(-ch // 8)
+                    c["coef"] = np.zeros((mcuy * c["vs"], mcux * c["hs"],
+                                          64), np.int32)
         elif 0xC3 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
             raise ValueError(f"unsupported JPEG SOF{marker - 0xC0}")
         elif marker == 0xDD:  # DRI
@@ -448,14 +661,22 @@ def read_jpeg(path: str) -> np.ndarray:
             for i in range(ns):
                 cs, td_ta = seg[1 + 2 * i:3 + 2 * i]
                 comp = next(c for c in comps if c["id"] == cs)
-                comp["dc"] = huff_dc[td_ta >> 4]
-                comp["ac"] = huff_ac[td_ta & 15]
+                comp["dc"] = huff_dc.get(td_ta >> 4)
+                comp["ac"] = huff_ac.get(td_ta & 15)
                 scan.append(comp)
-            pos += ln
-            return _decode_scan(data, pos, w, h, scan, qts,
-                                restart_interval)
+            if not progressive:
+                pos += ln
+                return _decode_scan(data, pos, w, h, scan, qts,
+                                    restart_interval)
+            ss, se = seg[1 + 2 * ns], seg[2 + 2 * ns]
+            ah_al = seg[3 + 2 * ns]
+            pos = _progressive_scan(data, pos + ln, scan, ss, se,
+                                    ah_al >> 4, ah_al & 15,
+                                    restart_interval, mcux, mcuy)
+            continue
         pos += ln
-    raise ValueError("no SOS marker found")
+    raise ValueError("no SOS marker found" if not progressive
+                     else "progressive JPEG missing EOI")
 
 
 def _scan_native(data, pos, mcux, mcuy, comps, restart_interval) -> bool:
@@ -555,6 +776,13 @@ def _decode_scan(data, pos, w, h, comps, qts, restart_interval):
         c["qt"] = qts[c["tq"]]
     if not _scan_native(data, pos, mcux, mcuy, comps, restart_interval):
         _scan_python(data, pos, mcux, mcuy, comps, restart_interval)
+    return _finish_planes(comps, w, h, hmax, vmax)
+
+
+def _finish_planes(comps, w, h, hmax, vmax):
+    """Per-component sample planes -> [h,w,3] uint8 (level shift, chroma
+    upsample, YCbCr->RGB) — shared by the sequential and progressive
+    paths."""
     planes = []
     for c in comps:
         p = c["plane"] + 128.0

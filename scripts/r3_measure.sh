@@ -22,6 +22,9 @@ BENCH_SKIP_PROBE=1 BENCH_BUDGET=2400 timeout 2600 python bench.py 2>&1 | tee /tm
 # last line.
 timeout 900 python scripts/perf_report.py --child frame_full_bvh \
   > /tmp/r3_full_bvh.log 2>&1; echo "full_bvh rc=$?" | tee -a /tmp/r3_full_bvh.log
+# layout probe: [H,W,4] minor-dim HBM padding + the TAA gather's real
+# cost — both gate round-3 optimization decisions, so run early.
+timeout 1200 python scripts/layout_probe.py 2>&1 | tee /tmp/r3_layout.log
 timeout 2400 python scripts/perf_report.py 2>&1 | tee /tmp/r3_perf.log
 timeout 2000 python scripts/ordered_sweep.py 2>&1 | tee /tmp/r3_ordered.log
 timeout 1500 python scripts/ab_precision.py 2>&1 | tee /tmp/r3_ab.log

@@ -66,12 +66,84 @@ def test_jpeg_restart_markers(tmp_path):
     assert np.max(np.abs(ours.astype(int) - ref.astype(int))) <= 4
 
 
-def test_jpeg_progressive_rejected(tmp_path):
-    img = _pattern(32, 32)
+@pytest.mark.parametrize("subsampling,size", [(0, (64, 48)),   # 4:4:4
+                                              (1, (80, 56)),   # 4:2:2
+                                              (2, (121, 93))])  # 4:2:0 odd
+def test_jpeg_progressive_matches_pil(tmp_path, subsampling, size):
+    """SOF2 spectral-selection/successive-approximation scans
+    (stb parity: include/stb_image.h stbi__jpeg progressive paths)."""
+    w, h = size
+    img = _pattern(h, w)
     path = str(tmp_path / "p.jpg")
-    PIL.fromarray(img).save(path, quality=90, progressive=True)
-    with pytest.raises(ValueError, match="progressive"):
-        read_jpeg(path)
+    PIL.fromarray(img).save(path, quality=92, progressive=True,
+                            subsampling=subsampling)
+    with open(path, "rb") as fh:
+        assert b"\xff\xc2" in fh.read()  # really SOF2
+    ours = read_jpeg(path)
+    ref = np.asarray(PIL.open(path).convert("RGB"))
+    assert ours.shape == ref.shape == (h, w, 3)
+    assert np.mean(np.abs(ours.astype(int) - ref.astype(int))) < 1.0
+    assert np.max(np.abs(ours.astype(int) - ref.astype(int))) <= 4
+
+
+def test_jpeg_progressive_same_as_sequential(tmp_path):
+    """The progressive and sequential decoders reconstruct the same
+    coefficients, so identical quant tables must give near-identical
+    pixels (only scan structure differs)."""
+    img = _pattern(90, 120)
+    seq, prog = str(tmp_path / "s.jpg"), str(tmp_path / "p.jpg")
+    PIL.fromarray(img).save(seq, quality=85, progressive=False,
+                            subsampling=2)
+    PIL.fromarray(img).save(prog, quality=85, progressive=True,
+                            subsampling=2)
+    a, b = read_jpeg(seq), read_jpeg(prog)
+    # Pillow's progressive scan script keeps the same quantized
+    # coefficients; allow a hair for optimized-huffman rounding
+    assert np.max(np.abs(a.astype(int) - b.astype(int))) <= 1
+
+
+def test_jpeg_progressive_restart_markers(tmp_path):
+    img = _pattern(96, 128)
+    path = str(tmp_path / "pr.jpg")
+    ok = cv2.imwrite(path, img[..., ::-1],
+                     [cv2.IMWRITE_JPEG_QUALITY, 90,
+                      cv2.IMWRITE_JPEG_PROGRESSIVE, 1,
+                      cv2.IMWRITE_JPEG_RST_INTERVAL, 4])
+    assert ok
+    with open(path, "rb") as fh:
+        blob = fh.read()
+    assert b"\xff\xc2" in blob and b"\xff\xdd" in blob
+    ours = read_jpeg(path)
+    ref = np.asarray(PIL.open(path).convert("RGB"))
+    assert np.max(np.abs(ours.astype(int) - ref.astype(int))) <= 4
+
+
+def test_progressive_cross_through_env_pipeline(tmp_path):
+    """A progressive-JPEG 4x3 cubemap cross loads through the same env
+    pipeline the picker uses (reference picker surface: gui.cpp:806-838;
+    stb decodes progressive transparently)."""
+    from opengl_raytracing_tpu.utils.image import load_cubemap_cross
+    face = 16
+    cross = np.zeros((3 * face, 4 * face, 3), np.uint8)
+    for i in range(4):
+        cross[face:2 * face, i * face:(i + 1) * face] = 40 * (i + 1)
+    cross[0:face, face:2 * face] = [200, 30, 30]
+    cross[2 * face:, face:2 * face] = [30, 200, 30]
+    path = str(tmp_path / "cross.jpg")
+    PIL.fromarray(cross).save(path, quality=95, progressive=True)
+    faces = load_cubemap_cross(path)
+    assert faces.shape == (6, face, face, 3)
+    assert np.isfinite(np.asarray(faces)).all()
+
+
+def test_jpeg_progressive_grayscale(tmp_path):
+    img = _pattern(37, 53)[..., 0]
+    path = str(tmp_path / "pg.jpg")
+    PIL.fromarray(img, mode="L").save(path, quality=90, progressive=True)
+    ours = read_jpeg(path)
+    ref = np.asarray(PIL.open(path).convert("RGB"))
+    assert ours.shape == (37, 53, 3)
+    assert np.max(np.abs(ours.astype(int) - ref.astype(int))) <= 4
 
 
 def test_hdr_roundtrip_and_cv2_oracle(tmp_path):
