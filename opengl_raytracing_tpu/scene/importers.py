@@ -1,4 +1,5 @@
-"""Multi-format model import: OBJ, STL, PLY, glTF 2.0 (.gltf/.glb).
+"""Multi-format model import: OBJ, STL, PLY, glTF 2.0 (.gltf/.glb),
+Collada (.dae), 3D Studio (.3ds).
 
 Parity target: the reference imports models through assimp's ReadFile
 with Triangulate | JoinIdenticalVertices (reference:
@@ -21,7 +22,8 @@ import numpy as np
 
 from .geometry import Mesh, load_obj_fast
 
-MODEL_EXTENSIONS = (".obj", ".stl", ".ply", ".gltf", ".glb")
+MODEL_EXTENSIONS = (".obj", ".stl", ".ply", ".gltf", ".glb", ".dae",
+                    ".3ds")
 
 
 def load_model(path: str) -> Mesh:
@@ -40,6 +42,10 @@ def load_model(path: str) -> Mesh:
         return load_ply(path)
     if ext in (".gltf", ".glb"):
         return load_gltf(path)
+    if ext == ".dae":
+        return load_dae(path)
+    if ext == ".3ds":
+        return load_3ds(path)
     raise ValueError(f"unsupported model format: {ext!r} ({path})")
 
 
@@ -374,3 +380,285 @@ def save_glb(path: str, mesh: Mesh) -> None:
         fh.write(js)
         fh.write(struct.pack("<II", len(binv), 0x004E4942))
         fh.write(binv)
+
+
+# -----------------------------------------------------------------------------
+# Collada 1.4/1.5 (.dae): XML geometry libraries + visual-scene node
+# transforms; namespace-agnostic (matches by local element name).
+# -----------------------------------------------------------------------------
+
+def _dae_local(tag: str) -> str:
+    return tag.rsplit("}", 1)[-1]
+
+
+def _dae_floats(text) -> np.ndarray:
+    return np.asarray((text or "").split(), np.float64)
+
+
+def _dae_node_matrix(node) -> np.ndarray:
+    """Compose a node's transform elements in document order
+    (Collada spec: transforms apply in the order written)."""
+    m = np.eye(4)
+    for el in node:
+        tag = _dae_local(el.tag)
+        if tag == "matrix":
+            m = m @ _dae_floats(el.text).reshape(4, 4)
+        elif tag == "translate":
+            t = np.eye(4)
+            t[:3, 3] = _dae_floats(el.text)[:3]
+            m = m @ t
+        elif tag == "scale":
+            s = np.eye(4)
+            s[:3, :3] = np.diag(_dae_floats(el.text)[:3])
+            m = m @ s
+        elif tag == "rotate":
+            x, y, z, deg = _dae_floats(el.text)[:4]
+            axis = np.asarray([x, y, z], np.float64)
+            n = np.linalg.norm(axis)
+            if n > 0:
+                axis /= n
+                a = np.radians(deg)
+                c, s_ = np.cos(a), np.sin(a)
+                kx, ky, kz = axis
+                k = np.array([[0, -kz, ky], [kz, 0, -kx], [-ky, kx, 0]])
+                r = np.eye(4)
+                r[:3, :3] = np.eye(3) * c + s_ * k + (1 - c) * np.outer(
+                    axis, axis)
+                m = m @ r
+    return m
+
+
+def _dae_geometry_mesh(geo) -> Mesh | None:
+    """One <geometry>: POSITION source + triangles/polylist prims."""
+    mesh_el = next((el for el in geo.iter()
+                    if _dae_local(el.tag) == "mesh"), None)
+    if mesh_el is None:
+        return None
+    sources = {}
+    for src in mesh_el:
+        if _dae_local(src.tag) != "source":
+            continue
+        fa = next((el for el in src if _dae_local(el.tag) == "float_array"),
+                  None)
+        if fa is not None:
+            sources["#" + src.get("id", "")] = _dae_floats(fa.text)
+    # <vertices> maps its id to the POSITION source
+    vert_src = {}
+    for el in mesh_el:
+        if _dae_local(el.tag) == "vertices":
+            for inp in el:
+                if (_dae_local(inp.tag) == "input"
+                        and inp.get("semantic") == "POSITION"):
+                    vert_src["#" + el.get("id", "")] = inp.get("source")
+    all_v, all_f = [], []
+    for prim in mesh_el:
+        kind = _dae_local(prim.tag)
+        if kind not in ("triangles", "polylist"):
+            continue
+        inputs = [el for el in prim if _dae_local(el.tag) == "input"]
+        v_off, v_src = 0, None
+        stride = 1
+        for inp in inputs:
+            off = int(inp.get("offset", 0))
+            stride = max(stride, off + 1)
+            if inp.get("semantic") == "VERTEX":
+                v_off = off
+                v_src = vert_src.get(inp.get("source"), inp.get("source"))
+        if v_src is None or v_src not in sources:
+            continue
+        verts = sources[v_src].reshape(-1, 3).astype(np.float32)
+        p_el = next((el for el in prim if _dae_local(el.tag) == "p"), None)
+        if p_el is None:
+            continue
+        p = np.asarray((p_el.text or "").split(), np.int64)
+        vidx = p.reshape(-1, stride)[:, v_off]
+        base = sum(len(v) for v in all_v)
+        faces = []
+        if kind == "triangles":
+            faces = vidx.reshape(-1, 3)
+        else:  # polylist: <vcount> per polygon, fan-triangulated
+            vc_el = next((el for el in prim
+                          if _dae_local(el.tag) == "vcount"), None)
+            vcount = np.asarray((vc_el.text or "").split(), np.int64)
+            tri = []
+            c = 0
+            for n in vcount:
+                for j in range(1, int(n) - 1):
+                    tri.append([vidx[c], vidx[c + j], vidx[c + j + 1]])
+                c += int(n)
+            faces = np.asarray(tri, np.int64).reshape(-1, 3)
+        all_v.append(verts)
+        all_f.append((faces + base).astype(np.int32))
+    if not all_v:
+        return None
+    return np.concatenate(all_v), np.concatenate(all_f)
+
+
+def load_dae(path: str) -> Mesh:
+    """Collada reader: geometry libraries instanced through the visual
+    scene's node hierarchy (transforms baked), polylists triangulated,
+    Z_UP assets rotated into the package's Y-up convention the way
+    assimp's collada importer does."""
+    import xml.etree.ElementTree as ET
+    root = ET.parse(path).getroot()
+    geoms = {}
+    for geo in root.iter():
+        if _dae_local(geo.tag) == "geometry" and geo.get("id"):
+            m = _dae_geometry_mesh(geo)
+            if m is not None:
+                geoms["#" + geo.get("id")] = m
+
+    up = next((el for el in root.iter()
+               if _dae_local(el.tag) == "up_axis"), None)
+    up_m = np.eye(4)
+    if up is not None and (up.text or "").strip() == "Z_UP":
+        up_m = np.asarray([[1, 0, 0, 0], [0, 0, 1, 0],
+                           [0, -1, 0, 0], [0, 0, 0, 1]], np.float64)
+    elif up is not None and (up.text or "").strip() == "X_UP":
+        up_m = np.asarray([[0, 1, 0, 0], [-1, 0, 0, 0],
+                           [0, 0, 1, 0], [0, 0, 0, 1]], np.float64)
+
+    all_v, all_f = [], []
+
+    def emit(mesh, m):
+        verts, faces = mesh
+        w = verts.astype(np.float64) @ m[:3, :3].T + m[:3, 3]
+        base = sum(len(v) for v in all_v)
+        all_v.append(w.astype(np.float32))
+        all_f.append(faces + np.int32(base))
+
+    def walk(node, parent_m):
+        m = parent_m @ _dae_node_matrix(node)
+        for el in node:
+            tag = _dae_local(el.tag)
+            if tag == "instance_geometry":
+                g = geoms.get(el.get("url", ""))
+                if g is not None:
+                    emit(g, m)
+            elif tag == "node":
+                walk(el, m)
+
+    scenes = [el for el in root.iter()
+              if _dae_local(el.tag) == "visual_scene"]
+    for vs in scenes:
+        for el in vs:
+            if _dae_local(el.tag) == "node":
+                walk(el, up_m)
+    if not all_v:
+        # no scene instancing: import the bare geometry libraries
+        for g in geoms.values():
+            emit(g, up_m)
+    if not all_v:
+        raise ValueError(f"Collada contains no triangle geometry: {path}")
+    return np.concatenate(all_v), np.concatenate(all_f)
+
+
+def save_dae(path: str, mesh: Mesh) -> None:
+    """Minimal Collada writer (fixture/export helper): one Y_UP geometry
+    instanced by one scene node."""
+    verts, faces = mesh
+    vtxt = " ".join(f"{x:.9g}" for x in np.asarray(verts, np.float32)
+                    .reshape(-1))
+    ptxt = " ".join(str(int(i)) for i in np.asarray(faces).reshape(-1))
+    doc = f"""<?xml version="1.0" encoding="utf-8"?>
+<COLLADA xmlns="http://www.collada.org/2005/11/COLLADASchema" version="1.4.1">
+  <asset><up_axis>Y_UP</up_axis></asset>
+  <library_geometries>
+    <geometry id="shape"><mesh>
+      <source id="pos"><float_array id="posarr" count="{verts.size}">{vtxt}</float_array>
+        <technique_common><accessor source="#posarr" count="{len(verts)}" stride="3">
+          <param name="X" type="float"/><param name="Y" type="float"/><param name="Z" type="float"/>
+        </accessor></technique_common></source>
+      <vertices id="vtx"><input semantic="POSITION" source="#pos"/></vertices>
+      <triangles count="{len(faces)}"><input semantic="VERTEX" source="#vtx" offset="0"/>
+        <p>{ptxt}</p></triangles>
+    </mesh></geometry>
+  </library_geometries>
+  <library_visual_scenes><visual_scene id="scene">
+    <node id="n0"><instance_geometry url="#shape"/></node>
+  </visual_scene></library_visual_scenes>
+  <scene><instance_visual_scene url="#scene"/></scene>
+</COLLADA>
+"""
+    with open(path, "w", encoding="utf-8") as fh:
+        fh.write(doc)
+
+
+# -----------------------------------------------------------------------------
+# 3D Studio (.3ds): chunked binary; vertex (0x4110) + face (0x4120)
+# arrays per trimesh, multiple objects concatenated.
+# -----------------------------------------------------------------------------
+
+_3DS_MAIN = 0x4D4D
+_3DS_EDITOR = 0x3D3D
+_3DS_OBJECT = 0x4000
+_3DS_TRIMESH = 0x4100
+_3DS_VERTS = 0x4110
+_3DS_FACES = 0x4120
+
+
+def load_3ds(path: str) -> Mesh:
+    """3DS reader: walks the chunk tree, collects every trimesh's vertex
+    and face arrays (coordinates used as stored, like simple exporters
+    write them)."""
+    with open(path, "rb") as fh:
+        blob = fh.read()
+    if len(blob) < 6 or struct.unpack_from("<H", blob, 0)[0] != _3DS_MAIN:
+        raise ValueError(f"not a 3DS file: {path}")
+    all_v, all_f = [], []
+
+    def walk(start, end):
+        pos = start
+        while pos + 6 <= end:
+            cid, clen = struct.unpack_from("<HI", blob, pos)
+            if clen < 6 or pos + clen > end:
+                raise ValueError(f"malformed 3DS chunk at {pos}: {path}")
+            body = pos + 6
+            if cid in (_3DS_MAIN, _3DS_EDITOR, _3DS_TRIMESH):
+                walk(body, pos + clen)
+            elif cid == _3DS_OBJECT:
+                # skip the asciiz object name, then recurse
+                name_end = blob.index(b"\0", body) + 1
+                walk(name_end, pos + clen)
+            elif cid == _3DS_VERTS:
+                (n,) = struct.unpack_from("<H", blob, body)
+                v = np.frombuffer(blob, "<f4", n * 3, body + 2)
+                all_v.append(v.reshape(n, 3).astype(np.float32))
+            elif cid == _3DS_FACES:
+                (n,) = struct.unpack_from("<H", blob, body)
+                f = np.frombuffer(blob, "<u2", n * 4, body + 2)
+                all_f.append(f.reshape(n, 4)[:, :3].astype(np.int32))
+            pos += clen
+
+    walk(0, len(blob))
+    if not all_v or not all_f:
+        raise ValueError(f"3DS contains no triangle geometry: {path}")
+    # vertex/face chunk order inside a trimesh is unspecified; pair
+    # them positionally and re-base face indices per object
+    verts, faces, base = [], [], 0
+    for v, f in zip(all_v, all_f):
+        verts.append(v)
+        faces.append(f + base)
+        base += len(v)
+    return np.concatenate(verts), np.concatenate(faces)
+
+
+def save_3ds(path: str, mesh: Mesh) -> None:
+    """Minimal 3DS writer (fixture/export helper): one named trimesh."""
+    verts, faces = mesh
+    if len(verts) > 0xFFFF or len(faces) > 0xFFFF:
+        raise ValueError("3DS chunks hold at most 65535 verts/faces")
+    vch = (struct.pack("<HIH", _3DS_VERTS, 6 + 2 + verts.size * 4,
+                       len(verts))
+           + np.asarray(verts, "<f4").tobytes())
+    fdata = np.zeros((len(faces), 4), "<u2")
+    fdata[:, :3] = np.asarray(faces, np.int64)
+    fch = (struct.pack("<HIH", _3DS_FACES, 6 + 2 + fdata.size * 2,
+                       len(faces)) + fdata.tobytes())
+    tri = struct.pack("<HI", _3DS_TRIMESH, 6 + len(vch) + len(fch)) \
+        + vch + fch
+    obj = struct.pack("<HI", _3DS_OBJECT, 6 + 5 + len(tri)) \
+        + b"mesh\0" + tri
+    ed = struct.pack("<HI", _3DS_EDITOR, 6 + len(obj)) + obj
+    with open(path, "wb") as fh:
+        fh.write(struct.pack("<HI", _3DS_MAIN, 6 + len(ed)) + ed)

@@ -13,6 +13,7 @@ from opengl_raytracing_tpu.scene.geometry import (make_icosphere, save_obj,
                                                   model_transform)
 from opengl_raytracing_tpu.scene.importers import (load_model, save_stl,
                                                    save_ply, save_glb,
+                                                   save_dae, save_3ds,
                                                    MODEL_EXTENSIONS)
 
 
@@ -122,6 +123,79 @@ def test_gltf_node_transform(tmp_path, ref_mesh):
                                _tri_soup((want_v, ref_mesh[1])), atol=1e-5)
 
 
+def test_dae_roundtrip(tmp_path, ref_mesh):
+    p = str(tmp_path / "m.dae")
+    save_dae(p, ref_mesh)
+    got = load_model(p)
+    np.testing.assert_allclose(_tri_soup(got), _tri_soup(ref_mesh),
+                               atol=1e-5)
+
+
+def test_dae_node_transform_and_zup(tmp_path):
+    """Node translate/rotate/scale bake in document order (T@R@S);
+    Z_UP assets rotate into Y-up like assimp's collada importer.
+    Asymmetric fixture: a symmetric mesh makes the sorted-soup compare
+    sensitive to lexsort tie order under fp rounding."""
+    verts = np.asarray([[1, 2, 3], [4, 5, 6], [7, 8, 10]], np.float32)
+    faces = np.asarray([[0, 1, 2]], np.int32)
+    p = str(tmp_path / "m.dae")
+    save_dae(p, (verts, faces))
+    with open(p) as fh:
+        doc = fh.read()
+    doc = doc.replace("<up_axis>Y_UP</up_axis>", "<up_axis>Z_UP</up_axis>")
+    doc = doc.replace(
+        '<node id="n0">',
+        '<node id="n0"><translate>1 2 3</translate>'
+        '<rotate>0 0 1 90</rotate><scale>2 2 2</scale>')
+    p2 = str(tmp_path / "m_t.dae")
+    with open(p2, "w") as fh:
+        fh.write(doc)
+    got = load_model(p2)
+    # scale 2, rotate 90deg about +z, then translate, then Z_UP->Y_UP
+    v = verts.astype(np.float64) * 2.0
+    rot = np.asarray([[0, -1, 0], [1, 0, 0], [0, 0, 1]], np.float64)
+    v = v @ rot.T + np.asarray([1.0, 2.0, 3.0])
+    zup = np.asarray([[1, 0, 0], [0, 0, 1], [0, -1, 0]], np.float64)
+    v = (v @ zup.T).astype(np.float32)
+    np.testing.assert_allclose(got[0], v, atol=1e-5)
+    np.testing.assert_array_equal(got[1], faces)
+
+
+def test_dae_polylist(tmp_path):
+    """polylist quads fan-triangulate (assimp Triangulate parity)."""
+    p = str(tmp_path / "q.dae")
+    quad_v = np.asarray([[0, 0, 0], [1, 0, 0], [1, 1, 0], [0, 1, 0]],
+                        np.float32)
+    save_dae(p, (quad_v, np.asarray([[0, 1, 2]], np.int32)))
+    with open(p) as fh:
+        doc = fh.read()
+    doc = doc.replace(
+        '<triangles count="1"><input semantic="VERTEX" source="#vtx" '
+        'offset="0"/>\n        <p>0 1 2</p></triangles>',
+        '<polylist count="1"><input semantic="VERTEX" source="#vtx" '
+        'offset="0"/><vcount>4</vcount><p>0 1 2 3</p></polylist>')
+    with open(p, "w") as fh:
+        fh.write(doc)
+    got = load_model(p)
+    assert got[1].shape == (2, 3)  # quad -> two triangles
+    np.testing.assert_array_equal(got[1], [[0, 1, 2], [0, 2, 3]])
+
+
+def test_3ds_roundtrip(tmp_path, ref_mesh):
+    p = str(tmp_path / "m.3ds")
+    save_3ds(p, ref_mesh)
+    got = load_model(p)
+    np.testing.assert_allclose(_tri_soup(got), _tri_soup(ref_mesh),
+                               atol=1e-6)
+
+
+def test_3ds_malformed(tmp_path):
+    p = tmp_path / "bad.3ds"
+    p.write_bytes(b"\x4d\x4d\x10\x00\x00\x00" + b"\0" * 4)
+    with pytest.raises(ValueError):
+        load_model(str(p))
+
+
 def test_obj_through_dispatcher(tmp_path, ref_mesh):
     p = str(tmp_path / "m.obj")
     save_obj(p, ref_mesh)
@@ -145,11 +219,13 @@ def test_appstate_loads_every_format(tmp_path, ref_mesh):
     save_ply(str(tmp_path / "b.ply"), ref_mesh)
     save_glb(str(tmp_path / "c.glb"), ref_mesh)
     save_obj(str(tmp_path / "d.obj"), ref_mesh)
+    save_dae(str(tmp_path / "e.dae"), ref_mesh)
+    save_3ds(str(tmp_path / "f.3ds"), ref_mesh)
     st = AppState(height=24, width=32)
     st.model_picker.directory = str(tmp_path)
     st.model_picker.patterns = tuple("*" + e for e in MODEL_EXTENSIONS)
     entries = st.model_picker.scan()
-    assert len(entries) == 4
+    assert len(entries) == 6
     for e in entries:
         assert st.load_bvh_model(e), e
         assert st.bvh_tri_count == ref_mesh[1].shape[0]
