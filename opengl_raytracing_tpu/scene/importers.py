@@ -1,5 +1,5 @@
 """Multi-format model import: OBJ, STL, PLY, glTF 2.0 (.gltf/.glb),
-Collada (.dae), 3D Studio (.3ds).
+Collada (.dae), 3D Studio (.3ds), FBX (binary + 7.x ASCII).
 
 Parity target: the reference imports models through assimp's ReadFile
 with Triangulate | JoinIdenticalVertices (reference:
@@ -23,7 +23,7 @@ import numpy as np
 from .geometry import Mesh, load_obj_fast
 
 MODEL_EXTENSIONS = (".obj", ".stl", ".ply", ".gltf", ".glb", ".dae",
-                    ".3ds")
+                    ".3ds", ".fbx")
 
 
 def load_model(path: str) -> Mesh:
@@ -46,6 +46,8 @@ def load_model(path: str) -> Mesh:
         return load_dae(path)
     if ext == ".3ds":
         return load_3ds(path)
+    if ext == ".fbx":
+        return load_fbx(path)
     raise ValueError(f"unsupported model format: {ext!r} ({path})")
 
 
@@ -662,3 +664,185 @@ def save_3ds(path: str, mesh: Mesh) -> None:
     ed = struct.pack("<HI", _3DS_EDITOR, 6 + len(obj)) + obj
     with open(path, "wb") as fh:
         fh.write(struct.pack("<HI", _3DS_MAIN, 6 + len(ed)) + ed)
+
+
+# -----------------------------------------------------------------------------
+# FBX (Kaydara binary 7.x + 7.x ASCII): Geometry nodes' Vertices +
+# PolygonVertexIndex, polygons fan-triangulated.  Model-node transform
+# inheritance is NOT applied (most exporters bake world coordinates for
+# static meshes; assimp parity for positions+connectivity only, like
+# the other importers).
+# -----------------------------------------------------------------------------
+
+_FBX_MAGIC = b"Kaydara FBX Binary  \x00"
+
+
+def _fbx_read_props(blob, pos, n):
+    """Read n binary properties; returns (values, new_pos)."""
+    import zlib
+    scalars = {b"Y": ("<h", 2), b"C": ("<B", 1), b"I": ("<i", 4),
+               b"F": ("<f", 4), b"D": ("<d", 8), b"L": ("<q", 8)}
+    arrays = {b"f": "<f4", b"d": "<f8", b"l": "<i8", b"i": "<i4",
+              b"b": "u1"}
+    vals = []
+    for _ in range(n):
+        t = blob[pos:pos + 1]
+        pos += 1
+        if t in scalars:
+            fmt, sz = scalars[t]
+            vals.append(struct.unpack_from(fmt, blob, pos)[0])
+            pos += sz
+        elif t in arrays:
+            ln, enc, clen = struct.unpack_from("<III", blob, pos)
+            pos += 12
+            raw = blob[pos:pos + clen]
+            pos += clen
+            if enc == 1:
+                raw = zlib.decompress(raw)
+            vals.append(np.frombuffer(raw, arrays[t], ln))
+        elif t in (b"S", b"R"):
+            (ln,) = struct.unpack_from("<I", blob, pos)
+            pos += 4
+            vals.append(blob[pos:pos + ln])
+            pos += ln
+        else:
+            raise ValueError(f"unknown FBX property type {t!r}")
+    return vals, pos
+
+
+def _fbx_walk_binary(blob, pos, end, big, out):
+    """Recursive binary node-record walk; collects
+    (name, props, children) into out."""
+    hdr = "<QQQB" if big else "<IIIB"
+    hsz = 25 if big else 13
+    while pos + hsz <= end:
+        end_off, n_props, _plen, name_len = struct.unpack_from(
+            hdr, blob, pos)
+        if end_off == 0:  # null sentinel terminates a nested list
+            return pos + hsz
+        name = blob[pos + hsz:pos + hsz + name_len].decode(
+            "ascii", "replace")
+        ppos = pos + hsz + name_len
+        props, cpos = _fbx_read_props(blob, ppos, n_props)
+        children = []
+        if cpos < end_off:
+            _fbx_walk_binary(blob, cpos, end_off, big, children)
+        out.append((name, props, children))
+        pos = end_off
+    return pos
+
+
+def _fbx_triangulate(pvi: np.ndarray):
+    """PolygonVertexIndex -> [F,3] faces: a negative entry is the
+    polygon's final vertex, stored as ~index; fans triangulate."""
+    faces = []
+    poly = []
+    for raw in pvi:
+        i = int(raw)
+        if i < 0:
+            poly.append(~i)
+            for j in range(1, len(poly) - 1):
+                faces.append([poly[0], poly[j], poly[j + 1]])
+            poly = []
+        else:
+            poly.append(i)
+    return np.asarray(faces, np.int64).reshape(-1, 3)
+
+
+def _fbx_ascii_meshes(text: str):
+    """Minimal 7.x ASCII scan: every Vertices/PolygonVertexIndex 'a:'
+    payload pair in file order (ASCII FBX writes `Vertices: *N { a:
+    csv... }`)."""
+    import re
+    pat = re.compile(r"(Vertices|PolygonVertexIndex)\s*:\s*\*\d+\s*{"
+                     r"\s*a\s*:([^}]*)}", re.S)
+    verts, idx = [], []
+    for m in pat.finditer(text):
+        nums = m.group(2).replace("\n", "").split(",")
+        if m.group(1) == "Vertices":
+            verts.append(np.asarray([float(x) for x in nums if x.strip()],
+                                    np.float64))
+        else:
+            idx.append(np.asarray([int(x) for x in nums if x.strip()],
+                                  np.int64))
+    return list(zip(verts, idx))
+
+
+def load_fbx(path: str) -> Mesh:
+    """FBX reader (binary + 7.x ASCII): every Geometry node's vertex
+    cloud + polygon index list, fan-triangulated and concatenated."""
+    with open(path, "rb") as fh:
+        blob = fh.read()
+    pairs = []
+    if blob[:len(_FBX_MAGIC)] == _FBX_MAGIC:
+        (version,) = struct.unpack_from("<I", blob, 23)
+        nodes = []
+        _fbx_walk_binary(blob, 27, len(blob), version >= 7500, nodes)
+
+        def find_geoms(ns):
+            for name, props, children in ns:
+                if name == "Geometry" or name == "Model" and any(
+                        c[0] == "Vertices" for c in children):
+                    v = next((p[1][0] for p in children
+                              if p[0] == "Vertices" and p[1]), None)
+                    i = next((p[1][0] for p in children
+                              if p[0] == "PolygonVertexIndex" and p[1]),
+                             None)
+                    if v is not None and i is not None:
+                        pairs.append((np.asarray(v, np.float64),
+                                      np.asarray(i, np.int64)))
+                find_geoms(children)
+
+        find_geoms(nodes)
+    else:
+        pairs = _fbx_ascii_meshes(blob.decode("utf-8", "replace"))
+
+    all_v, all_f = [], []
+    for v, i in pairs:
+        verts = v.reshape(-1, 3).astype(np.float32)
+        faces = _fbx_triangulate(i)
+        base = sum(len(x) for x in all_v)
+        all_v.append(verts)
+        all_f.append((faces + base).astype(np.int32))
+    if not all_v or not any(len(f) for f in all_f):
+        raise ValueError(f"FBX contains no triangle geometry: {path}")
+    return np.concatenate(all_v), np.concatenate(all_f)
+
+
+def save_fbx(path: str, mesh: Mesh) -> None:
+    """Minimal binary-FBX writer (fixture/export helper): one Geometry
+    node under Objects, version 7400 (32-bit record headers)."""
+    verts, faces = mesh
+    pvi = np.asarray(faces, np.int64).copy()
+    pvi[:, 2] = ~pvi[:, 2]
+
+    def prop_arr(tchar, arr, dtype):
+        a = np.asarray(arr, dtype).tobytes()
+        return tchar + struct.pack("<III", arr.size, 0, len(a)) + a
+
+    # record end-offsets are absolute, so assemble depth-first tracking
+    # each record's base position
+    def pack(name, props_b, nprops, children_recs, base):
+        name_b = name.encode("ascii")
+        pos = base + 13 + len(name_b) + len(props_b)
+        kids = b""
+        for cn, cp, cnp, cc in children_recs:
+            kid = pack(cn, cp, cnp, cc, pos)
+            kids += kid
+            pos += len(kid)
+        if children_recs:
+            kids += b"\0" * 13
+            pos += 13
+        return struct.pack("<IIIB", pos, nprops, len(props_b),
+                           len(name_b)) + name_b + props_b + kids
+
+    vprop = prop_arr(b"d", np.asarray(verts, np.float64).reshape(-1),
+                     "<f8")
+    iprop = prop_arr(b"i", pvi.reshape(-1), "<i4")
+    geometry = ("Geometry", b"", 0, [("Vertices", vprop, 1, []),
+                                     ("PolygonVertexIndex", iprop, 1, [])])
+    objects = ("Objects", b"", 0, [geometry])
+    head = _FBX_MAGIC + b"\x1a\x00" + struct.pack("<I", 7400)
+    body = pack(*objects, base=len(head))
+    with open(path, "wb") as fh:
+        fh.write(head + body + b"\0" * 13)

@@ -107,14 +107,15 @@ def main():
     from opengl_raytracing_tpu.scene.geometry import make_icosphere
     from opengl_raytracing_tpu.scene.importers import (save_stl, save_ply,
                                                        save_glb, save_dae,
-                                                       save_3ds)
+                                                       save_3ds, save_fbx)
     save_stl("models/ico.stl", make_icosphere(1.0, 3))
     save_ply("models/blob.ply", make_bunny(3))
     save_glb("models/orb.glb", make_uv_sphere(1.0, 16, 32))
     save_dae("models/gem.dae", make_icosphere(1.0, 2))
     save_3ds("models/knot.3ds", make_uv_sphere(1.0, 12, 24))
+    save_fbx("models/torus.fbx", make_uv_sphere(0.8, 10, 20))
     log("MESH", "wrote models/ico.stl + blob.ply + orb.glb + gem.dae "
-        "+ knot.3ds")
+        "+ knot.3ds + torus.fbx")
     write_cross("cubemaps/sky_day.png", 64, (0.4, 0.55, 0.35),
                 (0.75, 0.85, 0.95), (0.25, 0.45, 0.85), (2.0, 1.9, 1.6))
     write_cross("cubemaps/sky_dusk.png", 64, (0.8, 0.15, 0.2),

@@ -14,6 +14,7 @@ from opengl_raytracing_tpu.scene.geometry import (make_icosphere, save_obj,
 from opengl_raytracing_tpu.scene.importers import (load_model, save_stl,
                                                    save_ply, save_glb,
                                                    save_dae, save_3ds,
+                                                   save_fbx,
                                                    MODEL_EXTENSIONS)
 
 
@@ -196,6 +197,100 @@ def test_3ds_malformed(tmp_path):
         load_model(str(p))
 
 
+def test_fbx_roundtrip(tmp_path, ref_mesh):
+    p = str(tmp_path / "m.fbx")
+    save_fbx(p, ref_mesh)
+    got = load_model(p)
+    np.testing.assert_allclose(_tri_soup(got), _tri_soup(ref_mesh),
+                               atol=1e-6)
+
+
+def test_fbx_zlib_arrays(tmp_path, ref_mesh):
+    """Binary FBX with zlib-compressed (encoding=1) property arrays —
+    what real exporters actually write."""
+    import struct
+    import zlib
+    p = str(tmp_path / "m.fbx")
+    save_fbx(p, ref_mesh)
+    with open(p, "rb") as fh:
+        blob = bytearray(fh.read())
+
+    # recompress each uncompressed array property in place (walk the
+    # two known array records by their type chars at fixed structure)
+    def recompress(blob):
+        out = bytearray(blob[:27])
+        import opengl_raytracing_tpu.scene.importers as imp
+        nodes = []
+        imp._fbx_walk_binary(bytes(blob), 27, len(blob), False, nodes)
+
+        def arr_prop(tchar, arr, dtype):
+            comp = zlib.compress(np.asarray(arr, dtype).tobytes())
+            return (tchar + struct.pack("<III", arr.size, 1, len(comp))
+                    + comp)
+
+        def pack(name, props_b, children, base):
+            name_b = name.encode("ascii")
+            pos = base + 13 + len(name_b) + len(props_b)
+            kids = b""
+            for cn, cp, cc in children:
+                kid = pack(cn, cp, cc, pos)
+                kids += kid
+                pos += len(kid)
+            if children:
+                kids += b"\0" * 13
+                pos += 13
+            nprops = 1 if props_b else 0
+            return (struct.pack("<IIIB", pos, nprops, len(props_b),
+                                len(name_b)) + name_b + props_b + kids)
+
+        def conv(n):
+            name, props, children = n
+            pb = b""
+            if props and isinstance(props[0], np.ndarray):
+                a = props[0]
+                pb = arr_prop(b"d" if a.dtype.kind == "f" else b"i", a,
+                              "<f8" if a.dtype.kind == "f" else "<i4")
+            return (name, pb, [conv(c) for c in children])
+
+        body = b"".join(pack(*conv(n), base=len(out)) for n in nodes[:1])
+        return bytes(out) + body + b"\0" * 13
+
+    p2 = str(tmp_path / "mz.fbx")
+    with open(p2, "wb") as fh:
+        fh.write(recompress(blob))
+    got = load_model(p2)
+    np.testing.assert_allclose(_tri_soup(got), _tri_soup(ref_mesh),
+                               atol=1e-6)
+
+
+def test_fbx_ascii(tmp_path):
+    p = str(tmp_path / "a.fbx")
+    with open(p, "w") as fh:
+        fh.write("""; FBX 7.4.0 project file
+Objects:  {
+    Geometry: 140234, "Geometry::", "Mesh" {
+        Vertices: *15 {
+            a: 0,0,0,1,0,0,1,1,0,0,1,0,0,0,2
+        }
+        PolygonVertexIndex: *7 {
+            a: 0,1,-3,0,2,4,-4
+        }
+    }
+}
+""")
+    got = load_model(p)
+    assert got[0].shape == (5, 3)
+    np.testing.assert_array_equal(got[1], [[0, 1, 2], [0, 2, 4],
+                                           [0, 4, 3]])
+
+
+def test_fbx_malformed(tmp_path):
+    p = tmp_path / "bad.fbx"
+    p.write_bytes(b"Kaydara FBX Binary  \x00\x1a\x00" + b"\0" * 8)
+    with pytest.raises(ValueError):
+        load_model(str(p))
+
+
 def test_obj_through_dispatcher(tmp_path, ref_mesh):
     p = str(tmp_path / "m.obj")
     save_obj(p, ref_mesh)
@@ -221,11 +316,12 @@ def test_appstate_loads_every_format(tmp_path, ref_mesh):
     save_obj(str(tmp_path / "d.obj"), ref_mesh)
     save_dae(str(tmp_path / "e.dae"), ref_mesh)
     save_3ds(str(tmp_path / "f.3ds"), ref_mesh)
+    save_fbx(str(tmp_path / "g.fbx"), ref_mesh)
     st = AppState(height=24, width=32)
     st.model_picker.directory = str(tmp_path)
     st.model_picker.patterns = tuple("*" + e for e in MODEL_EXTENSIONS)
     entries = st.model_picker.scan()
-    assert len(entries) == 6
+    assert len(entries) == 7
     for e in entries:
         assert st.load_bvh_model(e), e
         assert st.bvh_tri_count == ref_mesh[1].shape[0]
