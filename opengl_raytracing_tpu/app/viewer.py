@@ -36,7 +36,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from ..utils.image import encode_png
+from ..utils.image import encode_png, encode_jpeg
 from ..utils.checkpoint import params_to_dict
 from ..utils.log import log, default_logger
 from .headless import build_parser, make_app
@@ -337,14 +337,22 @@ img.addEventListener('wheel',ev=>{
 
 
 class ViewerState:
-    def __init__(self, application, stream_level: int = 1):
+    def __init__(self, application, stream_level: int = 1,
+                 stream_format: str = "png", jpeg_quality: int = 85):
         self.application = application
         self.lock = threading.Lock()
         self.png: bytes = b""
         self.running = True
         # PNG zlib level for the stream: 0 = stored (fastest encode,
-        # ~3x bytes — right for localhost), 1 = fast deflate (default)
+        # ~3x bytes — right for localhost), 1 = fast deflate (default).
+        # stream_format "jpeg" swaps the stream parts to baseline JPEG
+        # (utils.image.encode_jpeg, ~10x smaller than stored PNG at
+        # q85 — right for remote links); /frame.png stays PNG.
         self.stream_level = stream_level
+        self.stream_format = stream_format
+        self.jpeg_quality = jpeg_quality
+        self.stream_ctype = (b"image/jpeg" if stream_format == "jpeg"
+                             else b"image/png")
 
     def loop(self, target_fps: float = 30.0):
         # quantize to u8 ON DEVICE: the per-frame readback over the host
@@ -371,8 +379,12 @@ class ViewerState:
                 if pending is not None:
                     arr = np.asarray(pending)
                     # fast in-memory encode (live stream)
-                    self.png = encode_png(arr[::-1],
-                                          level=self.stream_level)
+                    if self.stream_format == "jpeg":
+                        self.png = encode_jpeg(arr[::-1],
+                                               quality=self.jpeg_quality)
+                    else:
+                        self.png = encode_png(arr[::-1],
+                                              level=self.stream_level)
                 pending = dev
             except Exception as exc:  # noqa: BLE001
                 # a failed frame must not kill the stream thread (the
@@ -409,7 +421,9 @@ def make_handler(vs: ViewerState):
             elif url.path == "/schema":
                 self._json(PANEL_SCHEMA)
             elif url.path == "/frame.png":
-                self._ok("image/png", vs.png or b"")
+                ctype = ("image/jpeg" if vs.stream_format == "jpeg"
+                         else "image/png")
+                self._ok(ctype, vs.png or b"")
             elif url.path == "/stream":
                 self.send_response(200)
                 self.send_header("Content-Type",
@@ -420,7 +434,8 @@ def make_handler(vs: ViewerState):
                         png = vs.png
                         if png:
                             self.wfile.write(b"--f\r\nContent-Type: "
-                                             b"image/png\r\n\r\n")
+                                             + vs.stream_ctype
+                                             + b"\r\n\r\n")
                             self.wfile.write(png + b"\r\n")
                         time.sleep(1.0 / 30.0)
                 except (BrokenPipeError, ConnectionResetError):
@@ -551,9 +566,16 @@ def main(argv=None):
                         choices=range(0, 10),
                         help="PNG zlib level for the stream (0 = stored, "
                              "fastest encode for localhost)")
+    parser.add_argument("--stream-format", choices=("png", "jpeg"),
+                        default="png",
+                        help="stream codec: jpeg is ~10x smaller at q85 "
+                             "(right for remote links)")
+    parser.add_argument("--jpeg-quality", type=int, default=85)
     args = parser.parse_args(argv)
     application = make_app(args)
-    vs = ViewerState(application, stream_level=args.stream_level)
+    vs = ViewerState(application, stream_level=args.stream_level,
+                     stream_format=args.stream_format,
+                     jpeg_quality=args.jpeg_quality)
     t = threading.Thread(target=vs.loop, args=(args.fps,), daemon=True)
     t.start()
     server = ThreadingHTTPServer(("0.0.0.0", args.port), make_handler(vs))

@@ -95,6 +95,11 @@ def _load() -> Optional[ctypes.CDLL]:
         c_up, ctypes.c_int64, ctypes.c_int64, ctypes.c_int32,
         ctypes.c_int32, ctypes.c_int32, c_ip, c_ip,
         c_up, c_up, c_up, c_up, c_fp, ctypes.c_int32, c_fp]
+    c_u32p = ctypes.POINTER(ctypes.c_uint32)
+    lib.jpeg_entropy_encode.restype = ctypes.c_int64
+    lib.jpeg_entropy_encode.argtypes = [
+        c_ip, c_up, ctypes.c_int64, c_u32p, c_up, c_u32p, c_up,
+        c_up, ctypes.c_int64]
     _lib = lib
     return lib
 
@@ -246,6 +251,36 @@ def jpeg_entropy_scan(data: np.ndarray, pos: int, mcux: int, mcuy: int,
                           -3: "AC index overflow"}.get(int(r),
                                                        f"jpeg error {r}"))
     return coefs
+
+
+def jpeg_entropy_encode(blocks: np.ndarray, comp_ids: np.ndarray,
+                        dc_codes: np.ndarray, dc_lens: np.ndarray,
+                        ac_codes: np.ndarray, ac_lens: np.ndarray):
+    """Native baseline-JPEG huffman ENCODE -> byte-stuffed entropy
+    segment (bytes) or None.  blocks [N,64] int32 zigzag-quantized in
+    MCU-interleaved scan order; comp_ids [N] u8 (0 = luma tables);
+    code tables symbol-indexed [2,256] (u32 codes / u8 lengths).
+    Oracle: utils.image._jenc_entropy_python."""
+    lib = _load()
+    if lib is None:
+        return None
+    blocks = np.ascontiguousarray(blocks, np.int32)
+    comp_ids = np.ascontiguousarray(comp_ids, np.uint8)
+    dcc = np.ascontiguousarray(dc_codes, np.uint32)
+    dcl = np.ascontiguousarray(dc_lens, np.uint8)
+    acc = np.ascontiguousarray(ac_codes, np.uint32)
+    acl = np.ascontiguousarray(ac_lens, np.uint8)
+    n = blocks.shape[0]
+    cap = n * 140 + 1024  # worst case: every coef a max-length code
+    out = np.zeros(cap, np.uint8)
+    c_u32p = ctypes.POINTER(ctypes.c_uint32)
+    r = lib.jpeg_entropy_encode(
+        _ip(blocks), _up(comp_ids), n,
+        dcc.ctypes.data_as(c_u32p), _up(dcl),
+        acc.ctypes.data_as(c_u32p), _up(acl), _up(out), cap)
+    if r < 0:
+        return None
+    return out[:int(r)].tobytes()
 
 
 def hdr_unrle(data: np.ndarray, pos: int, h: int, w: int):

@@ -268,3 +268,71 @@ int64_t jpeg_entropy_scan(const uint8_t* data, int64_t n, int64_t pos,
 }
 
 }  // extern "C"
+
+extern "C" {
+
+// Baseline-JPEG huffman entropy ENCODE: blocks [n,64] zigzag-quantized
+// int32 in MCU-interleaved scan order, comp_ids [n] (0 = luma table
+// pair, else chroma).  Code tables are symbol-indexed [2,256] (codes
+// u32, lengths u8).  Writes the byte-stuffed entropy segment (1-filled
+// to a byte boundary) into out (capacity out_cap); returns bytes
+// written or -1 on overflow.  Mirrors utils.image._jenc_entropy_python
+// (the tested oracle).
+int64_t jpeg_entropy_encode(const int32_t* blocks, const uint8_t* comp_ids,
+                            int64_t n, const uint32_t* dc_codes,
+                            const uint8_t* dc_lens,
+                            const uint32_t* ac_codes,
+                            const uint8_t* ac_lens,
+                            uint8_t* out, int64_t out_cap) {
+    uint64_t acc = 0;
+    int nbits = 0;
+    int64_t len = 0;
+    int pred[8] = {0};
+#define PUT(code, ln)                                                  \
+    do {                                                               \
+        acc = (acc << (ln)) | (uint64_t)(code);                        \
+        nbits += (ln);                                                 \
+        while (nbits >= 8) {                                           \
+            uint8_t b = (uint8_t)((acc >> (nbits - 8)) & 0xFF);        \
+            if (len + 2 > out_cap) return -1;                          \
+            out[len++] = b;                                            \
+            if (b == 0xFF) out[len++] = 0;                             \
+            nbits -= 8;                                                \
+        }                                                              \
+        acc &= ((uint64_t)1 << nbits) - 1;                             \
+    } while (0)
+
+    for (int64_t i = 0; i < n; ++i) {
+        const int32_t* blk = blocks + i * 64;
+        const int ci = comp_ids[i];
+        const int t = ci == 0 ? 0 : 1;
+        const uint32_t* dcc = dc_codes + t * 256;
+        const uint8_t* dcl = dc_lens + t * 256;
+        const uint32_t* acc_ = ac_codes + t * 256;
+        const uint8_t* acl = ac_lens + t * 256;
+        int diff = blk[0] - pred[ci];
+        pred[ci] = blk[0];
+        int s = 0;
+        for (int v = diff < 0 ? -diff : diff; v; v >>= 1) ++s;
+        PUT(dcc[s], dcl[s]);
+        if (s) PUT((diff >= 0 ? diff : diff + (1 << s) - 1)
+                   & ((1 << s) - 1), s);
+        int run = 0;
+        for (int k = 1; k < 64; ++k) {
+            int v = blk[k];
+            if (v == 0) { ++run; continue; }
+            while (run > 15) { PUT(acc_[0xF0], acl[0xF0]); run -= 16; }
+            s = 0;
+            for (int a = v < 0 ? -v : v; a; a >>= 1) ++s;
+            PUT(acc_[(run << 4) | s], acl[(run << 4) | s]);
+            PUT((v >= 0 ? v : v + (1 << s) - 1) & ((1 << s) - 1), s);
+            run = 0;
+        }
+        if (run) PUT(acc_[0x00], acl[0x00]);
+    }
+    if (nbits) PUT((1 << (8 - nbits)) - 1, 8 - nbits);
+#undef PUT
+    return len;
+}
+
+}  // extern "C"

@@ -803,6 +803,273 @@ def _finish_planes(comps, w, h, hmax, vmax):
 
 
 # -----------------------------------------------------------------------------
+# Baseline JPEG ENCODER (SOF0, Annex-K tables, 4:4:4 / 4:2:0) — the
+# stb_image_write counterpart; used by the viewer's JPEG stream.  DCT +
+# quantization are batched numpy GEMMs; the sequential huffman pass has
+# a C++ fast path (native.jpeg_entropy_encode) with this file's python
+# writer as the tested fallback/oracle.
+# -----------------------------------------------------------------------------
+
+# ITU T.81 Annex K.1/K.2 reference quantization tables (natural order).
+_JQT_Y = np.array([
+    16, 11, 10, 16, 24, 40, 51, 61, 12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56, 14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77, 24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101, 72, 92, 95, 98, 112, 100, 103, 99,
+], np.float64)
+_JQT_C = np.array([
+    17, 18, 24, 47, 99, 99, 99, 99, 18, 21, 26, 66, 99, 99, 99, 99,
+    24, 26, 56, 99, 99, 99, 99, 99, 47, 66, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99,
+], np.float64)
+
+# Annex K.3-K.6 huffman specs: (BITS[16], HUFFVAL).
+_JH_DC_Y = ([0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0],
+            list(range(12)))
+_JH_DC_C = ([0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0],
+            list(range(12)))
+_JH_AC_Y = ([0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D], [
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41,
+    0x06, 0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91,
+    0xA1, 0x08, 0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24,
+    0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A,
+    0x25, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38,
+    0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A, 0x53,
+    0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65, 0x66,
+    0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+    0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A, 0x92, 0x93,
+    0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+    0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6, 0xB7,
+    0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+    0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1,
+    0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2,
+    0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA])
+_JH_AC_C = ([0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77], [
+    0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21, 0x31, 0x06, 0x12,
+    0x41, 0x51, 0x07, 0x61, 0x71, 0x13, 0x22, 0x32, 0x81, 0x08, 0x14,
+    0x42, 0x91, 0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0, 0x15,
+    0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34, 0xE1, 0x25, 0xF1, 0x17,
+    0x18, 0x19, 0x1A, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37,
+    0x38, 0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A,
+    0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65,
+    0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+    0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A,
+    0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3,
+    0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5,
+    0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7,
+    0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9,
+    0xDA, 0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF2,
+    0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA])
+
+
+def _jenc_codes(spec):
+    """(BITS, HUFFVAL) -> (codes u32[256], lens u8[256]) symbol-indexed."""
+    bits, vals = spec
+    codes = np.zeros(256, np.uint32)
+    lens = np.zeros(256, np.uint8)
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            codes[vals[k]] = code
+            lens[vals[k]] = length
+            code += 1
+            k += 1
+        code <<= 1
+    return codes, lens
+
+
+def _jenc_quality_tables(quality: int):
+    q = min(max(int(quality), 1), 100)
+    scale = 5000 // q if q < 50 else 200 - 2 * q
+    def mk(base):
+        return np.clip((base * scale + 50) // 100, 1, 255).astype(np.int32)
+    return mk(_JQT_Y), mk(_JQT_C)
+
+
+def _jenc_blocks(plane: np.ndarray, qt_nat: np.ndarray):
+    """[H8,W8] f32 (level-shifted) -> zigzag-quantized int32 [nby,nbx,64]
+    via two batched GEMMs (coef = M blk M^T, M = the orthonormal DCT-II
+    basis shared with the decoder)."""
+    h8, w8 = plane.shape
+    nby, nbx = h8 // 8, w8 // 8
+    blk = np.ascontiguousarray(
+        plane.reshape(nby, 8, nbx, 8).transpose(0, 2, 1, 3)
+    ).reshape(nby * nbx, 8, 8)
+    a = (blk.reshape(-1, 8) @ _IDCT_M.T).reshape(-1, 8, 8)   # blk @ M^T
+    coef = (np.ascontiguousarray(a.transpose(0, 2, 1)).reshape(-1, 8)
+            @ _IDCT_M.T).reshape(-1, 8, 8).transpose(0, 2, 1)  # M blk M^T
+    qc = np.rint(coef.reshape(-1, 64)
+                 / qt_nat[None, :].astype(np.float32)).astype(np.int32)
+    return qc[:, _ZIGZAG].reshape(nby, nbx, 64)
+
+
+def _jenc_entropy_python(blocks: np.ndarray, comp_ids: np.ndarray,
+                         dc_codes, dc_lens, ac_codes, ac_lens) -> bytes:
+    """Reference huffman pass (the oracle the native path is tested
+    against): blocks [N,64] zigzag-quantized, comp_ids [N] (0=luma)."""
+    out = bytearray()
+    acc = 0
+    nbits = 0
+
+    def put(code, ln):
+        nonlocal acc, nbits
+        ln = int(ln)  # numpy scalars coerce the shift to uint8 otherwise
+        acc = (acc << ln) | int(code)
+        nbits += ln
+        while nbits >= 8:
+            b = (acc >> (nbits - 8)) & 0xFF
+            out.append(b)
+            if b == 0xFF:
+                out.append(0)
+            nbits -= 8
+        acc &= (1 << nbits) - 1
+
+    def csize(v):
+        s = 0
+        v = abs(v)
+        while v:
+            s += 1
+            v >>= 1
+        return s
+
+    pred = [0, 0, 0]
+    for blk, ci in zip(blocks, comp_ids):
+        t = 0 if ci == 0 else 1
+        diff = int(blk[0]) - pred[ci]
+        pred[ci] = int(blk[0])
+        s = csize(diff)
+        put(dc_codes[t][s], dc_lens[t][s])
+        if s:
+            put(diff if diff >= 0 else diff + (1 << s) - 1, s)
+        run = 0
+        for k in range(1, 64):
+            v = int(blk[k])
+            if v == 0:
+                run += 1
+                continue
+            while run > 15:
+                put(ac_codes[t][0xF0], ac_lens[t][0xF0])  # ZRL
+                run -= 16
+            s = csize(v)
+            put(ac_codes[t][(run << 4) | s], ac_lens[t][(run << 4) | s])
+            put(v if v >= 0 else v + (1 << s) - 1, s)
+            run = 0
+        if run:
+            put(ac_codes[t][0x00], ac_lens[t][0x00])  # EOB
+    if nbits:
+        put((1 << (8 - nbits)) - 1, 8 - nbits)  # 1-fill to byte boundary
+    return bytes(out)
+
+
+def encode_jpeg(img: np.ndarray, quality: int = 85,
+                subsampling: str = "420") -> bytes:
+    """[H,W,3] (uint8 or [0,1] float) -> baseline JFIF bytes
+    (stb_image_write's stbi_write_jpg counterpart; decodes with this
+    file's read_jpeg and any standard decoder)."""
+    if img.dtype != np.uint8:
+        img = np.clip(np.asarray(img, np.float64) * 255.0 + 0.5,
+                      0, 255).astype(np.uint8)
+    if img.ndim == 2:
+        img = np.stack([img] * 3, axis=-1)
+    h, w = img.shape[:2]
+    rgb = img.astype(np.float32)
+    r, g, b = rgb[..., 0], rgb[..., 1], rgb[..., 2]
+    yy = 0.299 * r + 0.587 * g + 0.114 * b - 128.0
+    cb = -0.168735892 * r - 0.331264108 * g + 0.5 * b
+    cr = 0.5 * r - 0.418687589 * g - 0.081312411 * b
+
+    sub = 2 if subsampling == "420" else 1
+    mcu = 8 * sub
+    h8, w8 = h + (-h) % mcu, w + (-w) % mcu
+
+    def pad(p):
+        # edge-replicate into the MCU-aligned grid (np.pad is ~100x
+        # slower than this two-assignment copy on the dev box)
+        if (h8, w8) == (h, w):
+            return p
+        o = np.empty((h8, w8), np.float32)
+        o[:h, :w] = p
+        if h8 > h:
+            o[h:, :w] = p[h - 1:h, :]
+        if w8 > w:
+            o[:, w:] = o[:, w - 1:w]
+        return o
+    yy, cb, cr = pad(yy), pad(cb), pad(cr)
+    if sub == 2:
+        cb = (cb[0::2, 0::2] + cb[0::2, 1::2]
+              + cb[1::2, 0::2] + cb[1::2, 1::2]) * 0.25
+        cr = (cr[0::2, 0::2] + cr[0::2, 1::2]
+              + cr[1::2, 0::2] + cr[1::2, 1::2]) * 0.25
+
+    qt_y, qt_c = _jenc_quality_tables(quality)
+    by = _jenc_blocks(yy, qt_y.astype(np.float64))
+    bcb = _jenc_blocks(cb, qt_c.astype(np.float64))
+    bcr = _jenc_blocks(cr, qt_c.astype(np.float64))
+
+    # MCU-interleaved block stream + per-block component ids
+    if sub == 2:
+        mcy, mcx = by.shape[0] // 2, by.shape[1] // 2
+        y4 = (by.reshape(mcy, 2, mcx, 2, 64).transpose(0, 2, 1, 3, 4)
+              .reshape(mcy * mcx, 4, 64))
+        blocks = np.concatenate(
+            [y4, bcb.reshape(-1, 1, 64), bcr.reshape(-1, 1, 64)],
+            axis=1).reshape(-1, 64)
+        comp_ids = np.tile(np.array([0, 0, 0, 0, 1, 2], np.uint8),
+                           mcy * mcx)
+    else:
+        blocks = np.stack([by.reshape(-1, 64), bcb.reshape(-1, 64),
+                           bcr.reshape(-1, 64)], axis=1).reshape(-1, 64)
+        comp_ids = np.tile(np.array([0, 1, 2], np.uint8),
+                           by.shape[0] * by.shape[1])
+
+    dc_codes = [_jenc_codes(_JH_DC_Y), _jenc_codes(_JH_DC_C)]
+    ac_codes = [_jenc_codes(_JH_AC_Y), _jenc_codes(_JH_AC_C)]
+    from .. import native
+    data = native.jpeg_entropy_encode(
+        blocks, comp_ids,
+        np.stack([dc_codes[0][0], dc_codes[1][0]]),
+        np.stack([dc_codes[0][1], dc_codes[1][1]]),
+        np.stack([ac_codes[0][0], ac_codes[1][0]]),
+        np.stack([ac_codes[0][1], ac_codes[1][1]]))
+    if data is None:
+        data = _jenc_entropy_python(
+            blocks, comp_ids,
+            [dc_codes[0][0], dc_codes[1][0]],
+            [dc_codes[0][1], dc_codes[1][1]],
+            [ac_codes[0][0], ac_codes[1][0]],
+            [ac_codes[0][1], ac_codes[1][1]])
+
+    def seg(marker, payload):
+        return struct.pack(">HH", marker, len(payload) + 2) + payload
+
+    def dht(tc, th, spec):
+        bits, vals = spec
+        return seg(0xFFC4, bytes([tc << 4 | th]) + bytes(bits)
+                   + bytes(vals))
+
+    zz = _ZIGZAG
+    out = b"\xff\xd8"
+    out += seg(0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    out += seg(0xFFDB, b"\x00" + bytes(qt_y[zz].astype(np.uint8)))
+    out += seg(0xFFDB, b"\x01" + bytes(qt_c[zz].astype(np.uint8)))
+    sf = 0x22 if sub == 2 else 0x11
+    out += seg(0xFFC0, struct.pack(">BHHB", 8, h, w, 3)
+               + bytes([1, sf, 0, 2, 0x11, 1, 3, 0x11, 1]))
+    out += dht(0, 0, _JH_DC_Y) + dht(1, 0, _JH_AC_Y)
+    out += dht(0, 1, _JH_DC_C) + dht(1, 1, _JH_AC_C)
+    out += seg(0xFFDA, bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0]))
+    out += data + b"\xff\xd9"
+    return out
+
+
+def write_jpeg(path: str, img: np.ndarray, quality: int = 85) -> None:
+    with open(path, "wb") as fh:
+        fh.write(encode_jpeg(img, quality))
+
+
+# -----------------------------------------------------------------------------
 # OpenEXR (single-part scanline; NONE / ZIPS / ZIP compression;
 # HALF / FLOAT / UINT channels)
 # -----------------------------------------------------------------------------

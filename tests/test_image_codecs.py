@@ -146,6 +146,60 @@ def test_jpeg_progressive_grayscale(tmp_path):
     assert np.max(np.abs(ours.astype(int) - ref.astype(int))) <= 4
 
 
+@pytest.mark.parametrize("subsampling", ["444", "420"])
+def test_jpeg_encode_roundtrip(tmp_path, subsampling):
+    """Our encoder (stb_image_write's stbi_write_jpg counterpart) must
+    decode with BOTH our decoder and a third-party one."""
+    from opengl_raytracing_tpu.utils.image import encode_jpeg
+    import io
+    img = _pattern(90, 121)
+    blob = encode_jpeg(img, quality=92, subsampling=subsampling)
+    ref = np.asarray(PIL.open(io.BytesIO(blob)).convert("RGB"))
+    assert ref.shape == img.shape
+    assert np.mean(np.abs(ref.astype(int) - img.astype(int))) < 2.0
+    path = str(tmp_path / "enc.jpg")
+    with open(path, "wb") as fh:
+        fh.write(blob)
+    ours = read_jpeg(path)
+    assert np.mean(np.abs(ours.astype(int) - img.astype(int))) < 2.0
+
+
+def test_jpeg_encode_native_matches_python():
+    """The C++ huffman pass emits byte-identical entropy data to the
+    python oracle."""
+    from opengl_raytracing_tpu.utils import image as im
+    from opengl_raytracing_tpu import native
+    if not native.available():
+        pytest.skip("native library unavailable")
+    rng = np.random.RandomState(5)
+    blocks = (rng.randint(-80, 80, (48, 64)) *
+              (rng.rand(48, 64) < 0.2)).astype(np.int32)
+    comp_ids = np.tile(np.array([0, 0, 1, 2], np.uint8), 12)
+    dc = [im._jenc_codes(im._JH_DC_Y), im._jenc_codes(im._JH_DC_C)]
+    ac = [im._jenc_codes(im._JH_AC_Y), im._jenc_codes(im._JH_AC_C)]
+    nat = native.jpeg_entropy_encode(
+        blocks, comp_ids, np.stack([dc[0][0], dc[1][0]]),
+        np.stack([dc[0][1], dc[1][1]]), np.stack([ac[0][0], ac[1][0]]),
+        np.stack([ac[0][1], ac[1][1]]))
+    py = im._jenc_entropy_python(
+        blocks, comp_ids, [dc[0][0], dc[1][0]], [dc[0][1], dc[1][1]],
+        [ac[0][0], ac[1][0]], [ac[0][1], ac[1][1]])
+    assert nat == py
+
+
+def test_jpeg_encode_gray_and_float():
+    from opengl_raytracing_tpu.utils.image import encode_jpeg
+    import io
+    img = _pattern(40, 56)
+    f = encode_jpeg(img.astype(np.float32) / 255.0, quality=90)
+    ref = np.asarray(PIL.open(io.BytesIO(f)).convert("RGB"))
+    assert np.mean(np.abs(ref.astype(int) - img.astype(int))) < 2.5
+    g = encode_jpeg(img[..., 0], quality=90)  # 2D grayscale input
+    ref = np.asarray(PIL.open(io.BytesIO(g)).convert("RGB"))
+    assert np.mean(np.abs(ref[..., 0].astype(int)
+                          - img[..., 0].astype(int))) < 2.5
+
+
 def test_hdr_roundtrip_and_cv2_oracle(tmp_path):
     rng = np.random.default_rng(3)
     hdrimg = (rng.random((24, 32, 3)).astype(np.float32) * 4.0) ** 2
