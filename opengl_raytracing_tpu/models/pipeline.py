@@ -61,16 +61,41 @@ jax.tree_util.register_dataclass(
     meta_fields=[])
 
 
+def accum_planes() -> bool:
+    """ORT_ACCUM_PLANES=1 stores the carried accumulation as [4,H,W]
+    channel planes instead of [H,W,4].
+
+    Materialized HBM buffers tile their two minormost dims to (8,128)
+    on TPU, so an [H,W,4] boundary buffer pads its 4-wide minor dim to
+    128 lanes (~32x bytes; CLAUDE.md SoA rule).  The planes layout pads
+    nothing; the moveaxis back to [H,W,4] happens INSIDE the jit where
+    it fuses.  Read at trace time so tests/bench can flip it per run;
+    measured by scripts/layout_probe.py case `pad`."""
+    return os.environ.get("ORT_ACCUM_PLANES", "0") == "1"
+
+
+def accum_to_hwc(a: jnp.ndarray) -> jnp.ndarray:
+    """Boundary accum -> [H,W,4] for the in-jit math."""
+    return jnp.moveaxis(a, 0, -1) if a.shape[0] == 4 else a
+
+
+def accum_from_hwc(a: jnp.ndarray) -> jnp.ndarray:
+    """In-jit [H,W,4] -> the configured boundary layout."""
+    return jnp.moveaxis(a, -1, 0) if accum_planes() else a
+
+
 @dataclasses.dataclass(frozen=True)
 class RenderState:
     """Device-resident temporal state (replaces rt::Accum's ping-pong FBO,
     reference: include/render/accum.h:24-163)."""
-    accum: jnp.ndarray        # [H,W,4] rgb + M2
+    accum: jnp.ndarray        # [H,W,4] rgb + M2 ([4,H,W] in planes mode)
     frame_index: jnp.ndarray  # [] int32
 
     @staticmethod
     def create(height: int, width: int) -> "RenderState":
-        return RenderState(jnp.zeros((height, width, 4), jnp.float32),
+        shape = ((4, height, width) if accum_planes()
+                 else (height, width, 4))
+        return RenderState(jnp.zeros(shape, jnp.float32),
                            jnp.zeros((), jnp.int32))
 
     def reset(self) -> "RenderState":
@@ -304,14 +329,14 @@ def render_frame(params: RenderParams, fin: FrameInputs, state: RenderState,
 
     # TAA (reference: rt.frag:184-190): zero motion when camera static.
     taa_motion = jnp.where(moved, motion, jnp.zeros_like(motion))
-    accum_new = resolve_taa(curr, taa_motion, state.accum, frame_index,
-                            params, moved=moved)
+    accum_new = resolve_taa(curr, taa_motion, accum_to_hwc(state.accum),
+                            frame_index, params, moved=moved)
 
     image = present(accum_new, motion, gpos, gnrm, params,
                     show_motion=show_motion,
                     allow_pallas=allow_svgf_pallas)
 
-    new_state = RenderState(accum_new, frame_index + 1)
+    new_state = RenderState(accum_from_hwc(accum_new), frame_index + 1)
     return new_state, FrameOutputs(image, motion, gpos, gnrm)
 
 

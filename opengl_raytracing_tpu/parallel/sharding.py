@@ -21,7 +21,8 @@ import jax
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from ..models.pipeline import render_frame, RenderState, FrameInputs
+from ..models.pipeline import (render_frame, RenderState, FrameInputs,
+                               accum_planes)
 
 
 def make_mesh(devices=None, axis: str = "rows") -> Mesh:
@@ -29,9 +30,15 @@ def make_mesh(devices=None, axis: str = "rows") -> Mesh:
     return Mesh(np.asarray(devices), (axis,))
 
 
+def _accum_spec(axis: str) -> P:
+    """Row-sharding spec for the accum layout in effect (planes mode
+    carries rows on the SECOND axis of [4,H,W])."""
+    return P(None, axis, None) if accum_planes() else P(axis, None, None)
+
+
 def shard_image_rows(mesh: Mesh, state: RenderState) -> RenderState:
     """Place the accumulation buffer row-sharded across the mesh."""
-    sh = NamedSharding(mesh, P(mesh.axis_names[0], None, None))
+    sh = NamedSharding(mesh, _accum_spec(mesh.axis_names[0]))
     return RenderState(jax.device_put(state.accum, sh),
                        jax.device_put(state.frame_index,
                                       NamedSharding(mesh, P())))
@@ -43,7 +50,7 @@ def render_frame_sharded(mesh: Mesh, params, fin: FrameInputs,
                          show_motion: bool = False):
     """render_frame with row-sharded image state and replicated scene."""
     axis = mesh.axis_names[0]
-    rows = NamedSharding(mesh, P(axis, None, None))
+    rows = NamedSharding(mesh, _accum_spec(axis))
 
     def fn(params, fin, state, env_map, bvh):
         # allow_svgf_pallas=False: GSPMD cannot partition the Mosaic

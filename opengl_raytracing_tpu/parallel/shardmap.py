@@ -27,7 +27,8 @@ from jax import shard_map
 from ..constants import YCOEFF
 from ..params import RenderParams
 from ..models.pipeline import (FrameInputs, RenderState, FrameOutputs,
-                               pixel_centers, primary_dirs, trace_and_shade)
+                               pixel_centers, primary_dirs, trace_and_shade,
+                               accum_planes, accum_to_hwc, accum_from_hwc)
 from ..ops.scene import SceneCtx
 from ..ops.taa import resolve_taa
 from ..ops.svgf import svgf_filter, present, blend_tonemap
@@ -68,6 +69,7 @@ def render_frame_shardmap(mesh: Mesh, params: RenderParams,
     bh = height // n
 
     def band_step(accum_local, frame_index):
+        accum_local = accum_to_hwc(accum_local)  # [bh,W,4] for the math
         idx = jax.lax.axis_index(axis)
         row0 = idx * bh
 
@@ -130,9 +132,11 @@ def render_frame_shardmap(mesh: Mesh, params: RenderParams,
         lum_sum = jax.lax.psum(jnp.sum(luminance(image, YCOEFF)), axis)
         mean_lum = lum_sum / (height * width)
 
-        return accum_new, image, motion, gpos, gnrm, mean_lum
+        return accum_from_hwc(accum_new), image, motion, gpos, gnrm, mean_lum
 
     banded = P(axis, None, None)
+    # planes-layout accum ([4,H,W]) row-shards on its SECOND axis
+    accum_spec = P(None, axis, None) if accum_planes() else banded
     # check_vma=False is needed ONLY for the forced-MXU interpret-mode
     # configuration (tests/dryrun): Pallas interpret mode's internal
     # dynamic_slice mixes 'rows'-varying operands with unvarying block
@@ -141,8 +145,8 @@ def render_frame_shardmap(mesh: Mesh, params: RenderParams,
     # Mosaic and full variance checking stays on.
     f = shard_map(
         band_step, mesh=mesh,
-        in_specs=(banded, P()),
-        out_specs=(banded, banded, banded, banded, banded, P()),
+        in_specs=(accum_spec, P()),
+        out_specs=(accum_spec, banded, banded, banded, banded, P()),
         check_vma=check_vma,
     )
     accum_new, image, motion, gpos, gnrm, mean_lum = f(

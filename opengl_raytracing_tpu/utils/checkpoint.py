@@ -17,7 +17,7 @@ import numpy as np
 
 from ..params import RenderParams
 from ..frame_state import FrameState
-from ..models.pipeline import RenderState
+from ..models.pipeline import RenderState, accum_planes
 from ..camera import Camera
 
 
@@ -41,9 +41,15 @@ def save_snapshot(path: str, params: RenderParams, camera: Camera,
         curr_cam=np.asarray(frame.curr_cam_pos, np.float32),
         prev_cam=np.asarray(frame.prev_cam_pos, np.float32),
         jitter=np.asarray(frame.jitter, np.float32),
-        accum=np.asarray(render_state.accum, np.float32),
+        # snapshot format is ALWAYS [H,W,4] regardless of the in-memory
+        # layout knob (ORT_ACCUM_PLANES), so snapshots stay portable
+        accum=_to_hwc(np.asarray(render_state.accum, np.float32)),
         frame_index=np.asarray(render_state.frame_index, np.int32),
     )
+
+
+def _to_hwc(a: np.ndarray) -> np.ndarray:
+    return np.moveaxis(a, 0, -1) if a.shape[0] == 4 else a
 
 
 def load_snapshot(path: str) -> Tuple[RenderParams, Camera, FrameState,
@@ -58,7 +64,10 @@ def load_snapshot(path: str) -> Tuple[RenderParams, Camera, FrameState,
                  fov=float(z["cam_fov"]), aspect=float(z["cam_aspect"]))
     frame = FrameState(z["curr_vp"], z["prev_vp"], z["curr_cam"],
                        z["prev_cam"], z["jitter"])
-    state = RenderState(jnp.asarray(z["accum"]),
+    accum = z["accum"]
+    if accum_planes():
+        accum = np.moveaxis(accum, -1, 0).copy()
+    state = RenderState(jnp.asarray(accum),
                         jnp.asarray(z["frame_index"]))
     return params, cam, frame, state
 

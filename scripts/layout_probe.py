@@ -155,7 +155,18 @@ def case_frame_layout() -> dict:
     return {"key": "frame_layout", "ms": round(dt * 1e3, 2)}
 
 
-CASES = {"pad": case_pad, "taa": case_taa, "frame_layout": case_frame_layout}
+def case_frame_planes() -> dict:
+    """Same baseline frame as frame_layout but with the [4,H,W]
+    planes-layout accum boundary (ORT_ACCUM_PLANES=1) — the direct
+    end-to-end A/B for the minor-dim padding question."""
+    os.environ["ORT_ACCUM_PLANES"] = "1"
+    rec = case_frame_layout()
+    rec["key"] = "frame_planes"
+    return rec
+
+
+CASES = {"pad": case_pad, "taa": case_taa, "frame_layout": case_frame_layout,
+         "frame_planes": case_frame_planes}
 
 
 def main() -> int:

@@ -133,3 +133,32 @@ def test_shardmap_bvh_scene_runs():
                           use_bvh=True)
     diff = np.abs(img - np.asarray(ref.image))
     assert diff.max() < 2e-2 and np.quantile(diff, 0.99) < 1e-3
+
+
+def test_shardmap_accum_planes_matches(monkeypatch):
+    """ORT_ACCUM_PLANES=1 ([4,H,W] boundary accum, the TPU HBM-tiling-
+    friendly layout) must be an exact relayout: same images as the
+    default [H,W,4] run, shard_map and single-device alike."""
+    params = _slim(preset("full"))
+    fin = make_inputs(moved=1)
+
+    st = RenderState.create(H, W)
+    outs = []
+    for _ in range(3):
+        st, out = render_frame(params, fin, st, height=H, width=W)
+        outs.append(np.asarray(out.image))
+
+    monkeypatch.setenv("ORT_ACCUM_PLANES", "1")
+    st_p = RenderState.create(H, W)
+    assert st_p.accum.shape == (4, H, W)
+    for i in range(3):
+        st_p, out_p = render_frame(params, fin, st_p, height=H, width=W)
+        np.testing.assert_array_equal(np.asarray(out_p.image), outs[i])
+
+    mesh = make_mesh(jax.devices()[:8])
+    st_s = shard_image_rows(mesh, RenderState.create(H, W))
+    fn = make_shardmap_render_fn(mesh, H, W, donate=False)
+    for i in range(3):
+        st_s, out_s, _ = fn(params, fin, st_s, None, None)
+    diff = np.abs(np.asarray(out_s.image) - outs[-1])
+    assert np.quantile(diff, 0.99) < 1e-3 and diff.max() < 2e-2
