@@ -353,6 +353,8 @@ class ViewerState:
         self.jpeg_quality = jpeg_quality
         self.stream_ctype = (b"image/jpeg" if stream_format == "jpeg"
                              else b"image/png")
+        # quantize inside the frame jit (one dispatch, u8 boundary)
+        application.want_u8 = True
 
     def loop(self, target_fps: float = 30.0):
         # quantize to u8 ON DEVICE: the per-frame readback over the host
@@ -375,7 +377,11 @@ class ViewerState:
             try:
                 with self.lock:
                     img = self.application.step()
-                    dev = quant(img)
+                    # ray mode: u8 comes out of the frame jit itself;
+                    # raster/debug paths fall back to the quant dispatch
+                    dev = (self.application.last_u8
+                           if self.application.last_u8 is not None
+                           else quant(img))
                 if pending is not None:
                     arr = np.asarray(pending)
                     # fast in-memory encode (live stream)
