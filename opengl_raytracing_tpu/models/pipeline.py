@@ -75,8 +75,12 @@ def accum_planes() -> bool:
 
 
 def accum_to_hwc(a: jnp.ndarray) -> jnp.ndarray:
-    """Boundary accum -> [H,W,4] for the in-jit math."""
-    return jnp.moveaxis(a, 0, -1) if a.shape[0] == 4 else a
+    """Boundary accum -> [H,W,4] for the in-jit math.
+
+    Strictly knob-driven (the knob defines the layout of EVERY accum
+    boundary buffer): a shape heuristic would misfire on 4-row shard
+    bands, whose [4,W,4] is ambiguous."""
+    return jnp.moveaxis(a, 0, -1) if accum_planes() else a
 
 
 def accum_from_hwc(a: jnp.ndarray) -> jnp.ndarray:

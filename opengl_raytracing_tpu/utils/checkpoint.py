@@ -49,7 +49,8 @@ def save_snapshot(path: str, params: RenderParams, camera: Camera,
 
 
 def _to_hwc(a: np.ndarray) -> np.ndarray:
-    return np.moveaxis(a, 0, -1) if a.shape[0] == 4 else a
+    # knob-driven, not shape-guessed (4-row images are ambiguous)
+    return np.moveaxis(a, 0, -1) if accum_planes() else a
 
 
 def load_snapshot(path: str) -> Tuple[RenderParams, Camera, FrameState,
