@@ -35,7 +35,7 @@ def _mutations(data, rng):
         yield bytes(b)
 
 
-@pytest.mark.parametrize("fmt", ["png", "jpeg", "hdr"])
+@pytest.mark.parametrize("fmt", ["png", "jpeg", "jpeg_prog", "hdr"])
 def test_corrupt_files_never_crash(fmt, tmp_path):
     rng = np.random.RandomState(0)
     img = (rng.rand(24, 32, 3) * 255).astype(np.uint8)
@@ -44,6 +44,10 @@ def test_corrupt_files_never_crash(fmt, tmp_path):
     elif fmt == "jpeg":
         p = str(tmp_path / "a.jpg")
         PIL.fromarray(img).save(p, quality=90)
+        reader, data = read_jpeg, open(p, "rb").read()
+    elif fmt == "jpeg_prog":
+        p = str(tmp_path / "a.jpg")
+        PIL.fromarray(img).save(p, quality=90, progressive=True)
         reader, data = read_jpeg, open(p, "rb").read()
     else:
         p = str(tmp_path / "a.hdr")
