@@ -182,6 +182,43 @@ def main():
     if not sg_ok:
         failures += 1
 
+    # accum planes layout: small full-pipeline frame, both layouts,
+    # checksums must match exactly on hardware (r3: ORT_ACCUM_PLANES)
+    from opengl_raytracing_tpu.models import (FrameInputs, RenderState,
+                                              render_frame, preset)
+    from opengl_raytracing_tpu import Camera
+    params = preset("baseline")
+    cam = Camera()
+    hh, ww = 96, 128
+    cam.aspect = ww / hh
+    right, up, fwd, thf = cam.basis()
+    vp = cam.view_projection()
+    fin = FrameInputs(jnp.asarray(cam.position), jnp.asarray(right),
+                      jnp.asarray(up), jnp.asarray(fwd), jnp.float32(thf),
+                      jnp.float32(cam.aspect), jnp.zeros(2, jnp.float32),
+                      jnp.asarray(vp), jnp.asarray(vp), jnp.int32(0))
+
+    def frames3():
+        st = RenderState.create(hh, ww)
+        out = None
+        for _ in range(3):
+            st, out = render_frame(params, fin, st, None, bvh,
+                                   height=hh, width=ww, use_bvh=True)
+        return np.asarray(out.image)
+
+    img_default = frames3()
+    os.environ["ORT_ACCUM_PLANES"] = "1"
+    try:
+        jax.clear_caches()
+        img_planes = frames3()
+    finally:
+        del os.environ["ORT_ACCUM_PLANES"]
+        jax.clear_caches()
+    pl_ok = np.array_equal(img_default, img_planes)
+    print(f"accum planes layout == default: {pl_ok}")
+    if not pl_ok:
+        failures += 1
+
     print("PASS" if failures == 0 else f"FAIL ({failures})")
     return 1 if failures else 0
 
