@@ -182,3 +182,45 @@ def test_quit_action_stops_render_loop():
     app.act("quit")
     t.join(timeout=30)
     assert not t.is_alive() and not vs.running
+
+
+def test_viewer_jpeg_stream_format(tmp_path):
+    """--stream-format jpeg: /frame.png serves a decodable baseline
+    JPEG with the right content type; the u8 image comes out of the
+    frame jit itself (Application.want_u8)."""
+    from opengl_raytracing_tpu.utils.image import read_jpeg
+    app = Application(state=AppState(height=24, width=32,
+                                     params=preset("baseline")), jit=False)
+    vs = ViewerState(app, stream_format="jpeg", jpeg_quality=90)
+    assert app.want_u8 is True
+    t = threading.Thread(target=vs.loop, args=(60.0,), daemon=True)
+    t.start()
+    server = ThreadingHTTPServer(("127.0.0.1", 0), make_handler(vs))
+    port = server.server_address[1]
+    st = threading.Thread(target=server.serve_forever, daemon=True)
+    st.start()
+    try:
+        deadline = time.time() + 60
+        while not vs.png and time.time() < deadline:
+            time.sleep(0.1)
+        assert vs.png, "no frame rendered"
+        req = urllib.request.urlopen(
+            f"http://127.0.0.1:{port}/frame.png", timeout=10)
+        assert req.headers["Content-Type"] == "image/jpeg"
+        blob = req.read()
+        p = tmp_path / "f.jpg"
+        p.write_bytes(blob)
+        img = read_jpeg(str(p))
+        assert img.shape == (24, 32, 3)
+        # the jit-side u8 matches a host-side quantization of the f32
+        # image (same clip/round formula); lock so both snapshots come
+        # from the same frame
+        with vs.lock:
+            out = app.last_output
+            u8 = np.asarray(app.last_u8)
+        want = np.clip(np.asarray(out.image) * 255.0 + 0.5,
+                       0, 255).astype(np.uint8)
+        np.testing.assert_array_equal(u8, want)
+    finally:
+        vs.running = False
+        server.shutdown()
