@@ -202,6 +202,10 @@ class Application:
         else:
             image = self._raster_fn()(app.params, fin, app.bvh)
             self.last_output = None
+            # raster frames carry no jit-side u8 — clear it so the
+            # viewer falls back to quantizing `image` (a stale ray
+            # frame here would freeze the stream after an F2 toggle)
+            self.last_u8 = None
         app.frame = frame.end_frame()
 
         # 5. picker-driven reloads (application.cpp:482-516)

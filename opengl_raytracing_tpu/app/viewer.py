@@ -345,9 +345,10 @@ class ViewerState:
         self.running = True
         # PNG zlib level for the stream: 0 = stored (fastest encode,
         # ~3x bytes — right for localhost), 1 = fast deflate (default).
-        # stream_format "jpeg" swaps the stream parts to baseline JPEG
-        # (utils.image.encode_jpeg, ~10x smaller than stored PNG at
-        # q85 — right for remote links); /frame.png stays PNG.
+        # stream_format "jpeg" swaps the stream parts AND /frame.png to
+        # baseline JPEG (utils.image.encode_jpeg, ~10x smaller than
+        # stored PNG at q85 — right for remote links); the endpoint
+        # keeps its historical path name but serves image/jpeg.
         self.stream_level = stream_level
         self.stream_format = stream_format
         self.jpeg_quality = jpeg_quality

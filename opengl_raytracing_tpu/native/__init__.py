@@ -271,7 +271,10 @@ def jpeg_entropy_encode(blocks: np.ndarray, comp_ids: np.ndarray,
     acc = np.ascontiguousarray(ac_codes, np.uint32)
     acl = np.ascontiguousarray(ac_lens, np.uint8)
     n = blocks.shape[0]
-    cap = n * 140 + 1024  # worst case: every coef a max-length code
+    # true worst case: 27-bit DC + 63 x 26-bit AC = ~209 bytes/block,
+    # doubled by 0xFF byte-stuffing -> ~420; the C++ side returns -1 on
+    # overflow (falls back to the python writer), so size for it
+    cap = n * 430 + 1024
     out = np.zeros(cap, np.uint8)
     c_u32p = ctypes.POINTER(ctypes.c_uint32)
     r = lib.jpeg_entropy_encode(

@@ -305,6 +305,7 @@ int64_t jpeg_entropy_encode(const int32_t* blocks, const uint8_t* comp_ids,
     for (int64_t i = 0; i < n; ++i) {
         const int32_t* blk = blocks + i * 64;
         const int ci = comp_ids[i];
+        if (ci >= 8) return -2;  // pred[] bound (python oracle raises)
         const int t = ci == 0 ? 0 : 1;
         const uint32_t* dcc = dc_codes + t * 256;
         const uint8_t* dcl = dc_lens + t * 256;

@@ -607,41 +607,50 @@ def load_3ds(path: str) -> Mesh:
         blob = fh.read()
     if len(blob) < 6 or struct.unpack_from("<H", blob, 0)[0] != _3DS_MAIN:
         raise ValueError(f"not a 3DS file: {path}")
-    all_v, all_f = [], []
+    meshes = []  # one {verts, faces} dict PER trimesh chunk
 
-    def walk(start, end):
+    def walk(start, end, scope=None):
         pos = start
         while pos + 6 <= end:
             cid, clen = struct.unpack_from("<HI", blob, pos)
             if clen < 6 or pos + clen > end:
                 raise ValueError(f"malformed 3DS chunk at {pos}: {path}")
             body = pos + 6
-            if cid in (_3DS_MAIN, _3DS_EDITOR, _3DS_TRIMESH):
+            if cid in (_3DS_MAIN, _3DS_EDITOR):
                 walk(body, pos + clen)
+            elif cid == _3DS_TRIMESH:
+                # verts/faces pair within ONE trimesh scope (positional
+                # pairing across objects would mispair after a
+                # point-cloud trimesh with no face chunk)
+                mesh = {}
+                meshes.append(mesh)
+                walk(body, pos + clen, scope=mesh)
             elif cid == _3DS_OBJECT:
                 # skip the asciiz object name, then recurse
                 name_end = blob.index(b"\0", body) + 1
                 walk(name_end, pos + clen)
-            elif cid == _3DS_VERTS:
+            elif cid == _3DS_VERTS and scope is not None:
                 (n,) = struct.unpack_from("<H", blob, body)
                 v = np.frombuffer(blob, "<f4", n * 3, body + 2)
-                all_v.append(v.reshape(n, 3).astype(np.float32))
-            elif cid == _3DS_FACES:
+                scope["verts"] = v.reshape(n, 3).astype(np.float32)
+            elif cid == _3DS_FACES and scope is not None:
                 (n,) = struct.unpack_from("<H", blob, body)
                 f = np.frombuffer(blob, "<u2", n * 4, body + 2)
-                all_f.append(f.reshape(n, 4)[:, :3].astype(np.int32))
+                scope["faces"] = f.reshape(n, 4)[:, :3].astype(np.int32)
             pos += clen
 
     walk(0, len(blob))
-    if not all_v or not all_f:
-        raise ValueError(f"3DS contains no triangle geometry: {path}")
-    # vertex/face chunk order inside a trimesh is unspecified; pair
-    # them positionally and re-base face indices per object
     verts, faces, base = [], [], 0
-    for v, f in zip(all_v, all_f):
-        verts.append(v)
-        faces.append(f + base)
-        base += len(v)
+    for m in meshes:
+        if "verts" not in m or "faces" not in m:
+            continue  # point clouds / lines contribute no triangles
+        if m["faces"].size and int(m["faces"].max()) >= len(m["verts"]):
+            raise ValueError(f"3DS face index out of range: {path}")
+        verts.append(m["verts"])
+        faces.append(m["faces"] + base)
+        base += len(m["verts"])
+    if not verts or not any(len(f) for f in faces):
+        raise ValueError(f"3DS contains no triangle geometry: {path}")
     return np.concatenate(verts), np.concatenate(faces)
 
 
@@ -720,6 +729,10 @@ def _fbx_walk_binary(blob, pos, end, big, out):
             hdr, blob, pos)
         if end_off == 0:  # null sentinel terminates a nested list
             return pos + hsz
+        if end_off <= pos or end_off > len(blob):
+            # corrupt record: a non-advancing end offset would spin this
+            # loop forever (same guard class as load_3ds's chunk check)
+            raise ValueError(f"malformed FBX record at {pos}")
         name = blob[pos + hsz:pos + hsz + name_len].decode(
             "ascii", "replace")
         ppos = pos + hsz + name_len

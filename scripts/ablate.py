@@ -125,8 +125,8 @@ def child(key: str) -> None:
             return unswizzle(a, sw_h, sw_w)[:H, :W]
 
         curr, motion = grid(curr), grid(motion)
-        accum = resolve_taa(curr, motion * 0, state.accum, jnp.int32(i),
-                            params)
+        accum = resolve_taa(curr, motion * 0, pl.accum_to_hwc(state.accum),
+                            jnp.int32(i), params)
         if upto == "taa":
             return jnp.sum(accum)
         gpos = grid(jnp.where(hit_mask[..., None], h.p, 0.0))

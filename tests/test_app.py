@@ -113,6 +113,19 @@ def test_toggle_raster_mode():
     assert np.allclose(arr[-1, 0], CLEAR_COLOR, atol=1e-5)
 
 
+def test_raster_toggle_clears_last_u8():
+    """want_u8 viewers: a raster frame must clear last_u8, or the
+    stream would freeze on the final ray frame after an F2 toggle
+    (regression)."""
+    a = small_app()
+    a.want_u8 = True
+    a.step()
+    assert a.last_u8 is not None
+    a.act("toggle_ray_mode")
+    a.step()
+    assert a.last_u8 is None
+
+
 def test_motion_debug_toggle():
     a = small_app()
     a.act("toggle_motion_debug")

@@ -378,3 +378,48 @@ def test_ply_binary_unknown_list_element_before_faces(tmp_path, ref_mesh):
     got = load_model(str(p))
     np.testing.assert_allclose(_tri_soup(got), _tri_soup(ref_mesh),
                                atol=1e-6)
+
+
+def test_fbx_nonadvancing_record_raises(tmp_path):
+    """A corrupt record whose end_offset doesn't advance must raise,
+    not spin the walk forever (regression: confirmed hang)."""
+    import struct
+    p = tmp_path / "loop.fbx"
+    head = b"Kaydara FBX Binary  \x00\x1a\x00" + struct.pack("<I", 7400)
+    # record at pos 27 with end_off == 27 (nonzero, non-advancing)
+    rec = struct.pack("<IIIB", 27, 0, 0, 1) + b"X"
+    p.write_bytes(head + rec + b"\0" * 13)
+    with pytest.raises(ValueError, match="malformed FBX"):
+        load_model(str(p))
+
+
+def test_3ds_pointcloud_then_mesh(tmp_path, ref_mesh):
+    """A faceless (point-cloud) trimesh before a real mesh must not
+    mispair the real mesh's faces with the cloud's vertices
+    (regression: positional cross-object pairing)."""
+    import struct
+    verts, faces = ref_mesh
+    p = str(tmp_path / "m.3ds")
+    save_3ds(p, ref_mesh)
+    with open(p, "rb") as fh:
+        blob = fh.read()
+    # craft a verts-only object and splice it BEFORE the real one
+    cloud_v = np.zeros((5, 3), "<f4")
+    vch = struct.pack("<HIH", 0x4110, 6 + 2 + cloud_v.size * 4, 5) \
+        + cloud_v.tobytes()
+    tri = struct.pack("<HI", 0x4100, 6 + len(vch)) + vch
+    obj = struct.pack("<HI", 0x4000, 6 + 3 + len(tri)) + b"pc\0" + tri
+    # original: MAIN(6) EDITOR(6) OBJECT...; insert after EDITOR header
+    ed_body = 12
+    new_ed_len = struct.unpack_from("<I", blob, 8)[0] + len(obj)
+    new_main_len = struct.unpack_from("<I", blob, 2)[0] + len(obj)
+    out = (blob[:2] + struct.pack("<I", new_main_len)
+           + blob[6:8] + struct.pack("<I", new_ed_len)
+           + obj + blob[ed_body:])
+    p2 = str(tmp_path / "m2.3ds")
+    with open(p2, "wb") as fh:
+        fh.write(out)
+    got = load_model(p2)
+    # the real mesh's soup must be intact (cloud contributes nothing)
+    np.testing.assert_allclose(_tri_soup(got), _tri_soup(ref_mesh),
+                               atol=1e-6)
