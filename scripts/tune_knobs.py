@@ -56,6 +56,16 @@ def main() -> int:
             break
         run(32, 4, "highest", "1", sparse=sp)
 
+    # phase 0b: accum boundary layout A/B (r3: ORT_ACCUM_PLANES — the
+    # [H,W,4] minor-dim HBM padding question, see layout_probe.py)
+    if time.time() - t0 <= BUDGET:
+        env = dict(os.environ, ORT_ACCUM_PLANES="1")
+        res = run_child([sys.executable, report, "--child", CASE],
+                        TIMEOUT, env)
+        row = {"accum_planes": "1", **res}
+        rows.append(row)
+        print(json.dumps(row), flush=True)
+
     # phase 1: precision/swizzle at the default tile knobs
     for p, s in itertools.product(PRECISION, SWIZZLE):
         if (p, s) == ("highest", "1"):
@@ -67,7 +77,7 @@ def main() -> int:
     # pick the phase-1 winner among LIKE-FOR-LIKE rows (sparse on): the
     # phase-0 sparse=0 control must not leak its precision/swizzle into
     # the tile sweep
-    ok1 = [r for r in rows if "ms" in r and r["sparse"] == "1"]
+    ok1 = [r for r in rows if "ms" in r and r.get("sparse") == "1"]
     if ok1:
         best1 = min(ok1, key=lambda r: r["ms"])
         best_prec, best_sw = best1["precision"], best1["swizzle"]
