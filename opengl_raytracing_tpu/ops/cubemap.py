@@ -10,6 +10,8 @@ produces (+X,-X,+Y,-Y,+Z,-Z; reference: src/render/cubemap.cpp:86-91).
 
 from __future__ import annotations
 
+import os
+
 import jax.numpy as jnp
 
 
@@ -41,6 +43,18 @@ def direction_to_face_uv(d):
     return face, s, t
 
 
+def _env_planes() -> bool:
+    """ORT_ENV_PLANES=0 reverts to the [...,3]-row-gather form.
+
+    A gather whose result rows are 3 floats materializes with its minor
+    dim padded to 128 lanes on TPU (~42x bytes; CLAUDE.md SoA rule), and
+    the full analytic shade tree samples the environment at ~15 call
+    sites x 4 bilinear taps — the padded form audits at tens of GB/frame
+    at 1080p (measured 1544 ms/frame on hardware, r3).  The plane form
+    gathers each channel as a flat scalar stream instead."""
+    return os.environ.get("ORT_ENV_PLANES", "1") != "0"
+
+
 def sample_cubemap(env, d):
     """Bilinear cubemap fetch: env [6,F,F,3], d [...,3] -> rgb [...,3].
 
@@ -56,9 +70,33 @@ def sample_cubemap(env, d):
     y0 = jnp.clip(jnp.floor(ys), 0, f - 1).astype(jnp.int32)
     x1 = jnp.minimum(x0 + 1, f - 1)
     y1 = jnp.minimum(y0 + 1, f - 1)
-    fx = jnp.clip(xs - x0.astype(jnp.float32), 0.0, 1.0)[..., None]
-    fy = jnp.clip(ys - y0.astype(jnp.float32), 0.0, 1.0)[..., None]
+    fxs = jnp.clip(xs - x0.astype(jnp.float32), 0.0, 1.0)
+    fys = jnp.clip(ys - y0.astype(jnp.float32), 0.0, 1.0)
 
+    if _env_planes():
+        # SoA: one [3, 6*F*F] table (built once per jit — XLA CSEs the
+        # transpose across every sky call site), 4 taps x 3 channels of
+        # flat SCALAR gathers.  Same taps, same per-channel arithmetic
+        # order as the row form -> bit-identical rgb.
+        envp = jnp.moveaxis(env, -1, 0).reshape(3, -1)
+        i00 = (face * f + y0) * f + x0
+        i01 = (face * f + y0) * f + x1
+        i10 = (face * f + y1) * f + x0
+        i11 = (face * f + y1) * f + x1
+        out = []
+        for c in range(3):
+            p = envp[c]
+            c00 = jnp.take(p, i00)
+            c01 = jnp.take(p, i01)
+            c10 = jnp.take(p, i10)
+            c11 = jnp.take(p, i11)
+            top = c00 + (c01 - c00) * fxs
+            bot = c10 + (c11 - c10) * fxs
+            out.append(top + (bot - top) * fys)
+        return jnp.stack(out, axis=-1)
+
+    fx = fxs[..., None]
+    fy = fys[..., None]
     c00 = env[face, y0, x0]
     c01 = env[face, y0, x1]
     c10 = env[face, y1, x0]

@@ -9,6 +9,8 @@ y so UV math carries over 1:1.
 
 from __future__ import annotations
 
+import os
+
 import jax
 import jax.numpy as jnp
 
@@ -28,7 +30,19 @@ def _sample_nearest(tex, u, v):
     h, w = tex.shape[0], tex.shape[1]
     x = jnp.clip(jnp.floor(u * w), 0, w - 1).astype(jnp.int32)
     y = jnp.clip(jnp.floor(v * h), 0, h - 1).astype(jnp.int32)
-    return tex.reshape(h * w, -1)[y * w + x]
+    idx = y * w + x
+    if os.environ.get("ORT_TAA_PLANES", "1") != "0":
+        # Channel-plane scalar gathers: a materialized [H*W,4] row
+        # gather pads its minor dim to 128 lanes on TPU (~32x bytes,
+        # ~1 GB/frame at 1080p; CLAUDE.md SoA rule).  Four flat [H*W]
+        # gathers fetch the identical elements pad-free; when the
+        # accumulation is carried as [4,H,W] planes (ORT_ACCUM_PLANES)
+        # the moveaxis pair cancels and the gather reads the carried
+        # buffer directly.  ORT_TAA_PLANES=0 reverts.
+        texp = jnp.moveaxis(tex, -1, 0).reshape(tex.shape[2], h * w)
+        return jnp.stack([jnp.take(texp[c], idx)
+                          for c in range(tex.shape[2])], axis=-1)
+    return tex.reshape(h * w, -1)[idx]
 
 
 def resolve_taa(curr, motion, prev_accum, frame_index, params: RenderParams,

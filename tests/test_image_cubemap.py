@@ -81,3 +81,18 @@ def test_dummy_cubemap_color():
     env = dummy_cubemap()
     c = np.asarray(sample_cubemap(env, jnp.asarray([0.0, 1.0, 0.0])))
     np.testing.assert_allclose(c, [128 / 255, 128 / 255, 1.0], atol=1e-6)
+
+
+def test_sample_cubemap_planes_matches_row_form(monkeypatch):
+    """ORT_ENV_PLANES gathers channel planes; rgb must bit-match the
+    [...,3]-row-gather form (same taps, same per-channel arithmetic)."""
+    rng = np.random.RandomState(7)
+    env = jnp.asarray(rng.rand(6, 9, 9, 3).astype(np.float32))
+    d = rng.randn(257, 3).astype(np.float32)
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    d = jnp.asarray(d)
+    monkeypatch.setenv("ORT_ENV_PLANES", "1")
+    planes = np.asarray(sample_cubemap(env, d))
+    monkeypatch.setenv("ORT_ENV_PLANES", "0")
+    rows = np.asarray(sample_cubemap(env, d))
+    np.testing.assert_array_equal(planes, rows)

@@ -137,3 +137,19 @@ def test_visualize_motion_hue_depends_on_direction():
     m = jnp.asarray([[[0.5, 0.0]], [[0.0, 0.5]]])
     img = np.asarray(visualize_motion(m, 1.0))
     assert not np.allclose(img[0, 0], img[1, 0])
+
+
+def test_taa_planes_gather_matches_row_form(monkeypatch):
+    """ORT_TAA_PLANES fetches history as channel-plane scalar gathers;
+    the resolve must bit-match the [H*W,4]-row-gather form."""
+    rng = np.random.RandomState(3)
+    H2, W2 = 24, 32
+    curr = jnp.asarray(rng.rand(H2, W2, 3).astype(np.float32))
+    hist = jnp.asarray(rng.rand(H2, W2, 4).astype(np.float32))
+    motion = jnp.asarray(
+        (rng.rand(H2, W2, 2).astype(np.float32) - 0.5) * 0.2)
+    monkeypatch.setenv("ORT_TAA_PLANES", "1")
+    planes = np.asarray(resolve_taa(curr, motion, hist, jnp.int32(12), P))
+    monkeypatch.setenv("ORT_TAA_PLANES", "0")
+    rows = np.asarray(resolve_taa(curr, motion, hist, jnp.int32(12), P))
+    np.testing.assert_array_equal(planes, rows)
