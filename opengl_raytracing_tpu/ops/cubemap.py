@@ -43,23 +43,30 @@ def direction_to_face_uv(d):
     return face, s, t
 
 
-def _env_planes() -> bool:
-    """ORT_ENV_PLANES=0 reverts to the [...,3]-row-gather form.
+def _env_gather() -> str:
+    """ORT_ENV_GATHER selects the bilinear tap lowering: 'flat'
+    (default), 'planes', or 'multi'.
 
-    A gather whose result rows are 3 floats materializes with its minor
-    dim padded to 128 lanes on TPU (~42x bytes; CLAUDE.md SoA rule), and
-    the full analytic shade tree samples the environment at ~15 call
-    sites x 4 bilinear taps — the padded form audits at tens of GB/frame
-    at 1080p (measured 1544 ms/frame on hardware, r3).  The plane form
-    gathers each channel as a flat scalar stream instead."""
-    return os.environ.get("ORT_ENV_PLANES", "1") != "0"
+    'multi' is the naive `env[face, y0, x0]` advanced-indexing form —
+    three separate index vectors per tap.  XLA TPU lowers that
+    multi-dimensional gather to a serialized slow path: the full
+    analytic shade tree (~15 sky call sites x 4 taps) measured
+    1544 ms/frame at 1080p on hardware (r3).  'flat' precomputes ONE
+    linearized index per tap and row-gathers a [6*F*F, 3] table — the
+    same lowering as the TAA history fetch, measured ~1.2 ms per 2M-ray
+    gather.  'planes' additionally splits channels into three scalar
+    gathers from a [3, 6*F*F] table (more index traffic, pad-proof);
+    kept for A/B."""
+    return os.environ.get("ORT_ENV_GATHER", "flat")
 
 
 def sample_cubemap(env, d):
     """Bilinear cubemap fetch: env [6,F,F,3], d [...,3] -> rgb [...,3].
 
     Equivalent to GL_LINEAR + CLAMP_TO_EDGE within a face (the reference
-    does not request seamless filtering).
+    does not request seamless filtering).  All three gather lowerings
+    fetch the same taps and blend in the same per-channel order, so the
+    result is bit-identical across ORT_ENV_GATHER settings.
     """
     face, s, t = direction_to_face_uv(d)
     f = env.shape[1]
@@ -73,34 +80,38 @@ def sample_cubemap(env, d):
     fxs = jnp.clip(xs - x0.astype(jnp.float32), 0.0, 1.0)
     fys = jnp.clip(ys - y0.astype(jnp.float32), 0.0, 1.0)
 
-    if _env_planes():
-        # SoA: one [3, 6*F*F] table (built once per jit — XLA CSEs the
-        # transpose across every sky call site), 4 taps x 3 channels of
-        # flat SCALAR gathers.  Same taps, same per-channel arithmetic
-        # order as the row form -> bit-identical rgb.
+    mode = _env_gather()
+    if mode != "multi":
+        row0 = (face * f + y0) * f
+        row1 = (face * f + y1) * f
+        i00, i01 = row0 + x0, row0 + x1
+        i10, i11 = row1 + x0, row1 + x1
+
+    if mode == "flat":
+        envf = env.reshape(-1, 3)
+        c00 = jnp.take(envf, i00, axis=0)
+        c01 = jnp.take(envf, i01, axis=0)
+        c10 = jnp.take(envf, i10, axis=0)
+        c11 = jnp.take(envf, i11, axis=0)
+    elif mode == "planes":
         envp = jnp.moveaxis(env, -1, 0).reshape(3, -1)
-        i00 = (face * f + y0) * f + x0
-        i01 = (face * f + y0) * f + x1
-        i10 = (face * f + y1) * f + x0
-        i11 = (face * f + y1) * f + x1
         out = []
         for c in range(3):
             p = envp[c]
-            c00 = jnp.take(p, i00)
-            c01 = jnp.take(p, i01)
-            c10 = jnp.take(p, i10)
-            c11 = jnp.take(p, i11)
-            top = c00 + (c01 - c00) * fxs
-            bot = c10 + (c11 - c10) * fxs
+            top = (jnp.take(p, i00)
+                   + (jnp.take(p, i01) - jnp.take(p, i00)) * fxs)
+            bot = (jnp.take(p, i10)
+                   + (jnp.take(p, i11) - jnp.take(p, i10)) * fxs)
             out.append(top + (bot - top) * fys)
         return jnp.stack(out, axis=-1)
+    else:
+        c00 = env[face, y0, x0]
+        c01 = env[face, y0, x1]
+        c10 = env[face, y1, x0]
+        c11 = env[face, y1, x1]
 
     fx = fxs[..., None]
     fy = fys[..., None]
-    c00 = env[face, y0, x0]
-    c01 = env[face, y0, x1]
-    c10 = env[face, y1, x0]
-    c11 = env[face, y1, x1]
     top = c00 + (c01 - c00) * fx
     bot = c10 + (c11 - c10) * fx
     return top + (bot - top) * fy

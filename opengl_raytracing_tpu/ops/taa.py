@@ -31,14 +31,14 @@ def _sample_nearest(tex, u, v):
     x = jnp.clip(jnp.floor(u * w), 0, w - 1).astype(jnp.int32)
     y = jnp.clip(jnp.floor(v * h), 0, h - 1).astype(jnp.int32)
     idx = y * w + x
-    if os.environ.get("ORT_TAA_PLANES", "1") != "0":
-        # Channel-plane scalar gathers: a materialized [H*W,4] row
-        # gather pads its minor dim to 128 lanes on TPU (~32x bytes,
-        # ~1 GB/frame at 1080p; CLAUDE.md SoA rule).  Four flat [H*W]
-        # gathers fetch the identical elements pad-free; when the
-        # accumulation is carried as [4,H,W] planes (ORT_ACCUM_PLANES)
-        # the moveaxis pair cancels and the gather reads the carried
-        # buffer directly.  ORT_TAA_PLANES=0 reverts.
+    if os.environ.get("ORT_TAA_PLANES", "0") == "1":
+        # Channel-plane scalar gathers (four flat [H*W] takes) instead
+        # of one [H*W,4] row gather.  The r3 layout probe measured the
+        # row form at ~1.2 ms per 1080p moving resolve (XLA does NOT
+        # lane-pad it), so the row form stays the default; the plane
+        # form is kept for A/B — when the accumulation is carried as
+        # [4,H,W] planes (ORT_ACCUM_PLANES) its moveaxis pair cancels
+        # and the gathers read the carried buffer directly.
         texp = jnp.moveaxis(tex, -1, 0).reshape(tex.shape[2], h * w)
         return jnp.stack([jnp.take(texp[c], idx)
                           for c in range(tex.shape[2])], axis=-1)

@@ -83,16 +83,17 @@ def test_dummy_cubemap_color():
     np.testing.assert_allclose(c, [128 / 255, 128 / 255, 1.0], atol=1e-6)
 
 
-def test_sample_cubemap_planes_matches_row_form(monkeypatch):
-    """ORT_ENV_PLANES gathers channel planes; rgb must bit-match the
-    [...,3]-row-gather form (same taps, same per-channel arithmetic)."""
+def test_sample_cubemap_gather_modes_bit_match(monkeypatch):
+    """The flat / planes / multi gather lowerings fetch identical taps
+    with identical per-channel arithmetic -> bit-identical rgb."""
     rng = np.random.RandomState(7)
     env = jnp.asarray(rng.rand(6, 9, 9, 3).astype(np.float32))
     d = rng.randn(257, 3).astype(np.float32)
     d /= np.linalg.norm(d, axis=-1, keepdims=True)
     d = jnp.asarray(d)
-    monkeypatch.setenv("ORT_ENV_PLANES", "1")
-    planes = np.asarray(sample_cubemap(env, d))
-    monkeypatch.setenv("ORT_ENV_PLANES", "0")
-    rows = np.asarray(sample_cubemap(env, d))
-    np.testing.assert_array_equal(planes, rows)
+    out = {}
+    for mode in ("flat", "planes", "multi"):
+        monkeypatch.setenv("ORT_ENV_GATHER", mode)
+        out[mode] = np.asarray(sample_cubemap(env, d))
+    np.testing.assert_array_equal(out["flat"], out["multi"])
+    np.testing.assert_array_equal(out["planes"], out["multi"])
