@@ -776,10 +776,12 @@ def _trace_closest_paged(pages, ro, rd, eps, shared_origin, ordered,
     else:
         planes, o_rows = _soa_planes(ro_soa, rd_soa), None
     t0, x0, y0, z0 = _closest_page_rows(pages[0], planes, hulls,
-                                        shared_origin, ordered, eps)
+                                        shared_origin, ordered, eps,
+                                        o_rows=o_rows)
     for page in pages[1:]:
         t1, x1, y1, z1 = _closest_page_rows(page, planes, hulls,
-                                            shared_origin, ordered, eps)
+                                            shared_origin, ordered, eps,
+                                            o_rows=o_rows)
         closer = t1 < t0
         t0 = jnp.where(closer, t1, t0)
         x0 = jnp.where(closer, x1, x0)

@@ -119,6 +119,23 @@ def test_paged_tracing_matches_single_page():
     ob = np.asarray(bm.trace_bvh_shadow_mxu_paged(paged, ro, rd, t_max))
     np.testing.assert_array_equal(oa, ob)
 
+    # shared-origin (SMEM o_rows) + ordered on the MULTI-page path:
+    # regression for the r3 cf_close crash — _trace_closest_paged built
+    # direction-only planes but dropped o_rows on the way to the kernel,
+    # so any multi-page scene crashed whenever a primary trace ran with
+    # default knobs (single-page scenes took trace_bvh_mxu and hid it).
+    origin = jnp.asarray(np.array([0.0, 1.0, 2.5], np.float32))
+    ro_s = jnp.broadcast_to(origin, rd.shape)
+    ref = bm.trace_bvh_mxu_paged(single, ro_s, rd)
+    for ordered in (False, True):
+        got = bm.trace_bvh_mxu_paged(paged, ro_s, rd,
+                                     shared_origin=origin, ordered=ordered)
+        np.testing.assert_array_equal(np.asarray(ref.valid),
+                                      np.asarray(got.valid))
+        hit = np.asarray(ref.valid)
+        np.testing.assert_allclose(np.asarray(ref.t)[hit],
+                                   np.asarray(got.t)[hit], rtol=1e-5)
+
 
 def test_ordered_shared_origin_matches_unordered(scene):
     """Front-to-back ordered walk (shared camera origin) must produce the
