@@ -227,6 +227,72 @@ def swizzled_pixel_centers(grid_h: int, grid_w: int, pad_h: int, pad_w: int,
     return px, py
 
 
+def _analytic_gate_frac() -> float:
+    """ORT_ANALYTIC_GATE_FRAC: tile-capacity fraction for the analytic
+    glass/mirror secondary-shade gate (0 disables).
+
+    The analytic glass/mirror trees (3-4 secondary traces + full
+    direct-light evaluations each) are computed for EVERY lane and
+    masked in, like the fragment shader's divergent branches — measured
+    153 ms/frame at 1080p baseline-analytic on hardware (r3) vs 31 ms
+    for the BVH scene.  The material spheres cover a few percent of the
+    screen, so the gated form compacts the 128-lane tiles that contain
+    any glass (resp. mirror) lane into a static-capacity stream of
+    frac*T tiles, shades those, and scatters back; a lax.cond falls back
+    to the dense form when more tiles qualify (exactness never depends
+    on the capacity).  Per-lane math is identical, so gated == dense
+    bit-for-bit (test_analytic_tile_gate)."""
+    return float(os.environ.get("ORT_ANALYTIC_GATE_FRAC", "0") or "0")
+
+
+_TILE = TILE_H * TILE_W  # lanes per kernel tile (== bvh_mxu.TILE_RAYS)
+
+
+def _tile_gated_shade(fn, lane_mask, h: Hit, vdir, px, py, frac: float):
+    """Evaluate `fn(h, vdir, px, py) -> [..., N, 3]` only on the 8x16
+    pixel tiles where `lane_mask` has any lane set.
+
+    The flat swizzled stream (length N, tile-aligned) reshapes to
+    [T, 128] tiles; the selected tiles' indices (argsort puts them
+    first) gather every input down to K = ceil(frac*T) tiles, `fn` runs
+    on the compacted stream, and the results scatter back (pad tiles
+    scatter garbage into tiles whose lanes the caller's material select
+    discards).  When more than K tiles qualify, lax.cond runs the dense
+    form instead — the gate is a pure optimization, never a source of
+    truth.  Leading batch axes (the SPP axis) pass through."""
+    n = px.shape[-1]
+    t = n // _TILE
+    k = max(1, min(t, int(round(frac * t))))
+
+    lane = lane_mask
+    while lane.ndim > 1:
+        lane = lane.any(axis=0)
+    tile_sel = lane.reshape(t, _TILE).any(axis=1)
+    count = jnp.sum(tile_sel.astype(jnp.int32))
+    idx = jnp.argsort(~tile_sel, stable=True)[:k]
+
+    def gtile(x, vec=False):
+        ax = x.ndim - (2 if vec else 1)
+        xr = x.reshape(x.shape[:ax] + (t, _TILE) + x.shape[ax + 1:])
+        g = jnp.take(xr, idx, axis=ax)
+        return g.reshape(x.shape[:ax] + (k * _TILE,) + x.shape[ax + 1:])
+
+    def compact(_):
+        h_c = Hit(gtile(h.t), gtile(h.p, True), gtile(h.n, True),
+                  gtile(h.mat))
+        out_c = fn(h_c, gtile(vdir, True), gtile(px), gtile(py))
+        ax = out_c.ndim - 2
+        outr = out_c.reshape(out_c.shape[:ax] + (k, _TILE, 3))
+        full = jnp.zeros(out_c.shape[:ax] + (t, _TILE, 3), out_c.dtype)
+        full = full.at[..., idx, :, :].set(outr)
+        return full.reshape(out_c.shape[:ax] + (t * _TILE, 3))
+
+    def dense(_):
+        return fn(h, vdir, px, py)
+
+    return jax.lax.cond(count <= k, compact, dense, None)
+
+
 def _sanitize_hit(h: Hit, ro, rd) -> Hit:
     """Clamp miss lanes to finite values so masked shading math stays
     NaN-free (misses are overwritten by the sky select at the end)."""
@@ -269,22 +335,42 @@ def _shade_analytic(scene: SceneCtx, h: Hit, seed, frame_index, vdir, px, py,
     is_marker = h.mat == MAT_POINTLIGHT_SPHERE
     radiance = jnp.where(is_marker[..., None], emissive, radiance)
 
-    # Glass/mirror secondary bounces: computed for all lanes and masked
-    # in, exactly like the fragment shader's divergent branches.  A
-    # compacted-wavefront variant (experiments/compaction.py) measured
-    # SLOWER on the tunneled dev slice — its scatter/gather lowering
-    # costs more than the masked over-compute it saves (157ms vs 41ms at
-    # 1080p baseline); revisit on hardware with full HBM bandwidth.
+    # Glass/mirror secondary bounces: masked in like the fragment
+    # shader's divergent branches.  By default they are computed for all
+    # lanes; ORT_ANALYTIC_GATE_FRAC>0 compacts the work to the tiles
+    # that contain the material (the spheres cover a few percent of the
+    # screen — the dense form measured 153 ms/frame at 1080p baseline on
+    # hardware, r3).  A per-LANE compacted variant
+    # (experiments/compaction.py) measured slower (157 vs 41 ms) — its
+    # scatter/gather lowering dominates; the tile form gathers whole
+    # 128-lane rows instead.
+    gate = _analytic_gate_frac()
+    gated = gate > 0.0 and px.ndim >= 1 and px.shape[-1] % _TILE == 0
+
     if params.mat_mirror_enabled:
-        mirror_r = lt.shade_mirror(scene, h, vdir, mat, seed, frame_index,
-                                   px, py)
-        radiance = jnp.where((mat.mtype == MTYPE_MIRROR)[..., None],
-                             mirror_r, radiance)
+        def mirror_fn(h_c, vdir_c, px_c, py_c):
+            mat_c = get_material(h_c.mat, params)
+            return lt.shade_mirror(scene, h_c, vdir_c, mat_c, seed,
+                                   frame_index, px_c, py_c)
+        mirror_mask = mat.mtype == MTYPE_MIRROR
+        if gated:
+            mirror_r = _tile_gated_shade(mirror_fn, mirror_mask, h, vdir,
+                                         px, py, gate)
+        else:
+            mirror_r = mirror_fn(h, vdir, px, py)
+        radiance = jnp.where(mirror_mask[..., None], mirror_r, radiance)
     if params.mat_glass_enabled:
-        glass_r = lt.shade_glass(scene, h, vdir, mat, seed, frame_index,
-                                 px, py)
-        radiance = jnp.where((mat.mtype == MTYPE_GLASS)[..., None],
-                             glass_r, radiance)
+        def glass_fn(h_c, vdir_c, px_c, py_c):
+            mat_c = get_material(h_c.mat, params)
+            return lt.shade_glass(scene, h_c, vdir_c, mat_c, seed,
+                                  frame_index, px_c, py_c)
+        glass_mask = mat.mtype == MTYPE_GLASS
+        if gated:
+            glass_r = _tile_gated_shade(glass_fn, glass_mask, h, vdir,
+                                        px, py, gate)
+        else:
+            glass_r = glass_fn(h, vdir, px, py)
+        radiance = jnp.where(glass_mask[..., None], glass_r, radiance)
     return radiance
 
 

@@ -145,3 +145,36 @@ def test_compact_masked_eval_tiny_non_lane_multiple():
     want = np.where(np.arange(100) % 7 == 0,
                     np.arange(100, dtype=np.float32) + 1.0, 0.0)
     np.testing.assert_allclose(np.asarray(out[..., 0]).reshape(-1), want)
+
+
+def test_analytic_tile_gate_bit_identical(monkeypatch):
+    """ORT_ANALYTIC_GATE_FRAC compacts glass/mirror shading to occupied
+    tiles; the frame must match the dense form, in both the compact
+    branch (ample capacity) and the count>K dense fallback (frac so
+    small the cond rejects the gate).
+
+    Tolerance: per-lane math is identical, but XLA fuses the gathered-
+    input graph differently and flips last-bit roundings on a handful of
+    glass/mirror lanes (observed 17/9216 pixels at 1 ulp; same compiler-
+    numerics effect documented for shard_map, commit 144daef).  Both
+    gate branches live inside a lax.cond, which XLA compiles as a
+    separate computation with its own fusion decisions — so even the
+    dense fallback shows the same handful of 1-ulp flips.  Allow 2
+    ulps on both."""
+    params = preset("full")  # glass + mirror + GI + AO on
+    fin = make_inputs()
+
+    def frame(frac):
+        if frac is None:
+            monkeypatch.delenv("ORT_ANALYTIC_GATE_FRAC", raising=False)
+        else:
+            monkeypatch.setenv("ORT_ANALYTIC_GATE_FRAC", str(frac))
+        state = RenderState.create(H, W)
+        _, out = render_frame(params, fin, state, height=H, width=W)
+        return np.asarray(out.image)
+
+    dense = frame(None)
+    gated = frame(0.5)
+    tiny = frame(1e-6)  # K=1 < occupied tiles -> runtime dense fallback
+    np.testing.assert_allclose(gated, dense, rtol=0, atol=2.4e-7)
+    np.testing.assert_allclose(tiny, dense, rtol=0, atol=2.4e-7)
