@@ -1,0 +1,53 @@
+#!/bin/bash
+# Round-3 SECOND measurement pass: A/Bs for the fixes/knobs added after
+# the first pass ran (it snapshot-cloned before them):
+#   * multi-page shared-origin crash fix -> cf_close/cf_far + ordered
+#     sweep now runnable at default knobs
+#   * ORT_ENV_GATHER flat|planes|multi (an_full was 1544 ms on the
+#     serialized multi-dim gather)
+#   * ORT_ANALYTIC_GATE_FRAC tile gate (baseline-analytic was 153 ms)
+#   * ORT_TAA_PLANES A/B (row form measured 4.88 ms moving)
+# Runs from a snapshot clone (probe_loop-style) so working-tree edits
+# can't corrupt children mid-sweep.  Priority: correctness gate, the
+# broken-before bench rows, env-gather A/B, gate-frac sweep, ordered
+# sweep, then a final full bench preview at winning defaults.
+set -x
+cd "$(dirname "$0")/.."
+
+timeout 150 python scripts/childproc.py --probe \
+  || { echo 'TPU unreachable, aborting'; exit 1; }
+
+# kernel-touching fix: re-verify hardware correctness first (cheap)
+timeout 600 python scripts/tpu_checks.py 2>&1 | tee /tmp/r3b_checks.log
+
+# the two bench rows that could not run at default knobs before the fix
+BENCH_SKIP_PROBE=1 BENCH_CASES=cf_close,cf_far BENCH_BUDGET=1100 \
+  timeout 1200 python bench.py 2>&1 | tee /tmp/r3b_cf.log
+
+# env-gather lowering A/B on the catastrophic case (multi = old default)
+for g in flat planes multi; do
+  BENCH_SKIP_PROBE=1 BENCH_CASES=an_full BENCH_FRAMES=4 BENCH_BUDGET=500 \
+    ORT_ENV_GATHER=$g timeout 600 python bench.py 2>&1 \
+    | sed "s/^{/{\"env_gather\": \"$g\", /" | tee -a /tmp/r3b_env.log
+done
+
+# analytic tile-gate capacity sweep (0 = dense baseline)
+for f in 0 0.15 0.25 0.4; do
+  BENCH_SKIP_PROBE=1 BENCH_CASES=an_baseline,an_full BENCH_FRAMES=4 \
+    BENCH_BUDGET=900 ORT_ANALYTIC_GATE_FRAC=$f \
+    timeout 1000 python bench.py 2>&1 \
+    | sed "s/^{/{\"gate_frac\": \"$f\", /" | tee -a /tmp/r3b_gate.log
+done
+
+# TAA gather form A/B (moving resolve, layout probe case)
+timeout 600 python scripts/layout_probe.py --case taa 2>&1 | tee /tmp/r3b_taa.log
+ORT_TAA_PLANES=1 timeout 600 python scripts/layout_probe.py --case taa 2>&1 \
+  | sed 's/^{/{"taa_planes": "1", /' | tee -a /tmp/r3b_taa.log
+
+# ordered walk: now-runnable distance sweep (auto-threshold data)
+timeout 2000 python scripts/ordered_sweep.py 2>&1 | tee /tmp/r3b_ordered.log
+
+# final preview: full bench matrix at current defaults
+BENCH_SKIP_PROBE=1 BENCH_BUDGET=2400 timeout 2600 python bench.py 2>&1 \
+  | tee /tmp/r3b_bench.log
+echo DONE
