@@ -39,6 +39,20 @@ for f in 0 0.15 0.25 0.4; do
     | sed "s/^{/{\"gate_frac\": \"$f\", /" | tee -a /tmp/r3b_gate.log
 done
 
+# analytic swizzle A/B: the 8x16 block swizzle serves the BVH kernels'
+# tile culls; the analytic scene has no kernels, and its frames got
+# ~3x slower between the r2-start measurement and r3 (41->153 ms
+# baseline-analytic) — suspect the swizzle/unswizzle plumbing.
+for sw in 1 0; do
+  BENCH_SKIP_PROBE=1 BENCH_CASES=an_baseline,an_full BENCH_FRAMES=4 \
+    BENCH_BUDGET=900 ORT_SWIZZLE=$sw timeout 1000 python bench.py 2>&1 \
+    | sed "s/^{/{\"swizzle\": \"$sw\", /" | tee -a /tmp/r3b_swz.log
+done
+
+# svgf lowering re-check (pallas regressed 13.8 -> 22.6 ms vs jnp 15.98)
+timeout 600 python scripts/perf_report.py --child svgf_jnp 2>&1 | tee -a /tmp/r3b_svgf.log
+timeout 600 python scripts/perf_report.py --child svgf_pallas 2>&1 | tee -a /tmp/r3b_svgf.log
+
 # TAA gather form A/B (moving resolve, layout probe case)
 timeout 600 python scripts/layout_probe.py --case taa 2>&1 | tee /tmp/r3b_taa.log
 ORT_TAA_PLANES=1 timeout 600 python scripts/layout_probe.py --case taa 2>&1 \
