@@ -61,6 +61,13 @@ ORT_TAA_PLANES=1 timeout 600 python scripts/layout_probe.py --case taa 2>&1 \
 # ordered walk: now-runnable distance sweep (auto-threshold data)
 timeout 2000 python scripts/ordered_sweep.py 2>&1 | tee /tmp/r3b_ordered.log
 
+# precision A/B rerun: the r3a pass lost its `highest` reference to a
+# compile timeout, so parity (t-delta / hit agreement / image delta)
+# was never computed; mixed measured 7.8 ms and default 6.51 ms vs
+# highest 10.09 on trace_primary — the flip decision needs the parity
+# side.
+timeout 1800 python scripts/ab_precision.py 2>&1 | tee /tmp/r3b_ab.log
+
 # final preview: full bench matrix at current defaults
 BENCH_SKIP_PROBE=1 BENCH_BUDGET=2400 timeout 2600 python bench.py 2>&1 \
   | tee /tmp/r3b_bench.log
