@@ -61,6 +61,16 @@ ORT_TAA_PLANES=1 timeout 600 python scripts/layout_probe.py --case taa 2>&1 \
 # ordered walk: now-runnable distance sweep (auto-threshold data)
 timeout 2000 python scripts/ordered_sweep.py 2>&1 | tee /tmp/r3b_ordered.log
 
+# swizzle x camera-distance: tune_knobs r3 showed swizzle=0 is ~5 ms
+# FASTER on the default-camera baseline frame (31.2 -> 26.4) — but the
+# swizzle's compact 2D hulls were built for the close-camera regime, so
+# the default flip needs the close/far side too.
+for sw in 1 0; do
+  BENCH_SKIP_PROBE=1 BENCH_CASES=cf_close,cf_far BENCH_FRAMES=4 \
+    BENCH_BUDGET=1100 ORT_SWIZZLE=$sw timeout 1200 python bench.py 2>&1 \
+    | sed "s/^{/{\"swizzle\": \"$sw\", /" | tee -a /tmp/r3b_cfswz.log
+done
+
 # precision A/B rerun: the r3a pass lost its `highest` reference to a
 # compile timeout, so parity (t-delta / hit agreement / image delta)
 # was never computed; mixed measured 7.8 ms and default 6.51 ms vs
