@@ -85,6 +85,19 @@ SHADOW_PRECISION = _PREC[os.environ.get("ORT_SHADOW_PRECISION", "default")]
 # ceil(PAGE_CHUNKS/GROUP) <= 32.
 GROUP = int(os.environ.get("ORT_CHUNK_GROUP", "4"))
 
+# Order positions per scalar step of the ORDERED front-to-back walk.
+# The per-chunk walk pays the ~450ns scalar iteration per position —
+# close cameras open wide windows (the 81,920-tri cf_close frame
+# measured 546 ms at default knobs, r3) and the walk becomes purely
+# scalar-bound.  ORT_ORDERED_GROUP=G processes G consecutive positions
+# per step: chunk coef blocks load + concatenate inside one lax.cond
+# (skipped groups issue no DMA), ONE [G*256,16]x[16,128] matmul pair,
+# and merges run in ascending position order with each chunk's range/
+# interval bit folded into the accept mask — bit-identical to the
+# per-chunk walk (a masked-out merge carries through unchanged), with
+# early termination at group granularity.  1 = per-chunk walk.
+ORDERED_GROUP = int(os.environ.get("ORT_ORDERED_GROUP", "1"))
+
 # Shared-origin kernels take the camera origin as a tiny broadcast-
 # constant input instead of streaming three [NT,128] planes of the same
 # value (25 MB/frame at 1080p).  ORT_SMEM_ORIGIN=0 reverts to the plane
@@ -472,10 +485,15 @@ def _closest_kernel(ids_ref, perm_ref, gate_ref, gorder_ref, gbound_ref,
         # All-f32 epilogue (Mosaic mishandles packed-i1 keepdims
         # reductions).  `out_uv`/`out_dt` are 256-row u|v / det|t blocks;
         # `nsel` the matching [128,8] normal rows.
-        def merge_block(out_uv, out_dt, nsel, carry):
+        def merge_block(out_uv, out_dt, nsel, carry, ok=None):
             t_best, nx, ny, nz = carry     # [1,128] f32
             t, acc = _epilogue_inputs(out_uv, out_dt, eps)
             acc = acc & (t < t_best)       # [128,128] tri x ray
+            if ok is not None:
+                # ordered-group walk: this chunk's range/interval bit —
+                # a masked-out merge carries through unchanged, exactly
+                # like the per-chunk walk's cond-skip
+                acc = acc & ok
             tc = jnp.where(acc, t, INF)
             cmin = jnp.min(tc, axis=0, keepdims=True)          # [1,128]
             win = jnp.where(tc <= cmin, tri_f + 1.0, 0.0)
@@ -548,24 +566,80 @@ def _closest_kernel(ids_ref, perm_ref, gate_ref, gorder_ref, gbound_ref,
                 def ord_cond(st):
                     return st[0] < jhi
 
-                def ord_body(st):
-                    j, carry = st
-                    gi = gorder_ref[j] - lo
-                    word = jnp.where(gi + lo < 32, mlo, mhi)
-                    # clamp: shift >= 32 on int32 is undefined in XLA/LLVM;
-                    # only reachable when nc > 64 degrades the mask to
-                    # all-ones, where any in-range bit of -1 reads as 1.
-                    sh = jnp.clip(
-                        jnp.where(gi + lo < 32, gi + lo, gi + lo - 32), 0, 31)
-                    bit = jnp.where((gi >= 0) & (gi < n),
-                                    (word >> sh) & 1, 0)
-                    carry = jax.lax.cond(
-                        bit > 0, lambda cr: chunk_work(gi, cr),
-                        lambda cr: cr, carry)
-                    nxt = jnp.minimum(j + 1, nc_total - 1)
-                    t_cap = jnp.max(carry[0])
-                    j = jnp.where(t_cap <= gbound_ref[nxt], jhi, j + 1)
-                    return j, carry
+                if ORDERED_GROUP > 1:
+                    g_ord = ORDERED_GROUP
+
+                    def ord_body(st):
+                        j, carry = st
+                        cis, bits = [], []
+                        any_bit = jnp.int32(0)
+                        for k in range(g_ord):     # static unroll
+                            jj = jnp.minimum(j + k, nc_total - 1)
+                            ci = gorder_ref[jj]
+                            gi = ci - lo
+                            word = jnp.where(ci < 32, mlo, mhi)
+                            sh = jnp.clip(
+                                jnp.where(ci < 32, ci, ci - 32), 0, 31)
+                            bit = jnp.where(
+                                (gi >= 0) & (gi < n) & (j + k < jhi),
+                                (word >> sh) & 1, 0)
+                            cis.append(ci)
+                            bits.append(bit)
+                            any_bit = any_bit | bit
+
+                        def group(carry):
+                            # loads live INSIDE the cond: a skipped
+                            # group issues no coef DMA
+                            cg_uv = jnp.concatenate(
+                                [cuv_ref[c] for c in cis], axis=0)
+                            cg_dt = jnp.concatenate(
+                                [cdt_ref[c] for c in cis], axis=0)
+                            out_uv = jnp.dot(
+                                cg_uv, f,
+                                preferred_element_type=jnp.float32,
+                                precision=MT_PREC_UV)
+                            out_dt = jnp.dot(
+                                cg_dt, f,
+                                preferred_element_type=jnp.float32,
+                                precision=MT_PREC_DT)
+                            for k in range(g_ord):
+                                carry = merge_block(
+                                    out_uv[k * 2 * CHUNK:
+                                           (k + 1) * 2 * CHUNK],
+                                    out_dt[k * 2 * CHUNK:
+                                           (k + 1) * 2 * CHUNK],
+                                    norms_ref[cis[k]], carry,
+                                    ok=bits[k] > 0)
+                            return carry
+
+                        carry = jax.lax.cond(any_bit > 0, group,
+                                             lambda cr: cr, carry)
+                        nxt = jnp.minimum(j + g_ord, nc_total - 1)
+                        t_cap = jnp.max(carry[0])
+                        j = jnp.where(t_cap <= gbound_ref[nxt], jhi,
+                                      j + g_ord)
+                        return j, carry
+                else:
+                    def ord_body(st):
+                        j, carry = st
+                        gi = gorder_ref[j] - lo
+                        word = jnp.where(gi + lo < 32, mlo, mhi)
+                        # clamp: shift >= 32 on int32 is undefined in
+                        # XLA/LLVM; only reachable when nc > 64 degrades
+                        # the mask to all-ones, where any in-range bit
+                        # of -1 reads as 1.
+                        sh = jnp.clip(
+                            jnp.where(gi + lo < 32, gi + lo, gi + lo - 32),
+                            0, 31)
+                        bit = jnp.where((gi >= 0) & (gi < n),
+                                        (word >> sh) & 1, 0)
+                        carry = jax.lax.cond(
+                            bit > 0, lambda cr: chunk_work(gi, cr),
+                            lambda cr: cr, carry)
+                        nxt = jnp.minimum(j + 1, nc_total - 1)
+                        t_cap = jnp.max(carry[0])
+                        j = jnp.where(t_cap <= gbound_ref[nxt], jhi, j + 1)
+                        return j, carry
 
                 _, (t_best, nx, ny, nz) = jax.lax.while_loop(
                     ord_cond, ord_body, (jlo, (t0, z0, z0, z0)))

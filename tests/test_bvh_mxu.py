@@ -417,3 +417,28 @@ def test_shared_shadow_origin_wavefront_matches(scene, monkeypatch):
     np.testing.assert_array_equal(shared[:, a], plain[:, a])
     # inactive lanes are contract-False on both paths
     assert not shared[:, ~a].any() and not plain[:, ~a].any()
+
+
+def test_ordered_group_walk_bit_matches_per_chunk(scene, monkeypatch):
+    """ORT_ORDERED_GROUP>1 processes G order positions per scalar step
+    (one fused matmul, bit-masked merges in ascending position order) —
+    must be bit-identical to the per-chunk ordered walk: a masked-out
+    merge carries through unchanged, and merge order is preserved."""
+    import jax as _jax
+    from opengl_raytracing_tpu.ops import bvh_mxu
+    mxu, tris = scene
+    origin = jnp.asarray(np.array([0.0, 1.0, 0.5], np.float32))
+    ro, rd = _rays(11)
+    ro = jnp.broadcast_to(origin, rd.shape)
+
+    out = {}
+    for g in (1, 4):
+        monkeypatch.setattr(bvh_mxu, "ORDERED_GROUP", g)
+        _jax.clear_caches()  # the module knob is not a jit cache key
+        h = trace_bvh_mxu(mxu, ro, rd, shared_origin=origin, ordered=True)
+        out[g] = (np.asarray(h.t), np.asarray(h.n), np.asarray(h.valid))
+    np.testing.assert_array_equal(out[1][2], out[4][2])
+    np.testing.assert_array_equal(
+        np.where(out[1][2], out[1][0], 0.0),
+        np.where(out[4][2], out[4][0], 0.0))
+    np.testing.assert_array_equal(out[1][1], out[4][1])
