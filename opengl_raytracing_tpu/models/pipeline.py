@@ -165,16 +165,46 @@ def primary_rays(height: int, width: int, fin: FrameInputs,
 # reshape/transpose (no gathers — those measured ~10x the gated trace,
 # PERF.md r2); per-ray math is order-independent, so results are exact.
 TILE_H, TILE_W = 8, 16  # TILE_H*TILE_W == ops.bvh_mxu.TILE_RAYS
-_SWIZZLE = os.environ.get("ORT_SWIZZLE", "1") == "1"
+# ORT_SWIZZLE: "1" always, "0" never, "auto" (default) per scene — see
+# _swizzle_for_scene.  True/False/None mirrors that tri-state so tests
+# can monkeypatch the resolved value directly.
+_SWIZZLE_ENV = os.environ.get("ORT_SWIZZLE", "auto")
+_SWIZZLE = (_SWIZZLE_ENV == "1") if _SWIZZLE_ENV in ("0", "1") else None
 
 
-def _swizzle_pads(h: int, w: int):
+def _swizzle_for_scene(scene) -> bool:
+    """Scene-adaptive swizzle default.
+
+    The block order only pays through the BVH interval cull, and only
+    when there is enough geometry for coherence to matter.  Measured on
+    hardware (r3b, PERF.md): the 81,920-tri multi-page scene runs
+    1.5-1.7x FASTER swizzled (cf_close 553 vs 931 ms, cf_far 57.5 vs
+    86.9), but the single-page bunny runs ~17% faster UNswizzled
+    (26.4 vs 31.2 ms) and the analytic scenes — no BVH, so the swizzle
+    is pure reshuffle cost — run up to 3x faster unswizzled
+    (an_baseline 12.6 vs 36.4 ms).  Auto: swizzle only multi-page BVH
+    scenes.  ORT_SWIZZLE=0/1 forces either way."""
+    if _SWIZZLE is not None:
+        return _SWIZZLE
+    bvh = getattr(scene, "bvh", None)
+    if bvh is None:
+        return False
+    return len(bvh.mxu) > 1
+
+
+def _swizzle_pads(h: int, w: int, enabled=None):
     """(pad_h, pad_w) duplicated edge rows/cols that make the grid
     divisible by the 8x16 tile, or None when the swizzle is disabled.
     Non-divisible grids (e.g. the 135-row shard bands of a 1080p 8-way
     split) trace <1% duplicate edge rays instead of losing the compact
-    2D tiles entirely; the duplicates are cropped after unswizzle."""
-    if not _SWIZZLE:
+    2D tiles entirely; the duplicates are cropped after unswizzle.
+
+    `enabled=None` (scene-less callers: audits, ablations) resolves the
+    env knob only, treating auto as on — the historical kernel-order
+    path those scripts price."""
+    if enabled is None:
+        enabled = _SWIZZLE is not False
+    if not enabled:
         return None
     return (-h) % TILE_H, (-w) % TILE_W
 
@@ -241,8 +271,12 @@ def _analytic_gate_frac() -> float:
     frac*T tiles, shades those, and scatters back; a lax.cond falls back
     to the dense form when more tiles qualify (exactness never depends
     on the capacity).  Per-lane math is identical, so gated == dense
-    bit-for-bit (test_analytic_tile_gate)."""
-    return float(os.environ.get("ORT_ANALYTIC_GATE_FRAC", "0") or "0")
+    bit-for-bit (test_analytic_tile_gate).
+
+    Default 0.15 from the r3b hardware sweep (PERF.md): an_baseline
+    37.2 -> 18.7 ms and an_full 422 -> 202 ms, checksum-identical; 0.25
+    and 0.4 were no better on the full scene.  0 disables."""
+    return float(os.environ.get("ORT_ANALYTIC_GATE_FRAC", "0.15") or "0")
 
 
 _TILE = TILE_H * TILE_W  # lanes per kernel tile (== bvh_mxu.TILE_RAYS)
@@ -445,7 +479,7 @@ def trace_and_shade(scene: SceneCtx, params: RenderParams, fin: FrameInputs,
     padded and swizzled as before.
     """
     grid_h, grid_w = px.shape
-    pads = _swizzle_pads(grid_h, grid_w)
+    pads = _swizzle_pads(grid_h, grid_w, enabled=_swizzle_for_scene(scene))
     sw = pads is not None
     if sw:
         # trace + shade the whole stream in 8x16-block order; only the

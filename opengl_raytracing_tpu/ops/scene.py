@@ -57,11 +57,18 @@ def _tpu() -> bool:
     return jax.default_backend() == "tpu"
 
 
-# Auto ordered-primary threshold: the close-up regime (where the ordered
-# walk measured 1.84x) starts when the camera is within this many scene
-# radii of the AABB; beyond it the unordered walk's cheaper scalar loop
-# wins by a few % (PERF.md close/far table).
-ORDERED_AUTO_FACTOR = 1.5
+# Auto ordered-primary threshold: ordered when the camera is within this
+# many scene radii of the AABB.  The r2 kernel-level A/B had the ordered
+# walk 1.84x ahead close-up, but the full r3b camera-distance sweep
+# (scripts/ordered_sweep.py, 81,920 tris, paired same-session) has the
+# UNordered walk ~2x faster at EVERY distance once the multi-page
+# shared-origin path and the 8x16 swizzle are in play (d0: 315 vs 590 ms
+# ... d5: 43 vs 87 ms, checksum-identical) — the grouped scalar ordered
+# loop cannot amortize like the GROUP-fused unordered matmuls
+# (ORT_ORDERED_GROUP=4/8/16 measured it slower still, PERF.md).  Auto
+# therefore never picks ordered; the walk stays available via
+# ordered_primary=1 for cases the sweep didn't cover.
+ORDERED_AUTO_FACTOR = 0.0
 
 
 def resolve_ordered_primary(flag: int, cam_pos, aabb) -> int:

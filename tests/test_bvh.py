@@ -106,20 +106,29 @@ def test_empty_bvh_returns_no_hits():
 
 
 def test_resolve_ordered_primary_auto():
-    """Auto mode (2) flips the ordered front-to-back walk on only when
-    the camera is within ORDERED_AUTO_FACTOR scene radii of the AABB;
-    explicit 0/1 pass through; no BVH -> unordered."""
-    from opengl_raytracing_tpu.ops.scene import (resolve_ordered_primary,
-                                                 ORDERED_AUTO_FACTOR)
+    """Auto mode (2) applies the ORDERED_AUTO_FACTOR camera-distance
+    threshold (0.0 since the r3b sweep: unordered wins at every measured
+    distance, so auto never picks ordered); explicit 0/1 pass through;
+    no BVH -> unordered."""
+    from opengl_raytracing_tpu.ops import scene as sc
     aabb = (np.array([-1.0, 0.0, -1.0]), np.array([1.0, 2.0, 1.0]))
     radius = 0.5 * float(np.linalg.norm(aabb[1] - aabb[0]))
     inside = (0.0, 1.0, 0.0)
     near = (0.0, 1.0, 1.0 + 0.5 * radius)
-    far = (0.0, 1.0, 1.0 + 2.0 * ORDERED_AUTO_FACTOR * radius)
-    assert resolve_ordered_primary(2, inside, aabb) == 1
-    assert resolve_ordered_primary(2, near, aabb) == 1
-    assert resolve_ordered_primary(2, far, aabb) == 0
-    assert resolve_ordered_primary(2, far, None) == 0
+    far = (0.0, 1.0, 1.0 + 10.0 * radius)
+    # production default: auto == never ordered (measured, PERF.md r3b)
+    assert sc.ORDERED_AUTO_FACTOR == 0.0
+    for pos in (inside, near, far):
+        assert sc.resolve_ordered_primary(2, pos, aabb) == 0
+    assert sc.resolve_ordered_primary(2, far, None) == 0
+    # the threshold math itself (a future sweep may re-raise the factor)
+    try:
+        sc.ORDERED_AUTO_FACTOR = 1.5
+        assert sc.resolve_ordered_primary(2, inside, aabb) == 1
+        assert sc.resolve_ordered_primary(2, near, aabb) == 1
+        assert sc.resolve_ordered_primary(2, far, aabb) == 0
+    finally:
+        sc.ORDERED_AUTO_FACTOR = 0.0
     for flag in (0, 1):
         for pos in (inside, far):
-            assert resolve_ordered_primary(flag, pos, aabb) == flag
+            assert sc.resolve_ordered_primary(flag, pos, aabb) == flag

@@ -165,15 +165,14 @@ def test_analytic_tile_gate_bit_identical(monkeypatch):
     fin = make_inputs()
 
     def frame(frac):
-        if frac is None:
-            monkeypatch.delenv("ORT_ANALYTIC_GATE_FRAC", raising=False)
-        else:
-            monkeypatch.setenv("ORT_ANALYTIC_GATE_FRAC", str(frac))
+        # "0" pins the dense form explicitly (the production default is
+        # now 0.15, measured r3b — delenv would no longer mean dense)
+        monkeypatch.setenv("ORT_ANALYTIC_GATE_FRAC", str(frac))
         state = RenderState.create(H, W)
         _, out = render_frame(params, fin, state, height=H, width=W)
         return np.asarray(out.image)
 
-    dense = frame(None)
+    dense = frame(0)
     gated = frame(0.5)
     tiny = frame(1e-6)  # K=1 < occupied tiles -> runtime dense fallback
     np.testing.assert_allclose(gated, dense, rtol=0, atol=2.4e-7)
