@@ -60,7 +60,7 @@ def child(key: str) -> None:
     from opengl_raytracing_tpu.models import pipeline as pl
     from opengl_raytracing_tpu.models.pipeline import (
         RenderState, primary_rays, primary_dirs, swizzled_pixel_centers,
-        _swizzle_pads, unswizzle)
+        _swizzle_pads, _swizzle_for_scene, unswizzle)
     from opengl_raytracing_tpu.ops.scene import SceneCtx
     from opengl_raytracing_tpu.ops import lighting as lt
     from opengl_raytracing_tpu.ops.taa import resolve_taa
@@ -69,7 +69,12 @@ def child(key: str) -> None:
     from opengl_raytracing_tpu.ops.vecmath import normalize
 
     params, bvh, fin, state = _setup()
-    pads = _swizzle_pads(H, W)
+    # resolve the swizzle exactly as trace_and_shade does for THIS scene
+    # (auto: off for the 1-page bunny) so the ablation prices the
+    # production kernel order, not the historical always-on one
+    _scene0 = SceneCtx.create(params, fin.cam_pos, env_map=None,
+                              use_bvh=True, bvh=bvh)
+    pads = _swizzle_pads(H, W, enabled=_swizzle_for_scene(_scene0))
 
     def prefix(i, upto: str):
         """One iteration of the pipeline prefix; returns a scalar.
