@@ -327,6 +327,73 @@ def _tile_gated_shade(fn, lane_mask, h: Hit, vdir, px, py, frac: float):
     return jax.lax.cond(count <= k, compact, dense, None)
 
 
+def _bvh_gate_frac() -> float:
+    """ORT_BVH_GATE_FRAC: tile-capacity fraction for the BVH hit-shading
+    gate (0 disables).
+
+    The r3f stage ablation (PERF.md) split the 21 ms baseline bunny
+    frame as: primary trace 6.2, shading math + shadow-wavefront
+    construction + cull pre-pass 5.3, shadow any-hit kernel 7.45 ms.
+    The shadow KERNEL already skips all-sky subtiles, but the XLA-side
+    shading math and the 6-batch wavefront/cull construction run over
+    every lane while the mesh covers a small fraction of the screen.
+    This gate compacts whole 128-lane tiles that contain any primary
+    hit — the same machinery as the analytic glass/mirror gate
+    (_tile_gated_shade) — so _shade_bvh (direct light + GI + AO
+    wavefronts included) sees only occupied tiles.  Per-lane math is
+    identical; the scattered-back garbage on unoccupied tiles is
+    discarded by the sky select (those lanes have hit_mask False by
+    construction).  A lax.cond falls back to the dense form when more
+    tiles than the capacity qualify, so exactness never depends on the
+    fraction."""
+    return float(os.environ.get("ORT_BVH_GATE_FRAC", "0") or "0")
+
+
+def _tile_gated_shade_bvh(scene: SceneCtx, h: Hit, seeds, frame_index,
+                          vdir, px, py, active, ao, frac: float):
+    """_shade_bvh on the 128-lane tiles where `active` has any lane set.
+
+    Inputs are flat tile-aligned streams ([..., N] with N % 128 == 0;
+    leading SPP axes pass through).  See _tile_gated_shade for the
+    gather/scatter structure; this variant also gathers the `active`
+    mask and the hoisted `ao` plane into the compacted stream."""
+    n = px.shape[-1]
+    t = n // _TILE
+    k = max(1, min(t, int(round(frac * t))))
+
+    lane = active
+    while lane.ndim > 1:
+        lane = lane.any(axis=0)
+    tile_sel = lane.reshape(t, _TILE).any(axis=1)
+    count = jnp.sum(tile_sel.astype(jnp.int32))
+    idx = jnp.argsort(~tile_sel, stable=True)[:k]
+
+    def gtile(x, vec=False):
+        ax = x.ndim - (2 if vec else 1)
+        xr = x.reshape(x.shape[:ax] + (t, _TILE) + x.shape[ax + 1:])
+        g = jnp.take(xr, idx, axis=ax)
+        return g.reshape(x.shape[:ax] + (k * _TILE,) + x.shape[ax + 1:])
+
+    def compact(_):
+        h_c = Hit(gtile(h.t), gtile(h.p, True), gtile(h.n, True),
+                  gtile(h.mat))
+        out_c = _shade_bvh(scene, h_c, seeds, frame_index,
+                           gtile(vdir, True), gtile(px), gtile(py),
+                           active=gtile(active),
+                           ao=None if ao is None else gtile(ao))
+        ax = out_c.ndim - 2
+        outr = out_c.reshape(out_c.shape[:ax] + (k, _TILE, 3))
+        full = jnp.zeros(out_c.shape[:ax] + (t, _TILE, 3), out_c.dtype)
+        full = full.at[..., idx, :, :].set(outr)
+        return full.reshape(out_c.shape[:ax] + (t * _TILE, 3))
+
+    def dense(_):
+        return _shade_bvh(scene, h, seeds, frame_index, vdir, px, py,
+                          active=active, ao=ao)
+
+    return jax.lax.cond(count <= k, compact, dense, None)
+
+
 def _sanitize_hit(h: Hit, ro, rd) -> Hit:
     """Clamp miss lanes to finite values so masked shading math stays
     NaN-free (misses are overwritten by the sky select at the end)."""
@@ -559,8 +626,40 @@ def trace_and_shade(scene: SceneCtx, params: RenderParams, fin: FrameInputs,
         mask_b = bshape(hit_mask)
 
     if use_bvh:
-        shaded = _shade_bvh(scene, h_b, seeds, frame_index, vdir_b,
-                            px_b, py_b, active=mask_b, ao=ao)
+        gate = _bvh_gate_frac()
+        n_px = grid_h * grid_w if not sw else px.shape[-1]
+        if gate > 0.0 and n_px % _TILE == 0:
+            # Flatten [.., H, W] pixel grids to the tile-aligned stream
+            # the gate needs (row-major: each tile = 128 consecutive
+            # pixels of one row); the swizzled stream is already flat.
+            if sw:
+                def flat(x, vec=False):
+                    return x
+
+                def unflat(x):
+                    return x
+                seeds_f = seeds
+            else:
+                def flat(x, vec=False):
+                    ax = x.ndim - (3 if vec else 2)
+                    return x.reshape(x.shape[:ax] + (grid_h * grid_w,)
+                                     + x.shape[ax + 2:])
+
+                def unflat(x):
+                    ax = x.ndim - 2  # [..., N, 3]
+                    return x.reshape(x.shape[:ax] + (grid_h, grid_w)
+                                     + x.shape[ax + 1:])
+                seeds_f = (seeds if spp == 1
+                           else seeds.reshape(spp, 1))
+            h_f = Hit(flat(h_b.t), flat(h_b.p, True), flat(h_b.n, True),
+                      flat(h_b.mat))
+            shaded = unflat(_tile_gated_shade_bvh(
+                scene, h_f, seeds_f, frame_index, flat(vdir_b, True),
+                flat(px_b), flat(py_b), flat(mask_b),
+                None if ao is None else flat(ao), gate))
+        else:
+            shaded = _shade_bvh(scene, h_b, seeds, frame_index, vdir_b,
+                                px_b, py_b, active=mask_b, ao=ao)
     else:
         shaded = _shade_analytic(scene, h_b, seeds, frame_index, vdir_b,
                                  px_b, py_b, ao=ao)

@@ -78,6 +78,40 @@ def test_bvh_frame_smoke():
     assert np.asarray(out.gnrm).any()
 
 
+def test_bvh_tile_gate_bit_identical(monkeypatch):
+    """ORT_BVH_GATE_FRAC compacts hit-tile shading (direct light + GI +
+    AO wavefronts) the way the analytic gate compacts glass/mirror; the
+    frame must match the dense form in the compact branch, the count>K
+    dense fallback, AND with an SPP batch axis (the hoisted-AO path).
+
+    Tolerance as test_analytic_tile_gate_bit_identical but wider: the
+    lax.cond branches fuse separately, a handful of lanes flip last-bit
+    roundings, and the SVGF 7x7 filter mixes a flipped lane into its
+    neighbors (observed 2/9216 lanes at 3.6e-7)."""
+    mesh = make_bunny(2)
+    tris = gather_triangles(mesh, model_transform((-2, 1.5, 0), 0.5))
+    arrs = prepare_bvh(tris)
+    fin = make_inputs()
+
+    def frame(frac, spp=1):
+        monkeypatch.setenv("ORT_BVH_GATE_FRAC", str(frac))
+        params = preset("full").replace(spp_per_frame=spp)
+        state = RenderState.create(H, W)
+        _, out = render_frame(params, fin, state, bvh=arrs,
+                              height=H, width=W, use_bvh=True)
+        return np.asarray(out.image)
+
+    dense = frame(0)
+    gated = frame(0.6)
+    tiny = frame(1e-6)  # K=1 < occupied tiles -> runtime dense fallback
+    np.testing.assert_allclose(gated, dense, rtol=0, atol=6e-7)
+    np.testing.assert_allclose(tiny, dense, rtol=0, atol=6e-7)
+
+    dense2 = frame(0, spp=2)
+    gated2 = frame(0.6, spp=2)
+    np.testing.assert_allclose(gated2, dense2, rtol=0, atol=6e-7)
+
+
 def test_motion_debug_mode():
     params = preset("full")
     state = RenderState.create(H, W)
