@@ -345,8 +345,12 @@ def _bvh_gate_frac() -> float:
     discarded by the sky select (those lanes have hit_mask False by
     construction).  A lax.cond falls back to the dense form when more
     tiles than the capacity qualify, so exactness never depends on the
-    fraction."""
-    return float(os.environ.get("ORT_BVH_GATE_FRAC", "0") or "0")
+    fraction.
+
+    Default 0.1 from the r3g hardware sweep (PERF.md): baseline bunny
+    25.98 -> 20.17 ms and full 56.93 -> 50.52 ms at 1080p,
+    checksum-identical; 0.2/0.3 measured worse than 0.1.  0 disables."""
+    return float(os.environ.get("ORT_BVH_GATE_FRAC", "0.1") or "0")
 
 
 def _tile_gated_shade_bvh(scene: SceneCtx, h: Hit, seeds, frame_index,
@@ -392,6 +396,56 @@ def _tile_gated_shade_bvh(scene: SceneCtx, h: Hit, seeds, frame_index,
                           active=active, ao=ao)
 
     return jax.lax.cond(count <= k, compact, dense, None)
+
+
+def shade_bvh_auto(scene: SceneCtx, h_b: Hit, seeds, frame_index, vdir_b,
+                   px_b, py_b, mask_b, ao=None, *, spp: int = 1):
+    """_shade_bvh through the tile-occupancy gate when enabled.
+
+    The PRODUCTION shading dispatch: when ORT_BVH_GATE_FRAC > 0 and the
+    pixel stream is tile-aligned, [.., H, W] grids flatten to the
+    row-major tile stream, _tile_gated_shade_bvh compacts the shading to
+    occupied tiles, and results reshape back; otherwise the dense
+    _shade_bvh runs.  `px_b` is either a flat swizzled stream
+    ([..., N]) or an [..., H, W] grid.  Used by trace_and_shade and by
+    scripts/ablate.py (so the ablation prices this exact path)."""
+    gate = _bvh_gate_frac()
+    sw = px_b.ndim - (0 if spp == 1 else 1) == 1
+    if sw:
+        n_px = px_b.shape[-1]
+    else:
+        grid_h, grid_w = px_b.shape[-2:]
+        n_px = grid_h * grid_w
+    if not (gate > 0.0 and n_px % _TILE == 0):
+        return _shade_bvh(scene, h_b, seeds, frame_index, vdir_b,
+                          px_b, py_b, active=mask_b, ao=ao)
+    # Flatten [.., H, W] pixel grids to the tile-aligned stream the gate
+    # needs (row-major: each tile = 128 consecutive pixels of one row);
+    # the swizzled stream is already flat.
+    if sw:
+        def flat(x, vec=False):
+            return x
+
+        def unflat(x):
+            return x
+        seeds_f = seeds
+    else:
+        def flat(x, vec=False):
+            ax = x.ndim - (3 if vec else 2)
+            return x.reshape(x.shape[:ax] + (grid_h * grid_w,)
+                             + x.shape[ax + 2:])
+
+        def unflat(x):
+            ax = x.ndim - 2  # [..., N, 3]
+            return x.reshape(x.shape[:ax] + (grid_h, grid_w)
+                             + x.shape[ax + 1:])
+        seeds_f = (seeds if spp == 1 else seeds.reshape(spp, 1))
+    h_f = Hit(flat(h_b.t), flat(h_b.p, True), flat(h_b.n, True),
+              flat(h_b.mat))
+    return unflat(_tile_gated_shade_bvh(
+        scene, h_f, seeds_f, frame_index, flat(vdir_b, True),
+        flat(px_b), flat(py_b), flat(mask_b),
+        None if ao is None else flat(ao), gate))
 
 
 def _sanitize_hit(h: Hit, ro, rd) -> Hit:
@@ -626,40 +680,8 @@ def trace_and_shade(scene: SceneCtx, params: RenderParams, fin: FrameInputs,
         mask_b = bshape(hit_mask)
 
     if use_bvh:
-        gate = _bvh_gate_frac()
-        n_px = grid_h * grid_w if not sw else px.shape[-1]
-        if gate > 0.0 and n_px % _TILE == 0:
-            # Flatten [.., H, W] pixel grids to the tile-aligned stream
-            # the gate needs (row-major: each tile = 128 consecutive
-            # pixels of one row); the swizzled stream is already flat.
-            if sw:
-                def flat(x, vec=False):
-                    return x
-
-                def unflat(x):
-                    return x
-                seeds_f = seeds
-            else:
-                def flat(x, vec=False):
-                    ax = x.ndim - (3 if vec else 2)
-                    return x.reshape(x.shape[:ax] + (grid_h * grid_w,)
-                                     + x.shape[ax + 2:])
-
-                def unflat(x):
-                    ax = x.ndim - 2  # [..., N, 3]
-                    return x.reshape(x.shape[:ax] + (grid_h, grid_w)
-                                     + x.shape[ax + 1:])
-                seeds_f = (seeds if spp == 1
-                           else seeds.reshape(spp, 1))
-            h_f = Hit(flat(h_b.t), flat(h_b.p, True), flat(h_b.n, True),
-                      flat(h_b.mat))
-            shaded = unflat(_tile_gated_shade_bvh(
-                scene, h_f, seeds_f, frame_index, flat(vdir_b, True),
-                flat(px_b), flat(py_b), flat(mask_b),
-                None if ao is None else flat(ao), gate))
-        else:
-            shaded = _shade_bvh(scene, h_b, seeds, frame_index, vdir_b,
-                                px_b, py_b, active=mask_b, ao=ao)
+        shaded = shade_bvh_auto(scene, h_b, seeds, frame_index, vdir_b,
+                                px_b, py_b, mask_b, ao, spp=spp)
     else:
         shaded = _shade_analytic(scene, h_b, seeds, frame_index, vdir_b,
                                  px_b, py_b, ao=ao)

@@ -117,8 +117,8 @@ def child(key: str) -> None:
                 active=jnp.zeros_like(hit_mask))
             return jnp.sum(jnp.where(hit_mask[..., None], shaded,
                                      sky_radiance))
-        shaded = pl._shade_bvh(scene, h, seeds, jnp.int32(i), -rd, px, py,
-                               active=hit_mask)
+        shaded = pl.shade_bvh_auto(scene, h, seeds, jnp.int32(i), -rd,
+                                   px, py, hit_mask)
         curr = jnp.where(hit_mask[..., None], shaded, sky_radiance)
         if upto == "shade":
             return jnp.sum(curr)
