@@ -2,9 +2,18 @@
 
 The jnp version (ops/svgf.py) expresses the 7x7 variance-guided filter as
 49 shifted slices and leans on XLA fusion; this kernel fuses the whole
-stencil explicitly: per 8-row output band it DMAs one (12-plane) halo
+stencil explicitly: per BH-row output band it DMAs one (12-plane) halo
 slab HBM->VMEM and evaluates all 49 taps from VMEM, reading each input
 pixel once per band instead of once per tap.
+
+r3 restructure (this file): the original BH=8 bands re-read a 24-row
+slab for every 8 output rows (3x input overread, 318 MB/frame at 1080p)
+and issued each slab DMA synchronously before compute.  Bands are now
+BH=32 by default (48-row slab per 32 output rows, 1.5x) and the slab
+for band b+1 prefetches while band b computes (two slab buffers, the
+standard cross-grid-step double buffer).  `ORT_SVGF_BH` / `ORT_SVGF_DB`
+expose both choices for on-device A/B; the band height halves
+automatically until the slab buffers fit in VMEM.
 
 Same math as reference: shaders/rt/rt_present.frag:126-225 (see
 ops/svgf.py for the annotated weight formulas); boundary taps get zero
@@ -14,6 +23,7 @@ weight exactly like the GLSL `continue`.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -26,34 +36,68 @@ from .vecmath import smoothstep
 
 PAD = 3          # stencil radius
 ROWPAD = 8       # row halo in the plane stack (8-aligned for DMA slicing)
-BH = 8           # output rows per grid step
 K_NRM = 2.0      # rt_present.frag:160
 K_POS = 0.02     # rt_present.frag:161
 NPLANES = 12     # r g b m2 motx moty px py pz nx ny nz
+VMEM_BUDGET = 12 * 2 ** 20   # slab-buffer budget (leave room for outputs)
 
 
 def _use_interpret() -> bool:
     return jax.default_backend() != "tpu"
 
 
-def _kernel(par_ref, planes_ref, out_ref, slab, sem, *, h: int, w: int):
+def _band_config(wp: int):
+    """(band height, slab buffer count) honoring knobs + VMEM budget.
+
+    ORT_SVGF_BH: output rows per grid step (default 32; 8 restores the
+    r2 kernel's banding).  ORT_SVGF_DB=0 disables the slab prefetch
+    double buffer.  BH halves (min 8) until nbuf slabs fit the budget —
+    at 1080p the defaults use 2 x 4.7 MB."""
+    bh = int(os.environ.get("ORT_SVGF_BH", "32") or "32")
+    bh = max(8, (bh // 8) * 8)
+    nbuf = 1 if os.environ.get("ORT_SVGF_DB", "1") in ("0", "") else 2
+    while bh > 8 and nbuf * NPLANES * (bh + 2 * ROWPAD) * wp * 4 > VMEM_BUDGET:
+        bh //= 2
+    return bh, nbuf
+
+
+def _kernel(par_ref, planes_ref, out_ref, slab, sem, *, h: int, w: int,
+            bh: int, nbuf: int):
     b = pl.program_id(0)
+    nb = pl.num_programs(0)
     var_max, k_var0, k_color0, k_var_m, k_color_m = (
         par_ref[0, 0], par_ref[0, 1], par_ref[0, 2], par_ref[0, 3],
         par_ref[0, 4])
 
-    # slab rows [b*BH, b*BH + BH + 2*ROWPAD) of the padded plane stack —
+    # slab rows [i*bh, i*bh + bh + 2*ROWPAD) of the padded plane stack —
     # 8-aligned offset and height as Mosaic requires for HBM slices.
-    cp = pltpu.make_async_copy(
-        planes_ref.at[:, pl.ds(b * BH, BH + 2 * ROWPAD), :], slab, sem)
-    cp.start()
-    cp.wait()
+    def slab_copy(i, slot):
+        return pltpu.make_async_copy(
+            planes_ref.at[:, pl.ds(i * bh, bh + 2 * ROWPAD), :],
+            slab.at[slot], sem.at[slot])
+
+    cur = jax.lax.rem(b, nbuf)
+    if nbuf > 1:
+        # prefetch pipeline: band 0 warms up its own slab, then every
+        # band starts band b+1's copy into the other buffer before
+        # waiting on its own (scratch persists across grid steps).
+        @pl.when(b == 0)
+        def _():
+            slab_copy(0, 0).start()
+
+        @pl.when(b + 1 < nb)
+        def _():
+            slab_copy(b + 1, jax.lax.rem(b + 1, nbuf)).start()
+    else:
+        slab_copy(b, cur).start()
+    slab_copy(b, cur).wait()
+    sl = slab.at[cur]
 
     def center(k):
-        return slab[k, ROWPAD:ROWPAD + BH, PAD:PAD + w]
+        return sl[k, ROWPAD:ROWPAD + bh, PAD:PAD + w]
 
     def tap(k, dy, dx):
-        return slab[k, ROWPAD + dy:ROWPAD + dy + BH, PAD + dx:PAD + dx + w]
+        return sl[k, ROWPAD + dy:ROWPAD + dy + bh, PAD + dx:PAD + dx + w]
 
     cr, cg, cb = center(0), center(1), center(2)
     m2 = center(3)
@@ -72,14 +116,14 @@ def _kernel(par_ref, planes_ref, out_ref, slab, sem, *, h: int, w: int):
     nxc, nyc, nzc = center(9), center(10), center(11)
 
     # validity coordinates
-    row = (jax.lax.broadcasted_iota(jnp.int32, (BH, w), 0)
-           + b * BH)
-    col = jax.lax.broadcasted_iota(jnp.int32, (BH, w), 1)
+    row = (jax.lax.broadcasted_iota(jnp.int32, (bh, w), 0)
+           + b * bh)
+    col = jax.lax.broadcasted_iota(jnp.int32, (bh, w), 1)
 
-    acc_r = jnp.zeros((BH, w), jnp.float32)
-    acc_g = jnp.zeros((BH, w), jnp.float32)
-    acc_b = jnp.zeros((BH, w), jnp.float32)
-    acc_w = jnp.zeros((BH, w), jnp.float32)
+    acc_r = jnp.zeros((bh, w), jnp.float32)
+    acc_g = jnp.zeros((bh, w), jnp.float32)
+    acc_b = jnp.zeros((bh, w), jnp.float32)
+    acc_w = jnp.zeros((bh, w), jnp.float32)
 
     # tap-invariant factors hoisted; the three per-tap gaussians fuse
     # into ONE exp (exp(a)exp(b)exp(c) == exp(a+b+c)): 49 exps/pixel
@@ -124,8 +168,9 @@ def _kernel(par_ref, planes_ref, out_ref, slab, sem, *, h: int, w: int):
 def svgf_filter_pallas(accum, motion, gpos, gnrm, params: RenderParams):
     """Drop-in replacement for ops.svgf.svgf_filter (same outputs)."""
     h, w = accum.shape[0], accum.shape[1]
-    hb = -(-h // BH) * BH                      # rows padded to band multiple
     wp = -(-(w + 2 * PAD) // 128) * 128        # lanes padded to 128
+    bh, nbuf = _band_config(wp)
+    hb = -(-h // bh) * bh                      # rows padded to band multiple
 
     # normals normalized once here so the kernel's 49 taps skip rsqrt
     n_inv = jax.lax.rsqrt(
@@ -151,20 +196,20 @@ def svgf_filter_pallas(accum, motion, gpos, gnrm, params: RenderParams):
         jnp.zeros((), jnp.float32), jnp.zeros((), jnp.float32),
         jnp.zeros((), jnp.float32)]).reshape(1, 8)
 
-    kern = functools.partial(_kernel, h=h, w=w)
+    kern = functools.partial(_kernel, h=h, w=w, bh=bh, nbuf=nbuf)
     out = pl.pallas_call(
         kern,
-        grid=(hb // BH,),
+        grid=(hb // bh,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.VMEM),   # params (1,8)
             pl.BlockSpec(memory_space=pl.ANY),       # planes stay in HBM
         ],
-        out_specs=pl.BlockSpec((3, BH, w), lambda b: (0, b, 0),
+        out_specs=pl.BlockSpec((3, bh, w), lambda b: (0, b, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((3, hb, w), jnp.float32),
         scratch_shapes=[
-            pltpu.VMEM((NPLANES, BH + 2 * ROWPAD, wp), jnp.float32),
-            pltpu.SemaphoreType.DMA,
+            pltpu.VMEM((nbuf, NPLANES, bh + 2 * ROWPAD, wp), jnp.float32),
+            pltpu.SemaphoreType.DMA((nbuf,)),
         ],
         interpret=_use_interpret(),
     )(par, planes)
