@@ -36,4 +36,17 @@ done
 BENCH_SKIP_PROBE=1 BENCH_CASES=heavy BENCH_FRAMES=4 BENCH_BUDGET=700 \
   timeout 800 python bench.py 2>&1 | tee -a /tmp/r3h_svgf.log
 
+# kernel grid-block size sweep: SUBTILES trades per-block sparse-plan
+# granularity against grid-step count; never swept on silicon
+for st in 8 16 32 64; do
+  BENCH_SKIP_PROBE=1 BENCH_CASES=baseline BENCH_FRAMES=4 BENCH_BUDGET=500 \
+    ORT_SUBTILES=$st timeout 600 python bench.py 2>&1 \
+    | sed "s/^{/{\"subtiles\": \"$st\", /" | tee -a /tmp/r3h_subtiles.log
+done
+
+# stage ablation at the r3g defaults (gate 0.1): the r3f table predates
+# the gate, so the current frame's stage split is unknown
+ABLATE_REPS=16 timeout 1500 python scripts/ablate.py 2>&1 \
+  | tee /tmp/r3h_ablate.log
+
 echo DONE
