@@ -112,6 +112,18 @@ SMEM_ORIGIN = os.environ.get("ORT_SMEM_ORIGIN", "1") == "1"
 SHARED_SHADOW_ORIGIN = os.environ.get(
     "ORT_SHARED_SHADOW_ORIGIN", "1") == "1"
 
+# Deferred normal extraction: the closest-hit kernel returns (t, winning
+# triangle index) instead of (t, nx, ny, nz), dropping the per-chunk
+# one-hot normal extraction (a [128,128] where + three masked
+# multiply-reduces per merge — ~1/3 of the VPU epilogue) and the whole
+# norms_ref VMEM stream; the normal is fetched afterwards by ONE flat
+# XLA row-gather over the per-page normal planes (~the TAA-history
+# gather form, measured ~1.2 ms per 2M indices at 1080p).  The winning
+# triangle and its stored normal are selected by identical logic, so the
+# result is bit-identical to the in-kernel form.  ORT_DEFER_NORMAL=1
+# enables (hardware A/B pending; flip the default if it wins).
+DEFER_NORMAL = os.environ.get("ORT_DEFER_NORMAL", "0") == "1"
+
 
 def _origin_rows(origin):
     """[8,128] f32 whose rows 0..2 broadcast the shared origin (rows
@@ -451,26 +463,40 @@ def _epilogue_inputs(out_uv, out_dt, eps):
 def _closest_kernel(ids_ref, perm_ref, gate_ref, gorder_ref, gbound_ref,
                     meta_ref, *refs,
                     eps: float, subtiles: int, ordered: bool,
-                    shared_o: bool = False):
+                    shared_o: bool = False, defer: bool = False):
+    i = 0
     if shared_o:
         # planes carry only directions; the origin rides a tiny [8,128]
         # broadcast-constant input (rows 0..2)
         plane_refs = refs[0:3]
         orow_ref = refs[3]
-        cuv_ref, cdt_ref, norms_ref = refs[4:7]
-        t_ref, nx_ref, ny_ref, nz_ref = refs[7:11]
+        i = 4
     else:
         plane_refs = refs[0:6]
         orow_ref = None
-        cuv_ref, cdt_ref, norms_ref = refs[6:9]
-        t_ref, nx_ref, ny_ref, nz_ref = refs[9:13]
+        i = 6
+    cuv_ref, cdt_ref = refs[i:i + 2]
+    i += 2
+    norms_ref = None
+    if not defer:
+        norms_ref = refs[i]
+        i += 1
+    if defer:
+        t_ref, it_ref = refs[i:i + 2]
+        nx_ref = ny_ref = nz_ref = None
+    else:
+        t_ref, nx_ref, ny_ref, nz_ref = refs[i:i + 4]
+        it_ref = None
     b = pl.program_id(0)
     # Empty-block fast path: a sky block (no candidate chunks anywhere)
     # only writes the miss pattern.
     t_ref[:, :] = jnp.full((subtiles, TILE_RAYS), INF, jnp.float32)
-    nx_ref[:, :] = jnp.zeros((subtiles, TILE_RAYS), jnp.float32)
-    ny_ref[:, :] = jnp.zeros((subtiles, TILE_RAYS), jnp.float32)
-    nz_ref[:, :] = jnp.zeros((subtiles, TILE_RAYS), jnp.float32)
+    if defer:
+        it_ref[:, :] = jnp.full((subtiles, TILE_RAYS), -1.0, jnp.float32)
+    else:
+        nx_ref[:, :] = jnp.zeros((subtiles, TILE_RAYS), jnp.float32)
+        ny_ref[:, :] = jnp.zeros((subtiles, TILE_RAYS), jnp.float32)
+        nz_ref[:, :] = jnp.zeros((subtiles, TILE_RAYS), jnp.float32)
 
     tri_f = jax.lax.broadcasted_iota(
         jnp.int32, (CHUNK, TILE_RAYS), 0).astype(jnp.float32)
@@ -483,12 +509,13 @@ def _closest_kernel(ids_ref, perm_ref, gate_ref, gorder_ref, gbound_ref,
     @pl.when(gate_ref[b] > 0)
     def _():
         # All-f32 epilogue (Mosaic mishandles packed-i1 keepdims
-        # reductions).  `out_uv`/`out_dt` are 256-row u|v / det|t blocks;
-        # `nsel` the matching [128,8] normal rows.
-        def merge_block(out_uv, out_dt, nsel, carry, ok=None):
-            t_best, nx, ny, nz = carry     # [1,128] f32
+        # reductions).  `out_uv`/`out_dt` are 256-row u|v / det|t blocks.
+        # `sel` is the per-chunk selection payload: the [128,8] normal
+        # rows (in-kernel extraction) or the chunk's first-triangle
+        # index as an f32 scalar (deferred extraction).
+        def merge_block(out_uv, out_dt, sel, carry, ok=None):
             t, acc = _epilogue_inputs(out_uv, out_dt, eps)
-            acc = acc & (t < t_best)       # [128,128] tri x ray
+            acc = acc & (t < carry[0])     # [128,128] tri x ray
             if ok is not None:
                 # ordered-group walk: this chunk's range/interval bit —
                 # a masked-out merge carries through unchanged, exactly
@@ -498,12 +525,21 @@ def _closest_kernel(ids_ref, perm_ref, gate_ref, gorder_ref, gbound_ref,
             cmin = jnp.min(tc, axis=0, keepdims=True)          # [1,128]
             win = jnp.where(tc <= cmin, tri_f + 1.0, 0.0)
             itri = jnp.max(win, axis=0, keepdims=True) - 1.0   # [1,128]
+            upd = jnp.where(cmin < carry[0], 1.0, 0.0)
+            if defer:
+                t_best, it = carry         # [1,128] f32
+                # winning tri index within the page; the one-hot normal
+                # extraction happens once per frame in XLA instead
+                it = upd * (itri + sel) + (1.0 - upd) * it
+                # exact 0/1 select (a + upd*(b-a) cancels at INF)
+                t_best = upd * cmin + (1.0 - upd) * t_best
+                return t_best, it
+            t_best, nx, ny, nz = carry     # [1,128] f32
             # one-hot row of the winning triangle per ray
             onehot = jnp.where(tri_f == itri, 1.0, 0.0)        # [128,128]
-            nx_w = jnp.sum(onehot * nsel[:, 0:1], axis=0, keepdims=True)
-            ny_w = jnp.sum(onehot * nsel[:, 1:2], axis=0, keepdims=True)
-            nz_w = jnp.sum(onehot * nsel[:, 2:3], axis=0, keepdims=True)
-            upd = jnp.where(cmin < t_best, 1.0, 0.0)
+            nx_w = jnp.sum(onehot * sel[:, 0:1], axis=0, keepdims=True)
+            ny_w = jnp.sum(onehot * sel[:, 1:2], axis=0, keepdims=True)
+            nz_w = jnp.sum(onehot * sel[:, 2:3], axis=0, keepdims=True)
             # exact 0/1 select (a + upd*(b-a) cancels at INF magnitudes)
             t_best = upd * cmin + (1.0 - upd) * t_best
             nx = upd * nx_w + (1.0 - upd) * nx
@@ -537,6 +573,12 @@ def _closest_kernel(ids_ref, perm_ref, gate_ref, gorder_ref, gbound_ref,
 
             return 0
 
+        def chunk_sel(ci):
+            """merge_block selection payload for page-chunk index ci."""
+            if defer:
+                return (ci * CHUNK).astype(jnp.float32)
+            return norms_ref[ci]
+
         def walk(s, f, lo, n, mlo, mhi):
             def chunk_work(ci, carry):
                 out_uv = jnp.dot(cuv_ref[lo + ci], f,       # [256,128]
@@ -545,11 +587,13 @@ def _closest_kernel(ids_ref, perm_ref, gate_ref, gorder_ref, gbound_ref,
                 out_dt = jnp.dot(cdt_ref[lo + ci], f,
                                  preferred_element_type=jnp.float32,
                                  precision=MT_PREC_DT)
-                return merge_block(out_uv, out_dt, norms_ref[lo + ci],
+                return merge_block(out_uv, out_dt, chunk_sel(lo + ci),
                                    carry)
 
             t0 = jnp.full((1, TILE_RAYS), INF, jnp.float32)
             z0 = jnp.zeros((1, TILE_RAYS), jnp.float32)
+            i0 = jnp.full((1, TILE_RAYS), -1.0, jnp.float32)
+            carry0 = (t0, i0) if defer else (t0, z0, z0, z0)
 
             if ordered:
                 # Global front-to-back chunk order (valid when all rays
@@ -608,7 +652,7 @@ def _closest_kernel(ids_ref, perm_ref, gate_ref, gorder_ref, gbound_ref,
                                            (k + 1) * 2 * CHUNK],
                                     out_dt[k * 2 * CHUNK:
                                            (k + 1) * 2 * CHUNK],
-                                    norms_ref[cis[k]], carry,
+                                    chunk_sel(cis[k]), carry,
                                     ok=bits[k] > 0)
                             return carry
 
@@ -641,8 +685,8 @@ def _closest_kernel(ids_ref, perm_ref, gate_ref, gorder_ref, gbound_ref,
                         j = jnp.where(t_cap <= gbound_ref[nxt], jhi, j + 1)
                         return j, carry
 
-                _, (t_best, nx, ny, nz) = jax.lax.while_loop(
-                    ord_cond, ord_body, (jlo, (t0, z0, z0, z0)))
+                _, carry_out = jax.lax.while_loop(
+                    ord_cond, ord_body, (jlo, carry0))
             else:
                 # Group walk: GROUP consecutive chunks per step — ONE
                 # [GROUP*256,16]x[16,128] matmul pair amortizes the ~450ns
@@ -664,11 +708,14 @@ def _closest_kernel(ids_ref, perm_ref, gate_ref, gorder_ref, gbound_ref,
                     out_dt = jnp.dot(cg_dt, f,
                                      preferred_element_type=jnp.float32,
                                      precision=MT_PREC_DT)
-                    ng = norms_ref[pl.ds(base, GROUP)]   # [GROUP,128,8]
+                    ng = (None if defer
+                          else norms_ref[pl.ds(base, GROUP)])  # [G,128,8]
                     for g in range(GROUP):               # static unroll
                         carry = merge_block(
                             out_uv[g * 256:(g + 1) * 256],
-                            out_dt[g * 256:(g + 1) * 256], ng[g], carry)
+                            out_dt[g * 256:(g + 1) * 256],
+                            chunk_sel(base + g) if defer else ng[g],
+                            carry)
                     return carry
 
                 def group_body(gi, carry):
@@ -678,12 +725,15 @@ def _closest_kernel(ids_ref, perm_ref, gate_ref, gorder_ref, gbound_ref,
                         bit > 0, lambda cr: group_work(gi, cr),
                         lambda cr: cr, carry)
 
-                t_best, nx, ny, nz = jax.lax.fori_loop(
-                    0, gn, group_body, (t0, z0, z0, z0))
-            t_ref[pl.ds(s, 1), :] = t_best
-            nx_ref[pl.ds(s, 1), :] = nx
-            ny_ref[pl.ds(s, 1), :] = ny
-            nz_ref[pl.ds(s, 1), :] = nz
+                carry_out = jax.lax.fori_loop(
+                    0, gn, group_body, carry0)
+            t_ref[pl.ds(s, 1), :] = carry_out[0]
+            if defer:
+                it_ref[pl.ds(s, 1), :] = carry_out[1]
+            else:
+                nx_ref[pl.ds(s, 1), :] = carry_out[1]
+                ny_ref[pl.ds(s, 1), :] = carry_out[2]
+                nz_ref[pl.ds(s, 1), :] = carry_out[3]
 
         jax.lax.fori_loop(0, subtiles, subtile_body, 0)
 
@@ -849,6 +899,23 @@ def _trace_closest_paged(pages, ro, rd, eps, shared_origin, ordered,
         o_rows = _origin_rows(shared_origin)
     else:
         planes, o_rows = _soa_planes(ro_soa, rd_soa), None
+    if DEFER_NORMAL:
+        t0, i0 = _closest_page_rows(pages[0], planes, hulls,
+                                    shared_origin, ordered, eps,
+                                    o_rows=o_rows)
+        base = pages[0].norms.shape[0] * CHUNK
+        for page in pages[1:]:
+            t1, i1 = _closest_page_rows(page, planes, hulls,
+                                        shared_origin, ordered, eps,
+                                        o_rows=o_rows)
+            closer = t1 < t0
+            t0 = jnp.where(closer, t1, t0)
+            # page-local tri index -> offset into the concatenated
+            # normal planes (page norms are CHUNK-padded, so the flat
+            # base is each page's own padded extent)
+            i0 = jnp.where(closer, i1 + float(base), i0)
+            base += page.norms.shape[0] * CHUNK
+        return _assemble_hit_defer((t0, i0), pages, ro, rd, shape, n)
     t0, x0, y0, z0 = _closest_page_rows(pages[0], planes, hulls,
                                         shared_origin, ordered, eps,
                                         o_rows=o_rows)
@@ -1164,6 +1231,8 @@ def trace_bvh_mxu(mxu: MXUBVH, ro, rd, eps: float = EPS,
         planes, o_rows = _soa_planes(ro_soa, rd_soa), None
     rows = _closest_page_rows(mxu, planes, hulls, shared_origin, ordered,
                               eps, o_rows=o_rows)
+    if DEFER_NORMAL:
+        return _assemble_hit_defer(rows, (mxu,), ro, rd, shape, n)
     return _assemble_hit(rows, ro, rd, shape, n)
 
 
@@ -1197,24 +1266,27 @@ def _closest_page_rows(mxu: MXUBVH, planes, hulls, shared_origin, ordered,
         gbound = jnp.zeros(nc, jnp.float32)
         jlo = jhi = None
 
+    defer = DEFER_NORMAL
     kern = functools.partial(_closest_kernel, eps=eps, subtiles=subtiles,
                              ordered=ordered and shared_origin is not None,
-                             shared_o=o_rows is not None)
+                             shared_o=o_rows is not None, defer=defer)
     extra = () if o_rows is None else (o_rows,)
+    full = (mxu.coef_uv, mxu.coef_dt) if defer else (
+        mxu.coef_uv, mxu.coef_dt, mxu.norms)
+    n_out = 2 if defer else 4
     ids_in, perm, gate = _sparse_plan(cn, nt, subtiles)
     vma = _union_vma(ids_in, perm, gate, gorder, gbound, *planes, *extra)
     return pl.pallas_call(
         kern,
-        grid_spec=_grid_specs(nt, 4, n_planes=len(planes),
-                              n_full_inputs=3 + len(extra),
+        grid_spec=_grid_specs(nt, n_out, n_planes=len(planes),
+                              n_full_inputs=len(full) + len(extra),
                               subtiles=subtiles),
         out_shape=[jax.ShapeDtypeStruct((nt, TILE_RAYS), jnp.float32,
-                                        vma=vma)] * 4,
+                                        vma=vma)] * n_out,
         interpret=_use_interpret(),
         compiler_params=_COMPILER_PARAMS,
     )(*_pvary_to(vma, ids_in, perm, gate, gorder, gbound,
-                 _pack_meta(cull, jlo, jhi), *planes, *extra, mxu.coef_uv,
-                 mxu.coef_dt, mxu.norms))
+                 _pack_meta(cull, jlo, jhi), *planes, *extra, *full))
 
 
 def _assemble_hit(rows, ro, rd, shape, n) -> Hit:
@@ -1225,6 +1297,32 @@ def _assemble_hit(rows, ro, rd, shape, n) -> Hit:
     nrm = jnp.stack([nx.reshape(-1)[:n].reshape(shape),
                      ny.reshape(-1)[:n].reshape(shape),
                      nz.reshape(-1)[:n].reshape(shape)], axis=-1)
+    nrm = jnp.where(hit[..., None], normalize(nrm), 0.0)
+    ro_b = jnp.broadcast_to(ro, shape + (3,))
+    rd_b = jnp.broadcast_to(rd, shape + (3,))
+    return Hit(t, ro_b + rd_b * t[..., None], nrm,
+               jnp.ones(shape, jnp.int32))
+
+
+def _assemble_hit_defer(rows, pages, ro, rd, shape, n) -> Hit:
+    """(t, tri-index) kernel rows -> Hit: the deferred normal fetch.
+
+    One flat row-gather per normal component over the concatenated
+    per-page normal planes (the fast TPU gather form — one linearized
+    index, take along axis 0).  The gathered value is the exact stored
+    normal of the winning triangle, so the result is bit-identical to
+    the in-kernel one-hot extraction."""
+    t_rows, it_rows = rows
+    t = t_rows.reshape(-1)[:n].reshape(shape)
+    hit = t < INF
+    idx = jnp.maximum(
+        it_rows.reshape(-1)[:n].reshape(shape).astype(jnp.int32), 0)
+    comps = []
+    for c in range(3):
+        planes = [p.norms[:, :, c].reshape(-1) for p in pages]
+        flat = planes[0] if len(planes) == 1 else jnp.concatenate(planes)
+        comps.append(jnp.take(flat, idx, axis=0))
+    nrm = jnp.stack(comps, axis=-1)
     nrm = jnp.where(hit[..., None], normalize(nrm), 0.0)
     ro_b = jnp.broadcast_to(ro, shape + (3,))
     rd_b = jnp.broadcast_to(rd, shape + (3,))

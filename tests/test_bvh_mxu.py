@@ -442,3 +442,53 @@ def test_ordered_group_walk_bit_matches_per_chunk(scene, monkeypatch):
         np.where(out[1][2], out[1][0], 0.0),
         np.where(out[4][2], out[4][0], 0.0))
     np.testing.assert_array_equal(out[1][1], out[4][1])
+
+
+def test_defer_normal_bit_matches_inkernel(scene, monkeypatch):
+    """ORT_DEFER_NORMAL=1 (kernel returns winning-tri indices; normals
+    fetched by one flat XLA row-gather) must be bit-identical to the
+    in-kernel one-hot extraction: the winner selection logic is shared,
+    and the gathered value is the same stored normal.  Covers unordered,
+    ordered+shared-origin (SMEM o_rows), active masking, and the
+    multi-page merge (page-base index offsets)."""
+    import opengl_raytracing_tpu.ops.bvh_mxu as bm
+    from opengl_raytracing_tpu.scene import build_bvh, make_bunny
+    mxu, _ = scene
+    rng = np.random.RandomState(7)
+    ro, rd = _rays(7)
+    origin = jnp.asarray([0.2, 1.3, 2.0], jnp.float32)
+    ro_s = jnp.broadcast_to(origin, rd.shape)
+    active = jnp.asarray(rng.rand(N_RAYS) > 0.3)
+
+    tris_b = gather_triangles(make_bunny(3),
+                              model_transform((0.0, 1.0, -3.0), 1.0))
+    bvh_b = build_bvh(tris_b)
+    old = bm.PAGE_CHUNKS
+    try:
+        bm.PAGE_CHUNKS = 4
+        paged = bm.build_mxu_paged(bvh_b)
+    finally:
+        bm.PAGE_CHUNKS = old
+
+    def runs():
+        out = [bm.trace_bvh_mxu(mxu, ro, rd),
+               bm.trace_bvh_mxu(mxu, ro_s, rd, shared_origin=origin,
+                                ordered=True),
+               bm.trace_bvh_mxu(mxu, ro, rd, active=active),
+               bm.trace_bvh_mxu_paged(paged, ro_s, rd,
+                                      shared_origin=origin)]
+        return [jax.tree.map(np.asarray, h) for h in out]
+
+    monkeypatch.setattr(bm, "DEFER_NORMAL", False)
+    jax.clear_caches()
+    want = runs()
+    monkeypatch.setattr(bm, "DEFER_NORMAL", True)
+    jax.clear_caches()
+    got = runs()
+    jax.clear_caches()
+    act = np.asarray(active)
+    for k, (a, b) in enumerate(zip(want, got)):
+        sel = act if k == 2 else slice(None)  # masked lanes are garbage
+        np.testing.assert_array_equal(a.t[sel], b.t[sel], err_msg=str(k))
+        np.testing.assert_array_equal(a.n[sel], b.n[sel], err_msg=str(k))
+        np.testing.assert_array_equal(a.p[sel], b.p[sel], err_msg=str(k))
