@@ -36,6 +36,15 @@ done
 BENCH_SKIP_PROBE=1 BENCH_CASES=heavy BENCH_FRAMES=4 BENCH_BUDGET=700 \
   timeout 800 python bench.py 2>&1 | tee -a /tmp/r3h_svgf.log
 
+# deferred-normal closest-hit A/B (commit 928940a): baseline prices the
+# epilogue cut on the bunny; close/far price it where the per-tile
+# chunk-merge count is largest (81,920-tri scene)
+for dn in 0 1; do
+  BENCH_SKIP_PROBE=1 BENCH_CASES=baseline,close,far BENCH_FRAMES=4 \
+    BENCH_BUDGET=1100 ORT_DEFER_NORMAL=$dn timeout 1200 python bench.py \
+    2>&1 | sed "s/^{/{\"defer\": \"$dn\", /" | tee -a /tmp/r3h_defer.log
+done
+
 # kernel grid-block size sweep: SUBTILES trades per-block sparse-plan
 # granularity against grid-step count; never swept on silicon
 for st in 8 16 32 64; do
