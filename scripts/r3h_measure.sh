@@ -58,4 +58,8 @@ done
 ABLATE_REPS=16 timeout 1500 python scripts/ablate.py 2>&1 \
   | tee /tmp/r3h_ablate.log
 
+# measured device ceilings (VERDICT r2 #3): MXU TFLOP/s, HBM GB/s,
+# dispatch floor + the primary trace's exact work accounting
+timeout 900 python scripts/roofline.py 2>&1 | tee /tmp/r3h_roofline.log
+
 echo DONE
