@@ -182,14 +182,21 @@ def _swizzle_for_scene(scene) -> bool:
     86.9), but the single-page bunny runs ~17% faster UNswizzled
     (26.4 vs 31.2 ms) and the analytic scenes — no BVH, so the swizzle
     is pure reshuffle cost — run up to 3x faster unswizzled
-    (an_baseline 12.6 vs 36.4 ms).  Auto: swizzle only multi-page BVH
-    scenes.  ORT_SWIZZLE=0/1 forces either way."""
+    (an_baseline 12.6 vs 36.4 ms).  Multi-sample frames flip the trade
+    back even on one page: the 4spp heavy preset measured 62.9 ms
+    swizzled vs 87.1 unswizzled in one r3g session (the jittered
+    primary batches + AO/shadow wavefronts all cull tighter in block
+    order).  Auto: swizzle multi-page BVH scenes and any BVH scene at
+    spp>1.  ORT_SWIZZLE=0/1 forces either way."""
     if _SWIZZLE is not None:
         return _SWIZZLE
     bvh = getattr(scene, "bvh", None)
     if bvh is None:
         return False
-    return len(bvh.mxu) > 1
+    if len(bvh.mxu) > 1:
+        return True
+    params = getattr(scene, "params", None)
+    return params is not None and int(params.spp_per_frame) > 1
 
 
 def _swizzle_pads(h: int, w: int, enabled=None):
@@ -346,6 +353,14 @@ def _bvh_gate_frac() -> float:
     construction).  A lax.cond falls back to the dense form when more
     tiles than the capacity qualify, so exactness never depends on the
     fraction.
+
+    Exactness caveat (BVH only): compaction regroups which lanes share
+    a kernel tile for the inner GI/shadow traces, so hulls/cull windows
+    differ and the chunk walk's strict t<t_best tie rule can resolve a
+    mesh shared-edge hit to the other coincident triangle — a 1-ulp
+    wobble on tie lanes only (same caveat as ordered-vs-unordered,
+    ops/bvh_mxu.py trace_bvh_mxu docstring).  The analytic gate has no
+    trace inside and is exactly bit-identical.
 
     Default 0.1 from the r3g hardware sweep (PERF.md): baseline bunny
     25.98 -> 20.17 ms and full 56.93 -> 50.52 ms at 1080p,
