@@ -14,6 +14,13 @@ timeout 150 python scripts/childproc.py --probe \
 # jnp stencil on the real Mosaic lowering before any timing counts
 timeout 600 python scripts/tpu_checks.py 2>&1 | tee /tmp/r3h_checks.log
 
+# realistic-preset re-run with full tracebacks: the r3g final bench saw
+# {"error": "rc=1"} here right before the worker wedged — confirm it
+# was the wedge, or capture the real crash
+JAX_TRACEBACK_FILTERING=off BENCH_SKIP_PROBE=1 BENCH_CASES=realistic \
+  BENCH_FRAMES=4 BENCH_BUDGET=600 timeout 700 python bench.py 2>&1 \
+  | tee /tmp/r3h_realistic.log
+
 # SVGF schedule A/B (4-frame chained scans, paired):
 #   old  = BH=8 single-buffer (the r2 kernel's schedule)
 #   new  = BH=32 double-buffered (committed default)
