@@ -589,8 +589,24 @@ def render_frame(params: RenderParams, fin: FrameInputs, state: RenderState,
 
     # TAA (reference: rt.frag:184-190): zero motion when camera static.
     taa_motion = jnp.where(moved, motion, jnp.zeros_like(motion))
-    accum_new = resolve_taa(curr, taa_motion, accum_to_hwc(state.accum),
+
+    # Fusion cut (identity): with the BVH hit-shading gate on, XLA fused
+    # the gate's scatter-back with the TAA gather into one loop fusion
+    # whose scoped VMEM overflowed at 1080p on TPU (35.7M vs the 16M
+    # limit; "please file a bug against XLA") — realistic preset only
+    # (SVGF off changes downstream fusion grouping; full was fine).
+    # optimization_barrier pins the stage boundary; ORT_TAA_BARRIER
+    # forces either way for A/B.
+    bar = os.environ.get("ORT_TAA_BARRIER", "")
+    if bar == "1" or (bar != "0" and use_bvh and _bvh_gate_frac() > 0):
+        curr, taa_motion, hist = jax.lax.optimization_barrier(
+            (curr, taa_motion, accum_to_hwc(state.accum)))
+    else:
+        hist = accum_to_hwc(state.accum)
+    accum_new = resolve_taa(curr, taa_motion, hist,
                             frame_index, params, moved=moved)
+    if bar == "1" or (bar != "0" and use_bvh and _bvh_gate_frac() > 0):
+        accum_new = jax.lax.optimization_barrier(accum_new)
 
     image = present(accum_new, motion, gpos, gnrm, params,
                     show_motion=show_motion,
