@@ -10,6 +10,12 @@
 set -x
 cd "$(dirname "$0")/.."
 
+# persistent compilation cache: repeat compiles of the same configs
+# (every bench child recompiles from scratch) hit disk instead of the
+# wedge-prone worker; harmless if the axon backend ignores it
+export JAX_COMPILATION_CACHE_DIR=/root/.jax_cache
+export JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS=5
+
 timeout 150 python scripts/childproc.py --probe \
   || { echo 'TPU unreachable, aborting'; exit 1; }
 
