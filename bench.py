@@ -33,6 +33,15 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+# Persistent compilation cache (inherited by every measurement child):
+# repeat compiles of identical configs — the dominant cost of a bench
+# sweep, and what wedges the shared worker — hit disk instead.  The
+# axon backend ignores it harmlessly if unsupported; BENCH_NO_CACHE=1
+# disables.
+if os.environ.get("BENCH_NO_CACHE") != "1":
+    os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.jax_cache")
+    os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "5")
+
 BASELINE_MRAYS = 300.0  # reference RTX 5090 derived primary throughput
 
 H = int(os.environ.get("BENCH_HEIGHT", "1080"))
