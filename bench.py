@@ -342,9 +342,27 @@ def main() -> int:
         # on its own probe — skip the duplicate jax-import round-trip
         from scripts.childproc import probe_alive
         if not probe_alive(env=env):
-            print(json.dumps({"note": "liveness probe failed; "
-                              "shortening per-case timeouts"}), flush=True)
-            timeout_s = min(TIMEOUT_S, 180)
+            # The worker usually recovers from a wedge in ~10-20 min
+            # (CLAUDE.md): wait for it (bounded by BENCH_WAIT_S) before
+            # giving up — a driver-run bench with a generous outer
+            # timeout salvages the round record from a transient wedge.
+            wait_s = int(os.environ.get("BENCH_WAIT_S", "900"))
+            print(json.dumps({"note": "liveness probe failed; waiting "
+                              f"up to {wait_s}s for recovery"}),
+                  flush=True)
+            t_wait = time.time()
+            while (time.time() - t_wait < wait_s
+                   and not probe_alive(env=env)):
+                time.sleep(45)
+            if probe_alive(env=env):
+                print(json.dumps({"note": "worker recovered after "
+                                  f"{time.time() - t_wait:.0f}s"}),
+                      flush=True)
+            else:
+                print(json.dumps({"note": "worker still down; "
+                                  "shortening per-case timeouts"}),
+                      flush=True)
+                timeout_s = min(TIMEOUT_S, 180)
 
     # Safe-mode retry: if a case fails (e.g. a new kernel feature fails
     # to compile on this backend), retry once with the conservative knob
