@@ -13,6 +13,20 @@ export JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS=5
 timeout 150 python scripts/childproc.py --probe \
   || { echo 'TPU unreachable, aborting'; exit 1; }
 
+# Speed canary: the worker sometimes ANSWERS probes while running ~18x
+# slow (r3h measured baseline at 368 ms vs the 19-31 healthy band) —
+# numbers from that state are garbage.  Abort (no DONE -> the chainer
+# retries later) unless a quick baseline lands under 80 ms/frame.
+BENCH_SKIP_PROBE=1 BENCH_CASES=baseline BENCH_FRAMES=4 BENCH_BUDGET=500 \
+  timeout 600 python bench.py 2>&1 | tee /tmp/r3i_canary.log
+canary_ms=$(grep -o '"ms_per_frame": [0-9.]*' /tmp/r3i_canary.log \
+  | head -1 | awk '{print $2}')
+if [ -z "$canary_ms" ] || \
+   awk "BEGIN{exit !($canary_ms > 80)}"; then
+  echo "canary ${canary_ms:-none} ms — slice degraded, aborting"
+  exit 1
+fi
+
 # 1. realistic preset — confirms the TAA fusion-cut fix (a2adba1); the
 #    one preset with no green r3 sample
 JAX_TRACEBACK_FILTERING=off BENCH_SKIP_PROBE=1 BENCH_CASES=realistic \
