@@ -463,7 +463,8 @@ def _epilogue_inputs(out_uv, out_dt, eps):
 def _closest_kernel(ids_ref, perm_ref, gate_ref, gorder_ref, gbound_ref,
                     meta_ref, *refs,
                     eps: float, subtiles: int, ordered: bool,
-                    shared_o: bool = False, defer: bool = False):
+                    shared_o: bool = False, defer: bool = False,
+                    compact: bool = False):
     i = 0
     if shared_o:
         # planes carry only directions; the origin rides a tiny [8,128]
@@ -555,11 +556,16 @@ def _closest_kernel(ids_ref, perm_ref, gate_ref, gorder_ref, gbound_ref,
             n = meta_ref[s, 1]
             mlo = meta_ref[s, 2]
             mhi = meta_ref[s, 3]
+            # compact mode: meta rows are actives-first; col 9 carries
+            # the row's ORIGINAL subtile index for plane reads + writes
+            so = meta_ref[s, 9] if compact else s
 
             # Per-subtile empty gate: sky/window-collapsed subtiles skip
             # the feature expansion, the walk, and the row writes (the
             # block-wide miss init already covers them) — mixed blocks
-            # at object silhouettes are mostly empty subtiles.
+            # at object silhouettes are mostly empty subtiles.  (In
+            # compact mode the loop bound already excludes them; the
+            # check stays as a zero-cost belt.)
             if ordered:
                 st_active = meta_ref[s, 5] > meta_ref[s, 4]   # jhi > jlo
             else:
@@ -567,9 +573,9 @@ def _closest_kernel(ids_ref, perm_ref, gate_ref, gorder_ref, gbound_ref,
 
             @pl.when(st_active)
             def _work():
-                f = _expand_features(plane_refs, s, with_tmax=False,
+                f = _expand_features(plane_refs, so, with_tmax=False,
                                      o_rows=orow_ref)  # [16,128]
-                walk(s, f, lo, n, mlo, mhi)
+                walk(s, so, f, lo, n, mlo, mhi)
 
             return 0
 
@@ -579,7 +585,7 @@ def _closest_kernel(ids_ref, perm_ref, gate_ref, gorder_ref, gbound_ref,
                 return (ci * CHUNK).astype(jnp.float32)
             return norms_ref[ci]
 
-        def walk(s, f, lo, n, mlo, mhi):
+        def walk(s, so, f, lo, n, mlo, mhi):
             def chunk_work(ci, carry):
                 out_uv = jnp.dot(cuv_ref[lo + ci], f,       # [256,128]
                                  preferred_element_type=jnp.float32,
@@ -727,22 +733,23 @@ def _closest_kernel(ids_ref, perm_ref, gate_ref, gorder_ref, gbound_ref,
 
                 carry_out = jax.lax.fori_loop(
                     0, gn, group_body, carry0)
-            t_ref[pl.ds(s, 1), :] = carry_out[0]
+            t_ref[pl.ds(so, 1), :] = carry_out[0]
             if defer:
-                it_ref[pl.ds(s, 1), :] = carry_out[1]
+                it_ref[pl.ds(so, 1), :] = carry_out[1]
             else:
-                nx_ref[pl.ds(s, 1), :] = carry_out[1]
-                ny_ref[pl.ds(s, 1), :] = carry_out[2]
-                nz_ref[pl.ds(s, 1), :] = carry_out[3]
+                nx_ref[pl.ds(so, 1), :] = carry_out[1]
+                ny_ref[pl.ds(so, 1), :] = carry_out[2]
+                nz_ref[pl.ds(so, 1), :] = carry_out[3]
 
-        jax.lax.fori_loop(0, subtiles, subtile_body, 0)
+        jax.lax.fori_loop(0, gate_ref[b] if compact else subtiles,
+                          subtile_body, 0)
 
 
 def _shadow_kernel(ids_ref, perm_ref, gate_ref, gorder_ref, gbound_ref,
                    meta_ref,
                    ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, tm_ref,
                    cuv_ref, cdt_ref, occ_ref, *, eps: float, subtiles: int,
-                   ordered: bool = False):
+                   ordered: bool = False, compact: bool = False):
     b = pl.program_id(0)
     occ_ref[:, :] = jnp.zeros((subtiles, TILE_RAYS), jnp.float32)
 
@@ -752,19 +759,21 @@ def _shadow_kernel(ids_ref, perm_ref, gate_ref, gorder_ref, gbound_ref,
             glo = meta_ref[s, 6]
             gn = meta_ref[s, 7]
             gmask = meta_ref[s, 8]
+            so = meta_ref[s, 9] if compact else s
 
             # Per-subtile empty gate (see _closest_kernel): subtiles whose
             # cull emptied (sky lanes, collapsed windows) keep the
-            # block-wide zero init and skip all vector work.
+            # block-wide zero init and skip all vector work.  (Compact
+            # mode's loop bound already excludes them.)
             @pl.when(gn > 0)
             def _work():
-                walk(s, glo, gn, gmask)
+                walk(s, so, glo, gn, gmask)
             return 0
 
-        def walk(s, glo, gn, gmask):
+        def walk(s, so, glo, gn, gmask):
             f = _expand_features(
                 (ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, tm_ref),
-                s, with_tmax=True)
+                so, with_tmax=True)
             tmax = f[10:11, :]                 # [1,128]
 
             def group_work(gi, occ):
@@ -822,9 +831,10 @@ def _shadow_kernel(ids_ref, perm_ref, gate_ref, gorder_ref, gbound_ref,
             occ0 = jnp.zeros((1, TILE_RAYS), jnp.float32)
             _, occ = jax.lax.while_loop(sh_cond, sh_body,
                                         (jnp.int32(0), occ0))
-            occ_ref[pl.ds(s, 1), :] = occ
+            occ_ref[pl.ds(so, 1), :] = occ
 
-        jax.lax.fori_loop(0, subtiles, subtile_body, 0)
+        jax.lax.fori_loop(0, gate_ref[b] if compact else subtiles,
+                          subtile_body, 0)
 
 
 def _use_interpret() -> bool:
@@ -1146,7 +1156,7 @@ def _grid_specs(nt, n_out, n_planes, n_full_inputs=1, subtiles=SUBTILES,
     )
 
 
-META_W = 10  # lo, n, mlo, mhi, jlo, jhi, glo, gn, gmask, pad
+META_W = 10  # lo, n, mlo, mhi, jlo, jhi, glo, gn, gmask, orig-idx
 
 
 def _pack_meta(cull, jlo=None, jhi=None):
@@ -1156,6 +1166,41 @@ def _pack_meta(cull, jlo=None, jhi=None):
                       z if jlo is None else jlo,
                       z if jhi is None else jhi,
                       glo, gn, gmask, z], axis=1)
+
+
+# Within-block subtile compaction: the kernels' fori over `subtiles`
+# meta rows pays the scalar-core iteration cost (~hundreds of ns) for
+# EMPTY subtiles too — at 1080p a silhouette-heavy frame has thousands
+# of empty iterations inside otherwise-active blocks (block-level
+# sparsity can't see them).  Each block's meta rows are partitioned
+# actives-first (col 9 = the row's original subtile index, used for
+# plane reads and output writes), and the per-step gate carries the
+# ACTIVE COUNT so the kernel loop runs exactly that many iterations.
+# ORT_SUBTILE_COMPACT=1 enables (hardware A/B pending).
+SUBTILE_COMPACT = os.environ.get("ORT_SUBTILE_COMPACT", "0") == "1"
+
+
+def _compact_meta(meta, ids_in, gate, subtiles, ordered):
+    """(meta actives-first per block, gate as per-STEP active count).
+
+    `ids_in` maps grid step -> data block (sparse plan), so the count
+    for step b is the count of block ids_in[b]; inactive tail steps
+    keep gate 0.  Activity uses the same per-mode criterion the kernel
+    checks (ordered: jhi>jlo; else gn>0)."""
+    nt = meta.shape[0]
+    nb = nt // subtiles
+    act = (meta[:, 5] > meta[:, 4]) if ordered else (meta[:, 7] > 0)
+    mb = meta.reshape(nb, subtiles, META_W)
+    ab = act.reshape(nb, subtiles)
+    order = jnp.argsort(jnp.logical_not(ab), axis=1, stable=True)
+    mb = jnp.take_along_axis(mb, order[:, :, None], axis=1)
+    orig = jnp.broadcast_to(
+        jnp.arange(subtiles, dtype=meta.dtype), (nb, subtiles))
+    orig = jnp.take_along_axis(orig, order, axis=1)
+    mb = mb.at[:, :, 9].set(orig)
+    counts = jnp.sum(ab.astype(jnp.int32), axis=1)
+    gate = jnp.where(gate > 0, counts[ids_in], 0).astype(jnp.int32)
+    return mb.reshape(nt, META_W), gate
 
 
 # ORT_SPARSE_GRID=0 reverts to the dense identity mapping: every block
@@ -1267,14 +1312,20 @@ def _closest_page_rows(mxu: MXUBVH, planes, hulls, shared_origin, ordered,
         jlo = jhi = None
 
     defer = DEFER_NORMAL
+    is_ordered = ordered and shared_origin is not None
     kern = functools.partial(_closest_kernel, eps=eps, subtiles=subtiles,
-                             ordered=ordered and shared_origin is not None,
-                             shared_o=o_rows is not None, defer=defer)
+                             ordered=is_ordered,
+                             shared_o=o_rows is not None, defer=defer,
+                             compact=SUBTILE_COMPACT)
     extra = () if o_rows is None else (o_rows,)
     full = (mxu.coef_uv, mxu.coef_dt) if defer else (
         mxu.coef_uv, mxu.coef_dt, mxu.norms)
     n_out = 2 if defer else 4
     ids_in, perm, gate = _sparse_plan(cn, nt, subtiles)
+    meta = _pack_meta(cull, jlo, jhi)
+    if SUBTILE_COMPACT:
+        meta, gate = _compact_meta(meta, ids_in, gate, subtiles,
+                                   is_ordered)
     vma = _union_vma(ids_in, perm, gate, gorder, gbound, *planes, *extra)
     return pl.pallas_call(
         kern,
@@ -1286,7 +1337,7 @@ def _closest_page_rows(mxu: MXUBVH, planes, hulls, shared_origin, ordered,
         interpret=_use_interpret(),
         compiler_params=_COMPILER_PARAMS,
     )(*_pvary_to(vma, ids_in, perm, gate, gorder, gbound,
-                 _pack_meta(cull, jlo, jhi), *planes, *extra, *full))
+                 meta, *planes, *extra, *full))
 
 
 def _assemble_hit(rows, ro, rd, shape, n) -> Hit:
@@ -1378,8 +1429,12 @@ def _shadow_page_rows(mxu: MXUBVH, planes, hulls, t_cap, eps):
     cull = _tile_chunk_ranges(mxu.chunk_bounds, hulls, t_cap)
     cn = cull[1]
     nc = mxu.coef_dt.shape[0]
-    kern = functools.partial(_shadow_kernel, eps=eps, subtiles=subtiles)
+    kern = functools.partial(_shadow_kernel, eps=eps, subtiles=subtiles,
+                             compact=SUBTILE_COMPACT)
     ids_in, perm, gate = _sparse_plan(cn, nt, subtiles)
+    meta = _pack_meta(cull)
+    if SUBTILE_COMPACT:
+        meta, gate = _compact_meta(meta, ids_in, gate, subtiles, False)
     vma = _union_vma(ids_in, perm, gate, *planes)
     return pl.pallas_call(
         kern,
@@ -1390,5 +1445,5 @@ def _shadow_page_rows(mxu: MXUBVH, planes, hulls, t_cap, eps):
         interpret=_use_interpret(),
         compiler_params=_COMPILER_PARAMS,
     )(*_pvary_to(vma, ids_in, perm, gate, jnp.arange(nc, dtype=jnp.int32),
-                 jnp.zeros(nc, jnp.float32), _pack_meta(cull), *planes,
+                 jnp.zeros(nc, jnp.float32), meta, *planes,
                  mxu.coef_uv, mxu.coef_dt))

@@ -492,3 +492,60 @@ def test_defer_normal_bit_matches_inkernel(scene, monkeypatch):
         np.testing.assert_array_equal(a.t[sel], b.t[sel], err_msg=str(k))
         np.testing.assert_array_equal(a.n[sel], b.n[sel], err_msg=str(k))
         np.testing.assert_array_equal(a.p[sel], b.p[sel], err_msg=str(k))
+
+
+def test_subtile_compact_bit_matches(scene, monkeypatch):
+    """ORT_SUBTILE_COMPACT=1 (meta rows actives-first per block, loop
+    bound = active count, plane reads/writes via the original-index
+    column) must be bit-identical to the dense subtile loop: the same
+    per-subtile work runs, just without the empty iterations.  Covers
+    unordered, ordered+shared-origin, active masking, the shadow
+    wavefront (tuple of batches + interior padding), and composition
+    with the deferred-normal epilogue."""
+    import opengl_raytracing_tpu.ops.bvh_mxu as bm
+    mxu, _ = scene
+    rng = np.random.RandomState(13)
+    ro, rd = _rays(13)
+    origin = jnp.asarray([0.1, 1.0, 2.2], jnp.float32)
+    ro_s = jnp.broadcast_to(origin, rd.shape)
+    active = jnp.asarray(rng.rand(N_RAYS) > 0.4)
+    n_item = 3000  # non-block-multiple: interior padding
+    org = jnp.asarray(rng.uniform(-2, 2, (n_item, 3)).astype(np.float32))
+    dirs = []
+    for _ in range(3):
+        d = rng.randn(n_item, 3).astype(np.float32)
+        d /= np.linalg.norm(d, axis=1, keepdims=True)
+        dirs.append(jnp.asarray(d))
+    win = jnp.full((n_item,), 6.0, jnp.float32)
+    act_w = jnp.asarray(rng.rand(n_item) > 0.3)
+
+    def runs():
+        hits = [bm.trace_bvh_mxu(mxu, ro, rd),
+                bm.trace_bvh_mxu(mxu, ro_s, rd, shared_origin=origin,
+                                 ordered=True),
+                bm.trace_bvh_mxu(mxu, ro, rd, active=active)]
+        occ = bm.trace_bvh_shadow_mxu_paged(
+            (mxu,), (org,) * 3, tuple(dirs), (win,) * 3, active=act_w)
+        return ([jax.tree.map(np.asarray, h) for h in hits],
+                np.asarray(occ))
+
+    for defer in (False, True):
+        monkeypatch.setattr(bm, "DEFER_NORMAL", defer)
+        monkeypatch.setattr(bm, "SUBTILE_COMPACT", False)
+        jax.clear_caches()
+        want_h, want_o = runs()
+        monkeypatch.setattr(bm, "SUBTILE_COMPACT", True)
+        jax.clear_caches()
+        got_h, got_o = runs()
+        jax.clear_caches()
+        act = np.asarray(active)
+        for k, (a, b) in enumerate(zip(want_h, got_h)):
+            sel = act if k == 2 else slice(None)
+            np.testing.assert_array_equal(a.t[sel], b.t[sel],
+                                          err_msg=f"defer={defer} k={k}")
+            np.testing.assert_array_equal(a.n[sel], b.n[sel],
+                                          err_msg=f"defer={defer} k={k}")
+        aw = np.asarray(act_w)
+        np.testing.assert_array_equal(want_o[:, aw], got_o[:, aw],
+                                      err_msg=f"defer={defer} shadow")
+        assert not got_o[:, ~aw].any()
