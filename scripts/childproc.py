@@ -23,6 +23,20 @@ def probe_alive(timeout_s: float = 120, env=None) -> bool:
         return False
 
 
+def _informative_line(stderr: str) -> str:
+    """Last stderr line that looks like an actual error — JAX's traceback-
+    filtering banner is often the literal last line and carries nothing."""
+    lines = [ln for ln in stderr.splitlines() if ln.strip()]
+    if not lines:
+        return ""
+    pat = ("Error", "error:", "Scoped allocation", "RESOURCE_EXHAUSTED",
+           "INTERNAL", "exceeded", "Mosaic", "failed", "assert")
+    for ln in reversed(lines):
+        if any(p in ln for p in pat):
+            return ln[-300:]
+    return lines[-1][-300:]
+
+
 def run_child(cmd, timeout_s, env=None):
     try:
         out = subprocess.run(cmd, capture_output=True, timeout=timeout_s,
@@ -30,9 +44,19 @@ def run_child(cmd, timeout_s, env=None):
         lines = [ln for ln in out.stdout.splitlines() if ln.startswith("{")]
         if lines:
             return json.loads(lines[-1])
-        err = (out.stderr.strip().splitlines()[-1][-300:]
-               if out.stderr.strip() else "")
-        return {"error": f"rc={out.returncode}", "stderr": err}
+        # keep the FULL stderr on disk — the one-line summary has lost
+        # real tracebacks before (r3i an_full: only the JAX filtering
+        # banner survived)
+        tag = "".join(c if c.isalnum() else "_" for c in str(cmd[-1]))[-40:]
+        path = f"/tmp/child_stderr_{tag}.log"
+        try:
+            with open(path, "w") as f:
+                f.write(out.stderr)
+        except OSError:
+            path = ""
+        return {"error": f"rc={out.returncode}",
+                "stderr": _informative_line(out.stderr),
+                "stderr_file": path}
     except subprocess.TimeoutExpired:
         return {"error": "timeout (tpu wedged?)"}
     except Exception as exc:  # pragma: no cover

@@ -33,4 +33,13 @@ for cfg in full_default realistic_default realistic_vmem48 \
     | grep '^{' | tee -a /tmp/r3j_diag.log
 done
 
+# an_full failed rc=1 in r3i with only the traceback-filtering banner
+# captured; re-run with full tracebacks (childproc now saves complete
+# stderr to /tmp/child_stderr_<case>.log)
+for c in an_full moving; do
+  JAX_TRACEBACK_FILTERING=off BENCH_SKIP_PROBE=1 BENCH_CASES=$c \
+    BENCH_FRAMES=2 BENCH_BUDGET=1000 BENCH_TIMEOUT=900 \
+    timeout 1100 python bench.py 2>&1 | tee -a /tmp/r3j_runfail.log
+done
+
 echo DONE
