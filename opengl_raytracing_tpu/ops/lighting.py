@@ -14,6 +14,8 @@ Naming of the RNG arguments follows the GLSL call chain:
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import jax.numpy as jnp
 
@@ -281,8 +283,21 @@ def direct_light_bvh(scene: SceneCtx, h, rng_frame, frame_index, vdir,
             wins.append(w)
         # tuple-of-batches: one concatenated any-hit stream, no
         # [k,...,3] stack materialized (bvh_mxu._pad_tiles_multi)
-        occ = scene.trace_shadow_any(tuple(origins), tuple(dirs),
-                                     tuple(wins), active=active)
+        #
+        # ORT_ABLATE_SHADOW splits the shadow block for scripts/ablate.py
+        # (never set in production): "win0" collapses every window to -1
+        # (the any-hit kernel launches but all subtiles gate off -> the
+        # delta vs default prices the kernel's inner walk); "occ0" skips
+        # the trace call entirely (the further delta prices wavefront
+        # construction + hulls/cull + launch).
+        _abl = os.environ.get("ORT_ABLATE_SHADOW", "")
+        if _abl == "win0":
+            wins = [jnp.full_like(w, -1.0) for w in wins]
+        if _abl == "occ0":
+            occ = tuple(jnp.zeros(shape, jnp.bool_) for _ in origins)
+        else:
+            occ = scene.trace_shadow_any(tuple(origins), tuple(dirs),
+                                         tuple(wins), active=active)
         occ_disk = occ[:SOFT_SHADOW_SAMPLES]
         k = SOFT_SHADOW_SAMPLES
         if params.sun_enabled:

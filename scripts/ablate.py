@@ -26,6 +26,8 @@ CASES = [
     "primary",         # + MXU closest-hit trace
     "gbuffer",         # + motion/gbuffer/sky selects
     "shade_noshadow",  # + direct light math with shadows forced visible
+    "shade_occ0",      # gated shade, trace_shadow_any skipped entirely
+    "shade_win0",      # gated shade, kernel launches but windows -1
     "shade",           # + real shadow wavefront (full trace_and_shade)
     "taa",             # + TAA resolve
     "frame",           # + present (= render_frame)
@@ -55,6 +57,10 @@ def _setup():
 
 
 def child(key: str) -> None:
+    # the shade_* split cases ride the ORT_ABLATE_SHADOW knob in
+    # ops/lighting.py (env read at trace time; set BEFORE importing)
+    if key.startswith("shade_") and key != "shade_noshadow":
+        os.environ["ORT_ABLATE_SHADOW"] = key.split("_", 1)[1]
     import jax
     import jax.numpy as jnp
     from opengl_raytracing_tpu.models import pipeline as pl
@@ -120,7 +126,9 @@ def child(key: str) -> None:
         shaded = pl.shade_bvh_auto(scene, h, seeds, jnp.int32(i), -rd,
                                    px, py, hit_mask)
         curr = jnp.where(hit_mask[..., None], shaded, sky_radiance)
-        if upto == "shade":
+        if upto in ("shade", "shade_occ0", "shade_win0"):
+            # occ0/win0 run the identical prefix; the knob set in child()
+            # changes what direct_light_bvh does inside shade_bvh_auto
             return jnp.sum(curr)
 
         def grid(a):  # flat block-order -> [H,W] like trace_and_shade
