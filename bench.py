@@ -376,7 +376,15 @@ def main() -> int:
     # settings so the benchmark still records a real number.
     SAFE = {"ORT_SPARSE_GRID": "0", "ORT_SWIZZLE": "0",
             "ORT_MT_PRECISION": "highest", "ORT_SMEM_ORIGIN": "0",
-            "ORT_SHARED_SHADOW_ORIGIN": "0"}
+            "ORT_SHARED_SHADOW_ORIGIN": "0",
+            # r3i: the restructured SVGF schedule (BH=32 + slab double
+            # buffer) fails Mosaic compile on TPU; the r2 schedule is
+            # proven on silicon (full preset 43.5 ms)
+            "ORT_SVGF_BH": "8", "ORT_SVGF_DB": "0",
+            # r3i: the realistic preset trips a 35.69M scoped-vmem XLA
+            # fusion with the hit-shading gate on; gate-off is the
+            # conservative shape (costs ~5.8 ms but always compiles)
+            "ORT_BVH_GATE_FRAC": "0"}
 
     presets, close_far = {}, {}
     headline = None
