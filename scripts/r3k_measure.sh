@@ -1,0 +1,45 @@
+#!/bin/bash
+# Round-3 ELEVENTH pass — fix confirms + the round-record session at
+# final defaults.  Assumes the r3j bisection picked the SVGF schedule
+# and the realistic-preset fix; this queue proves them at runtime and
+# then records the full nine-case matrix (16-frame scans).
+set -x
+cd "$(dirname "$0")/.."
+
+export JAX_COMPILATION_CACHE_DIR=/root/.jax_cache
+export JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS=5
+
+timeout 150 python scripts/childproc.py --probe \
+  || { echo 'TPU unreachable, aborting'; exit 1; }
+
+BENCH_SKIP_PROBE=1 BENCH_CASES=baseline BENCH_FRAMES=4 BENCH_BUDGET=500 \
+  timeout 600 python bench.py 2>&1 | tee /tmp/r3k_canary.log
+canary_ms=$(grep -o '"ms_per_frame": [0-9.]*' /tmp/r3k_canary.log \
+  | head -1 | awk '{print $2}')
+if [ -z "$canary_ms" ] || awk "BEGIN{exit !($canary_ms > 80)}"; then
+  echo "canary ${canary_ms:-none} ms — slice degraded, aborting"
+  exit 1
+fi
+
+# 1. fix confirms at RUNTIME (not just compile): the two previously
+#    broken defaults, generous timeouts for first compiles
+for c in realistic full an_full; do
+  BENCH_SKIP_PROBE=1 BENCH_CASES=$c BENCH_FRAMES=8 BENCH_BUDGET=900 \
+    BENCH_TIMEOUT=800 timeout 1000 python bench.py 2>&1 \
+    | tee -a /tmp/r3k_confirm.log
+done
+
+# 2. shade-block split (new ablate cases): gate+BRDF vs wavefront
+#    construction vs any-hit inner walk
+ABLATE_REPS=16 timeout 1800 python scripts/ablate.py 2>&1 \
+  | tee /tmp/r3k_ablate.log
+
+# 3. 16-frame dispatch-amortization check vs the 4-frame canary
+BENCH_SKIP_PROBE=1 BENCH_CASES=baseline BENCH_FRAMES=16 BENCH_BUDGET=500 \
+  timeout 600 python bench.py 2>&1 | tee /tmp/r3k_frames16.log
+
+# 4. the round record: all nine cases, final defaults, 16-frame scans
+BENCH_SKIP_PROBE=1 BENCH_BUDGET=3600 BENCH_TIMEOUT=800 \
+  timeout 4000 python bench.py 2>&1 | tee /tmp/r3k_bench.log
+
+echo DONE
