@@ -131,10 +131,22 @@ def _run_frames(params, bvh, fin, height, width, frames, *, use_bvh=True,
                                height=height, width=width, use_bvh=use_bvh)
         return st, jnp.sum(out.image)
 
-    @jax.jit
-    def run(state, fins):
+    def _run(state, fins):
         st, sums = jax.lax.scan(one_frame, state, fins)
         return st, jnp.sum(sums)
+
+    # ORT_SCOPED_VMEM_KIB raises XLA's per-fusion scoped-vmem budget via
+    # per-jit compiler_options (rides the compile request through the
+    # axon tunnel; process env may not reach the remote compiler).  The
+    # realistic preset trips a 35.69M loop fusion against the 16M
+    # default (r3i) — safe-mode sets 49152.  TPU-only: other backends
+    # reject the flag.
+    kib = os.environ.get("ORT_SCOPED_VMEM_KIB", "")
+    if kib and jax.default_backend() == "tpu":
+        run = jax.jit(_run, compiler_options={
+            "xla_tpu_scoped_vmem_limit_kib": kib})
+    else:
+        run = jax.jit(_run)
 
     state = RenderState.create(height, width)
     _ = float(run(state, fins)[1])  # warmup / compile
@@ -383,8 +395,10 @@ def main() -> int:
             "ORT_SVGF_BH": "8", "ORT_SVGF_DB": "0",
             # r3i: the realistic preset trips a 35.69M scoped-vmem XLA
             # fusion with the hit-shading gate on; gate-off is the
-            # conservative shape (costs ~5.8 ms but always compiles)
-            "ORT_BVH_GATE_FRAC": "0"}
+            # conservative shape (costs ~5.8 ms but always compiles),
+            # and the raised scoped-vmem budget covers the fusion even
+            # if the gate is not the trigger
+            "ORT_BVH_GATE_FRAC": "0", "ORT_SCOPED_VMEM_KIB": "49152"}
 
     presets, close_far = {}, {}
     headline = None
