@@ -67,12 +67,26 @@ KDIM = 16            # MT feature dim fed to the matmul (10 used + tmax)
 # precision: 1-pass bf16 for the u/v acceptance numerators (whose
 # boundaries tolerate bf16 wobble) and 6-pass f32 for det and t (whose
 # error would shift hit positions and shadow-ray origins — CLAUDE.md).
-# Modes: highest (both 6-pass), default (both 1-pass), mixed.
+# Modes: highest (both 6-pass), default (both 1-pass), mixed, x3.
 # The shadow any-hit is a binary test; 1-pass bf16 measured 13.5ms
 # faster per baseline frame with 0.06% checksum drift (PERF.md r2).
+#
+# x3: ONE bf16 pass at k=48 with the error-compensated split packed
+# into the contraction dim — coef cols [hi | hi | lo] against feature
+# rows [f_hi; f_lo; f_hi] gives hi*fh + hi*fl + lo*fh (the bf16_3x
+# algorithm, dropping only the ~2^-16 lo*fl term), accumulated in f32
+# by the MXU.  At k<=128 the pass count equals the k=16 1-pass form,
+# so x3 costs what `default` costs while carrying ~16 mantissa bits:
+# per group-step MXU issues drop 96 (highest) -> 16.  Both coef blocks
+# store bf16 [NC,256,48] (1.5x the f32 [NC,256,16] bytes); the shadow
+# kernel shares the store, so its 1-pass test upgrades to x3 accuracy
+# at identical cost.  chunk_study.py (PERF.md r3) for the motivation.
 _PREC = {"default": jax.lax.Precision.DEFAULT,
-         "highest": jax.lax.Precision.HIGHEST}
+         "highest": jax.lax.Precision.HIGHEST,
+         "x3": jax.lax.Precision.DEFAULT}
 _MT_MODE = os.environ.get("ORT_MT_PRECISION", "highest")
+MT_X3 = _MT_MODE == "x3"
+K_EFF = 48 if MT_X3 else KDIM
 MT_PREC_UV = _PREC["default" if _MT_MODE == "mixed" else _MT_MODE]
 MT_PREC_DT = _PREC["highest" if _MT_MODE == "mixed" else _MT_MODE]
 SHADOW_PRECISION = _PREC[os.environ.get("ORT_SHADOW_PRECISION", "default")]
@@ -234,7 +248,18 @@ def build_mxu_arrays(bvh: BVH) -> MXUBVH:
 
     norms = np.zeros((nc, CHUNK, 8), np.float32)
     norms[:, :, 0:3] = n.reshape(nc, CHUNK, 3)
-    return MXUBVH(jnp.asarray(coef_uv), jnp.asarray(coef_dt),
+
+    def pack(c):
+        c = jnp.asarray(c)
+        if not MT_X3:
+            return c
+        # bf16_3x layout: cols [hi | hi | lo] (pairs with the feature
+        # rows [f_hi; f_lo; f_hi] built in _expand_features)
+        hi = c.astype(jnp.bfloat16)
+        lo = (c - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+        return jnp.concatenate([hi, hi, lo], axis=-1)
+
+    return MXUBVH(pack(coef_uv), pack(coef_dt),
                   jnp.asarray(norms), jnp.asarray(bounds),
                   jnp.asarray(padded))
 
@@ -438,7 +463,14 @@ def _expand_features(rows, s, with_tmax: bool, o_rows=None):
     mz = o[0] * d[1] - o[1] * d[0]
     ones = jnp.ones((1, TILE_RAYS), jnp.float32)
     zeros = jnp.zeros((KDIM - 11, TILE_RAYS), jnp.float32)
-    return jnp.concatenate([*d, mx, my, mz, *o, ones, tmax, zeros], axis=0)
+    f = jnp.concatenate([*d, mx, my, mz, *o, ones, tmax, zeros], axis=0)
+    if not MT_X3:
+        return f
+    # bf16_3x feature rows [f_hi; f_lo; f_hi] (see the precision-mode
+    # comment at the top): one k=48 bf16 pass = hi*fh + hi*fl + lo*fh
+    fh = f.astype(jnp.bfloat16)
+    fl = (f - fh.astype(jnp.float32)).astype(jnp.bfloat16)
+    return jnp.concatenate([fh, fl, fh], axis=0)
 
 
 # -----------------------------------------------------------------------------
@@ -705,9 +737,9 @@ def _closest_kernel(ids_ref, perm_ref, gate_ref, gorder_ref, gbound_ref,
                 def group_work(gi, carry):
                     base = (glo + gi) * GROUP
                     cg_uv = cuv_ref[pl.ds(base, GROUP)].reshape(
-                        GROUP * 2 * CHUNK, KDIM)
+                        GROUP * 2 * CHUNK, K_EFF)
                     cg_dt = cdt_ref[pl.ds(base, GROUP)].reshape(
-                        GROUP * 2 * CHUNK, KDIM)
+                        GROUP * 2 * CHUNK, K_EFF)
                     out_uv = jnp.dot(cg_uv, f,
                                      preferred_element_type=jnp.float32,
                                      precision=MT_PREC_UV)
@@ -774,14 +806,15 @@ def _shadow_kernel(ids_ref, perm_ref, gate_ref, gorder_ref, gbound_ref,
             f = _expand_features(
                 (ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, tm_ref),
                 so, with_tmax=True)
-            tmax = f[10:11, :]                 # [1,128]
+            # exact f32 window (in x3 mode f rows are bf16 splits)
+            tmax = tm_ref[pl.ds(so, 1), :]     # [1,128]
 
             def group_work(gi, occ):
                 base = (glo + gi) * GROUP
                 cg_uv = cuv_ref[pl.ds(base, GROUP)].reshape(
-                    GROUP * 2 * CHUNK, KDIM)
+                    GROUP * 2 * CHUNK, K_EFF)
                 cg_dt = cdt_ref[pl.ds(base, GROUP)].reshape(
-                    GROUP * 2 * CHUNK, KDIM)
+                    GROUP * 2 * CHUNK, K_EFF)
                 out_uv = jnp.dot(cg_uv, f,
                                  preferred_element_type=jnp.float32,
                                  precision=SHADOW_PRECISION)

@@ -34,6 +34,16 @@ done
 ABLATE_REPS=16 timeout 1800 python scripts/ablate.py 2>&1 \
   | tee /tmp/r3k_ablate.log
 
+# 2b. MT precision x3 A/B: the single-pass k=48 bf16_3x form vs the
+#     6-pass default (PERF.md chunk-study section: projected ~-1.6 ms
+#     on the trace at baseline, more on cf_close).  Checksum drift
+#     expected ~1e-4 relative (t error bound); compare value + ms.
+for mp in highest x3 mixed; do
+  BENCH_SKIP_PROBE=1 BENCH_CASES=baseline,cf_close BENCH_FRAMES=8 \
+    BENCH_BUDGET=900 ORT_MT_PRECISION=$mp timeout 1000 python bench.py \
+    2>&1 | sed "s/^{/{\"mt\": \"$mp\", /" | tee -a /tmp/r3k_mt.log
+done
+
 # 3. 16-frame dispatch-amortization check vs the 4-frame canary
 BENCH_SKIP_PROBE=1 BENCH_CASES=baseline BENCH_FRAMES=16 BENCH_BUDGET=500 \
   timeout 600 python bench.py 2>&1 | tee /tmp/r3k_frames16.log

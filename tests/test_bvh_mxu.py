@@ -549,3 +549,53 @@ def test_subtile_compact_bit_matches(scene, monkeypatch):
         np.testing.assert_array_equal(want_o[:, aw], got_o[:, aw],
                                       err_msg=f"defer={defer} shadow")
         assert not got_o[:, ~aw].any()
+
+
+def test_x3_precision_matches_highest(monkeypatch):
+    """ORT_MT_PRECISION=x3 (single k=48 bf16_3x pass) vs the 6-pass
+    HIGHEST form: identical winning triangles/occlusion on a generic
+    ray set, t within the bf16_3x error bound (~2^-13 relative).
+
+    x3 packs the error-compensated split into the contraction dim
+    (coef cols [hi|hi|lo] against feature rows [fh;fl;fh]) — see the
+    precision-mode comment in ops/bvh_mxu.py."""
+    import opengl_raytracing_tpu.ops.bvh_mxu as bm
+
+    tris = gather_triangles(make_icosphere(1.0, 2),
+                            model_transform((0.0, 1.0, -3.0), 1.0))
+    bvh = build_bvh(tris)
+    ro, rd = _rays(7, n=1024)
+    # shared origin exercises the o_rows fast path too
+    org = jnp.broadcast_to(jnp.asarray([0.0, 1.0, 2.0]), ro.shape)
+    win = jnp.full(ro.shape[:1], 8.0, jnp.float32)
+
+    def run():
+        mxu = bm.build_mxu_arrays(bvh)
+        h = bm.trace_bvh_mxu(mxu, ro, rd)
+        hs = bm.trace_bvh_mxu(mxu, org, rd,
+                              shared_origin=jnp.asarray([0.0, 1.0, 2.0]))
+        occ = bm.trace_bvh_shadow_mxu(mxu, ro, rd, win)
+        return (jax.tree.map(np.asarray, h), jax.tree.map(np.asarray, hs),
+                np.asarray(occ))
+
+    want_h, want_hs, want_o = run()
+    monkeypatch.setattr(bm, "MT_X3", True)
+    monkeypatch.setattr(bm, "K_EFF", 48)
+    monkeypatch.setattr(bm, "MT_PREC_UV", jax.lax.Precision.DEFAULT)
+    monkeypatch.setattr(bm, "MT_PREC_DT", jax.lax.Precision.DEFAULT)
+    jax.clear_caches()
+    got_h, got_hs, got_o = run()
+    jax.clear_caches()
+
+    for a, b in ((want_h, got_h), (want_hs, got_hs)):
+        hit_a = np.isfinite(a.t)
+        agree = hit_a == np.isfinite(b.t)
+        assert agree.mean() > 0.999  # knife-edge accepts may flip
+        sel = hit_a & np.isfinite(b.t)
+        rel = np.abs(a.t[sel] - b.t[sel]) / np.maximum(a.t[sel], 1e-6)
+        assert rel.max() < 3e-4, rel.max()
+        # winning triangle (via its stored normal) identical wherever
+        # both forms accept
+        assert (np.abs(a.n[sel] - b.n[sel]).max(axis=-1) < 1e-6).mean() \
+            > 0.999
+    assert (want_o == got_o).mean() > 0.999
