@@ -8,12 +8,15 @@ pixel once per band instead of once per tap.
 
 r3 restructure (this file): the original BH=8 bands re-read a 24-row
 slab for every 8 output rows (3x input overread, 318 MB/frame at 1080p)
-and issued each slab DMA synchronously before compute.  Bands are now
-BH=32 by default (48-row slab per 32 output rows, 1.5x) and the slab
-for band b+1 prefetches while band b computes (two slab buffers, the
-standard cross-grid-step double buffer).  `ORT_SVGF_BH` / `ORT_SVGF_DB`
-expose both choices for on-device A/B; the band height halves
-automatically until the slab buffers fit in VMEM.
+and issued each slab DMA synchronously before compute.  BH=32 with a
+two-buffer slab prefetch pipeline cuts the overread to 1.5x —
+`ORT_SVGF_BH` / `ORT_SVGF_DB` expose the schedule for on-device A/B —
+BUT the r3i hardware session showed the 32/double-buffer combination
+FAILS TPU compilation (scoped-vmem kernel stack OOM class; the 12 MB
+slab-only budget model below misses the 49-tap unroll's live compute
+temporaries), so the default stays the silicon-proven 8/single-buffer
+schedule (full preset 43.5 ms r3i; 13.8 vs 17.3 ms jnp, r2) until the
+r3j compile bisection clears a bigger band.
 
 Same math as reference: shaders/rt/rt_present.frag:126-225 (see
 ops/svgf.py for the annotated weight formulas); boundary taps get zero
@@ -49,13 +52,14 @@ def _use_interpret() -> bool:
 def _band_config(wp: int):
     """(band height, slab buffer count) honoring knobs + VMEM budget.
 
-    ORT_SVGF_BH: output rows per grid step (default 32; 8 restores the
-    r2 kernel's banding).  ORT_SVGF_DB=0 disables the slab prefetch
-    double buffer.  BH halves (min 8) until nbuf slabs fit the budget —
-    at 1080p the defaults use 2 x 4.7 MB."""
-    bh = int(os.environ.get("ORT_SVGF_BH", "32") or "32")
+    ORT_SVGF_BH: output rows per grid step (default 8 — the schedule
+    proven on TPU silicon; 32 enables the prefetch-era banding that
+    currently fails Mosaic compile at 1080p, see module docstring).
+    ORT_SVGF_DB=1 enables the slab prefetch double buffer.  BH halves
+    (min 8) until nbuf slabs fit the budget."""
+    bh = int(os.environ.get("ORT_SVGF_BH", "8") or "8")
     bh = max(8, (bh // 8) * 8)
-    nbuf = 1 if os.environ.get("ORT_SVGF_DB", "1") in ("0", "") else 2
+    nbuf = 2 if os.environ.get("ORT_SVGF_DB", "0") == "1" else 1
     while bh > 8 and nbuf * NPLANES * (bh + 2 * ROWPAD) * wp * 4 > VMEM_BUDGET:
         bh //= 2
     return bh, nbuf
