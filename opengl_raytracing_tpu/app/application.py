@@ -17,7 +17,8 @@ import jax
 import jax.numpy as jnp
 
 from ..frame_state import FrameState
-from ..models.pipeline import FrameInputs, render_frame
+from ..models.pipeline import (FrameInputs, frame_jit_options,
+                               render_frame)
 from ..models.raster import render_raster
 from ..ops.scene import resolve_ordered_primary
 from ..params import params_changed
@@ -96,7 +97,9 @@ class Application:
             # (reference: src/render/accum.cpp:216-234), saving a 33MB
             # copy per 1080p frame; step() immediately rebinds
             # app.render_state so the donated buffer is never reused
-            fn = jax.jit(raw, donate_argnums=(2,)) if self._jit else raw
+            fn = (jax.jit(raw, donate_argnums=(2,),
+                          **frame_jit_options())
+                  if self._jit else raw)
             self._render_cache[key] = fn
         return fn
 
@@ -112,7 +115,8 @@ class Application:
 
             def raw(params, fin, bvh):
                 return render_raster(params, fin, bvh, height=h, width=w)
-            fn = jax.jit(raw) if self._jit else raw
+            fn = (jax.jit(raw, **frame_jit_options())
+                  if self._jit else raw)
             self._render_cache[key] = fn
         return fn
 

@@ -732,6 +732,22 @@ def trace_and_shade(scene: SceneCtx, params: RenderParams, fin: FrameInputs,
     return curr, motion, gpos, gnrm
 
 
+def frame_jit_options() -> dict:
+    """Extra jax.jit kwargs for frame-level compiles.
+
+    ORT_SCOPED_VMEM_KIB raises XLA's per-fusion scoped-vmem budget via
+    per-jit compiler_options (rides the compile request through the
+    axon tunnel).  The realistic preset at 1080p trips a 35.69M loop
+    fusion against the 16M default ("should not be possible ... please
+    file a bug against XLA", r3i/r3j) — the raise only lifts the
+    allocation cap; fusion decisions are unchanged.  TPU-only: other
+    backends reject the flag."""
+    kib = os.environ.get("ORT_SCOPED_VMEM_KIB", "")
+    if kib and jax.default_backend() == "tpu":
+        return {"compiler_options": {"xla_tpu_scoped_vmem_limit_kib": kib}}
+    return {}
+
+
 def make_render_fn(height: int, width: int,
                    use_bvh: bool = False, show_motion: bool = False,
                    donate: bool = True):
@@ -745,4 +761,5 @@ def make_render_fn(height: int, width: int,
         return render_frame(params, fin, state, env_map, bvh,
                             height=height, width=width, use_bvh=use_bvh,
                             show_motion=show_motion)
-    return jax.jit(fn, donate_argnums=(2,) if donate else ())
+    return jax.jit(fn, donate_argnums=(2,) if donate else (),
+                   **frame_jit_options())
