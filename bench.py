@@ -139,9 +139,9 @@ def _run_frames(params, bvh, fin, height, width, frames, *, use_bvh=True,
     # per-jit compiler_options (rides the compile request through the
     # axon tunnel; process env may not reach the remote compiler).  The
     # realistic preset trips a 35.69M loop fusion against the 16M
-    # default (r3i) — safe-mode sets 49152.  TPU-only: other backends
-    # reject the flag.
-    kib = os.environ.get("ORT_SCOPED_VMEM_KIB", "")
+    # default (r3i); the r3j probe confirmed 49152 compiles it, so it
+    # defaults on (empty string disables).  TPU-only.
+    kib = os.environ.get("ORT_SCOPED_VMEM_KIB", "49152")
     if kib and jax.default_backend() == "tpu":
         run = jax.jit(_run, compiler_options={
             "xla_tpu_scoped_vmem_limit_kib": kib})

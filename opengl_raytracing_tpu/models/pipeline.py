@@ -740,9 +740,11 @@ def frame_jit_options() -> dict:
     axon tunnel).  The realistic preset at 1080p trips a 35.69M loop
     fusion against the 16M default ("should not be possible ... please
     file a bug against XLA", r3i/r3j) — the raise only lifts the
-    allocation cap; fusion decisions are unchanged.  TPU-only: other
-    backends reject the flag."""
-    kib = os.environ.get("ORT_SCOPED_VMEM_KIB", "")
+    allocation cap; fusion decisions are unchanged.  The r3j probe
+    confirmed 49152 KiB compiles the realistic preset, so it is the
+    default on TPU; set ORT_SCOPED_VMEM_KIB= (empty) to disable.
+    TPU-only: other backends reject the flag."""
+    kib = os.environ.get("ORT_SCOPED_VMEM_KIB", "49152")
     if kib and jax.default_backend() == "tpu":
         return {"compiler_options": {"xla_tpu_scoped_vmem_limit_kib": kib}}
     return {}

@@ -34,6 +34,14 @@ done
 ABLATE_REPS=16 timeout 1800 python scripts/ablate.py 2>&1 \
   | tee /tmp/r3k_ablate.log
 
+# 2a. scoped-vmem default on/off A/B on baseline (guard against a
+#     perf side effect of the 48M budget outside the realistic preset)
+for kib in 49152 ""; do
+  BENCH_SKIP_PROBE=1 BENCH_CASES=baseline BENCH_FRAMES=8 BENCH_BUDGET=500 \
+    ORT_SCOPED_VMEM_KIB=$kib timeout 600 python bench.py 2>&1 \
+    | sed "s/^{/{\"vmem\": \"${kib:-off}\", /" | tee -a /tmp/r3k_vmem.log
+done
+
 # 2b. MT precision x3 A/B: the single-pass k=48 bf16_3x form vs the
 #     6-pass default (PERF.md chunk-study section: projected ~-1.6 ms
 #     on the trace at baseline, more on cf_close).  Checksum drift
