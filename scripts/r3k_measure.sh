@@ -52,6 +52,18 @@ for mp in highest x3 mixed; do
     2>&1 | sed "s/^{/{\"mt\": \"$mp\", /" | tee -a /tmp/r3k_mt.log
 done
 
+# 2c. SVGF schedule under the 48M scoped-vmem default: the r3j probes
+#     showed the BH=32 kernel's working set (~33-38M) exceeds only the
+#     OLD 16M cap — with 48M default, re-price the 1.5x-less-overread
+#     schedule vs the proven BH=8 (full preset carries the kernel)
+for sv in "8 0" "16 1" "32 1"; do
+  set -- $sv
+  BENCH_SKIP_PROBE=1 BENCH_CASES=full BENCH_FRAMES=8 BENCH_BUDGET=900 \
+    BENCH_TIMEOUT=800 ORT_SVGF_BH=$1 ORT_SVGF_DB=$2 \
+    timeout 1000 python bench.py 2>&1 \
+    | sed "s/^{/{\"svgf\": \"$1-$2\", /" | tee -a /tmp/r3k_svgf.log
+done
+
 # 3. 16-frame dispatch-amortization check vs the 4-frame canary
 BENCH_SKIP_PROBE=1 BENCH_CASES=baseline BENCH_FRAMES=16 BENCH_BUDGET=500 \
   timeout 600 python bench.py 2>&1 | tee /tmp/r3k_frames16.log
