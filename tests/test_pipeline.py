@@ -211,3 +211,26 @@ def test_analytic_tile_gate_bit_identical(monkeypatch):
     tiny = frame(1e-6)  # K=1 < occupied tiles -> runtime dense fallback
     np.testing.assert_allclose(gated, dense, rtol=0, atol=2.4e-7)
     np.testing.assert_allclose(tiny, dense, rtol=0, atol=2.4e-7)
+
+
+def test_frame_jit_options_plumbing(monkeypatch):
+    """ORT_SCOPED_VMEM_KIB reaches jax.jit as compiler_options on TPU
+    and stays empty elsewhere (the realistic-preset scoped-vmem fix,
+    PERF.md r3j; the flag must ride the compile request because env
+    XLA_FLAGS may not reach the remote axon compiler)."""
+    import jax
+    from opengl_raytracing_tpu.models.pipeline import frame_jit_options
+
+    # CPU backend (the test env): always empty, whatever the env says
+    monkeypatch.setenv("ORT_SCOPED_VMEM_KIB", "12345")
+    assert frame_jit_options() == {}
+
+    # TPU backend: default budget applies, env overrides, empty disables
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    assert frame_jit_options() == {
+        "compiler_options": {"xla_tpu_scoped_vmem_limit_kib": "12345"}}
+    monkeypatch.delenv("ORT_SCOPED_VMEM_KIB")
+    assert frame_jit_options() == {
+        "compiler_options": {"xla_tpu_scoped_vmem_limit_kib": "49152"}}
+    monkeypatch.setenv("ORT_SCOPED_VMEM_KIB", "")
+    assert frame_jit_options() == {}
