@@ -590,13 +590,16 @@ def render_frame(params: RenderParams, fin: FrameInputs, state: RenderState,
     # TAA (reference: rt.frag:184-190): zero motion when camera static.
     taa_motion = jnp.where(moved, motion, jnp.zeros_like(motion))
 
-    # Fusion cut (identity): with the BVH hit-shading gate on, XLA fused
-    # the gate's scatter-back with the TAA gather into one loop fusion
-    # whose scoped VMEM overflowed at 1080p on TPU (35.7M vs the 16M
-    # limit; "please file a bug against XLA") — realistic preset only
-    # (SVGF off changes downstream fusion grouping; full was fine).
-    # optimization_barrier pins the stage boundary; ORT_TAA_BARRIER
-    # forces either way for A/B.
+    # Fusion cut (identity): with the BVH hit-shading gate on at 1080p,
+    # the realistic preset trips a 35.69M scoped-vmem loop fusion
+    # ("please file a bug against XLA"; SVGF off changes downstream
+    # fusion grouping — full is unaffected).  This barrier at the TAA
+    # boundary was the first attempt and did NOT remove the fusion
+    # (r3i/r3j: same failure with the barrier active); the WORKING fix
+    # is the raised per-jit scoped-vmem budget (frame_jit_options).
+    # The barrier stays: it is identity, and it pins the stage boundary
+    # for the hlo_audit stage attribution.  ORT_TAA_BARRIER forces
+    # either way for A/B.
     bar = os.environ.get("ORT_TAA_BARRIER", "")
     if bar == "1" or (bar != "0" and use_bvh and _bvh_gate_frac() > 0):
         curr, taa_motion, hist = jax.lax.optimization_barrier(
