@@ -348,7 +348,11 @@ def main() -> int:
     cases = (os.environ["BENCH_CASES"].split(",")
              if "BENCH_CASES" in os.environ
              else PRESET_CASES + ["an_baseline", "an_full", "moving",
-                                  "cf_close", "cf_far"])
+                                  # cf_far before cf_close: the close
+                                  # camera is the slowest, wedge-prone
+                                  # child (r3k: timeout at 800s) — bank
+                                  # the cheap case before risking it
+                                  "cf_far", "cf_close"])
 
     # Liveness pre-gate: when the worker is already unreachable (it can
     # wedge for hours), fail each case fast instead of burning the whole
