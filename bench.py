@@ -392,7 +392,7 @@ def main() -> int:
     # settings so the benchmark still records a real number.
     SAFE = {"ORT_SPARSE_GRID": "0", "ORT_SWIZZLE": "0",
             "ORT_MT_PRECISION": "highest", "ORT_SMEM_ORIGIN": "0",
-            "ORT_SHARED_SHADOW_ORIGIN": "0",
+            "ORT_SHARED_SHADOW_ORIGIN": "0", "ORT_PAGE_TCAP": "0",
             # r3i: the restructured SVGF schedule (BH=32 + slab double
             # buffer) fails Mosaic compile on TPU; the r2 schedule is
             # proven on silicon (full preset 43.5 ms)

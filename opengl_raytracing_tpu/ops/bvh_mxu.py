@@ -138,6 +138,24 @@ SHARED_SHADOW_ORIGIN = os.environ.get(
 # enables (hardware A/B pending; flip the default if it wins).
 DEFER_NORMAL = os.environ.get("ORT_DEFER_NORMAL", "0") == "1"
 
+# Inter-page t-pruning for the multi-page closest-hit walk: after each
+# page's kernel, the per-tile max of the running best-t caps the NEXT
+# page's chunk-range cull (`t_cap` in _tile_chunk_ranges — the same
+# test the shadow path has always used with its t_max).  Exact: a
+# chunk whose conservative slab-entry lower bound exceeds every
+# active lane's current best cannot produce a winner (any triangle
+# inside the chunk AABB hits at t >= the tile's entry bound).  This is
+# the paged analog of the reference's per-ray t-pruned stack walk
+# (rt_bvh.glsl:224-239) at tile granularity: close cameras resolve
+# most lanes at tiny t in the page holding the nearby surface, and the
+# remaining pages cull to near-empty grids — the interval test alone
+# cannot see this (a close camera's diverging tile hulls pass chunks
+# in every page; cf_close measured ~500 ms with full candidate ranges
+# on all 7 pages).  Miss lanes carry INF so their tiles keep full
+# ranges; pad rays miss in O(1) and inactive lanes are masked out.
+# ORT_PAGE_TCAP=0 reverts (bench safe-mode includes it).
+PAGE_TCAP = os.environ.get("ORT_PAGE_TCAP", "1") == "1"
+
 
 def _origin_rows(origin):
     """[8,128] f32 whose rows 0..2 broadcast the shared origin (rows
@@ -950,7 +968,8 @@ def _trace_closest_paged(pages, ro, rd, eps, shared_origin, ordered,
         for page in pages[1:]:
             t1, i1 = _closest_page_rows(page, planes, hulls,
                                         shared_origin, ordered, eps,
-                                        o_rows=o_rows)
+                                        o_rows=o_rows,
+                                        t_cap=_page_cap(t0, act))
             closer = t1 < t0
             t0 = jnp.where(closer, t1, t0)
             # page-local tri index -> offset into the concatenated
@@ -965,13 +984,28 @@ def _trace_closest_paged(pages, ro, rd, eps, shared_origin, ordered,
     for page in pages[1:]:
         t1, x1, y1, z1 = _closest_page_rows(page, planes, hulls,
                                             shared_origin, ordered, eps,
-                                            o_rows=o_rows)
+                                            o_rows=o_rows,
+                                            t_cap=_page_cap(t0, act))
         closer = t1 < t0
         t0 = jnp.where(closer, t1, t0)
         x0 = jnp.where(closer, x1, x0)
         y0 = jnp.where(closer, y1, y0)
         z0 = jnp.where(closer, z1, z0)
     return _assemble_hit((t0, x0, y0, z0), ro, rd, shape, n)
+
+
+def _page_cap(t_rows, act):
+    """Per-tile cap on the NEXT page's chunk cull: max running best-t
+    over the tile's active lanes ([NT,128] -> [NT]).  Miss lanes hold
+    INF (tile keeps full ranges); all-inactive tiles degenerate to
+    -INF, which is harmless — the cull's any_act gate kills them
+    regardless.  None when the knob is off."""
+    if not PAGE_TCAP:
+        return None
+    if act is None:
+        return jnp.max(t_rows, axis=1)
+    a = act.reshape(t_rows.shape[0], TILE_RAYS)
+    return jnp.max(jnp.where(a, t_rows, -INF), axis=1)
 
 
 def trace_bvh_shadow_mxu_paged(mxu, ro, rd, t_max, eps: float = EPS,
@@ -1315,14 +1349,16 @@ def trace_bvh_mxu(mxu: MXUBVH, ro, rd, eps: float = EPS,
 
 
 def _closest_page_rows(mxu: MXUBVH, planes, hulls, shared_origin, ordered,
-                       eps, o_rows=None):
+                       eps, o_rows=None, t_cap=None):
     """One page's closest-hit kernel: flat rows (t, nx, ny, nz), each
     [NT,128].  `planes`/`hulls` are page-independent (computed once by
     the caller).  With `o_rows` (shared-origin fast path) `planes`
-    holds only the 3 direction planes."""
+    holds only the 3 direction planes.  `t_cap` [NT] (inter-page
+    t-pruning, _page_cap) culls chunks no lane's running best-t can
+    reach."""
     nt = planes[0].shape[0]
     subtiles = _subtiles_for(nt)
-    cull = _tile_chunk_ranges(mxu.chunk_bounds, hulls)
+    cull = _tile_chunk_ranges(mxu.chunk_bounds, hulls, t_cap)
     lo, cn = cull[0], cull[1]
     nc = mxu.coef_dt.shape[0]
     if ordered and shared_origin is not None:

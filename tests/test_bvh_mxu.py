@@ -136,6 +136,29 @@ def test_paged_tracing_matches_single_page():
         np.testing.assert_allclose(np.asarray(ref.t)[hit],
                                    np.asarray(got.t)[hit], rtol=1e-5)
 
+    # inter-page t-pruning (ORT_PAGE_TCAP): the capped multi-page walk
+    # must match the uncapped one bit-for-bit on ACTIVE lanes, incl.
+    # with an active mask whose garbage lanes must not poison the cap
+    ro5, rd5 = _rays(7)
+    act = np.zeros(N_RAYS, bool)
+    act[:: 2] = True
+    act = jnp.asarray(act)
+    old_cap = bm.PAGE_TCAP
+    try:
+        bm.PAGE_TCAP = False
+        bm._trace_closest_paged.clear_cache()
+        a = bm.trace_bvh_mxu_paged(paged, ro5, rd5, active=act)
+        bm.PAGE_TCAP = True
+        bm._trace_closest_paged.clear_cache()
+        b = bm.trace_bvh_mxu_paged(paged, ro5, rd5, active=act)
+    finally:
+        bm.PAGE_TCAP = old_cap
+        bm._trace_closest_paged.clear_cache()
+    m = np.asarray(act)
+    np.testing.assert_array_equal(np.asarray(a.valid)[m],
+                                  np.asarray(b.valid)[m])
+    np.testing.assert_array_equal(np.asarray(a.t)[m], np.asarray(b.t)[m])
+
 
 def test_ordered_shared_origin_matches_unordered(scene):
     """Front-to-back ordered walk (shared camera origin) must produce the
