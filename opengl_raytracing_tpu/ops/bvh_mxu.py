@@ -156,6 +156,20 @@ DEFER_NORMAL = os.environ.get("ORT_DEFER_NORMAL", "0") == "1"
 # ORT_PAGE_TCAP=0 reverts (bench safe-mode includes it).
 PAGE_TCAP = os.environ.get("ORT_PAGE_TCAP", "1") == "1"
 
+# Near-first dynamic page order (multiplies the t-cap's effect): pages
+# stack into one [P,...] slab set and a lax.scan walks them through a
+# data-dependent permutation — argsort of each page's AABB distance
+# from the traced camera origin (or the active tiles' origin-hull
+# centroid for per-pixel-origin wavefronts).  The page holding the
+# nearby surface then runs first and every later page culls against
+# an already-tiny cap; the static unrolled order only prunes pages
+# that happen to come later in chunk preorder.  Page visit order is
+# not expressible as a static jit order when the camera moves — the
+# scan + gathered page slabs (~0.2 ms of HBM copy per trace at 7
+# pages) is what buys the dynamic order.  ORT_PAGE_ORDER=1 enables
+# (hardware A/B pending; defer-normal path keeps static order).
+PAGE_ORDER = os.environ.get("ORT_PAGE_ORDER", "0") == "1"
+
 
 def _origin_rows(origin):
     """[8,128] f32 whose rows 0..2 broadcast the shared origin (rows
@@ -960,6 +974,10 @@ def _trace_closest_paged(pages, ro, rd, eps, shared_origin, ordered,
         o_rows = _origin_rows(shared_origin)
     else:
         planes, o_rows = _soa_planes(ro_soa, rd_soa), None
+    if PAGE_ORDER and not DEFER_NORMAL:
+        rows = _scan_pages(pages, planes, hulls, act, shared_origin,
+                           ordered, eps, o_rows)
+        return _assemble_hit(rows, ro, rd, shape, n)
     if DEFER_NORMAL:
         t0, i0 = _closest_page_rows(pages[0], planes, hulls,
                                     shared_origin, ordered, eps,
@@ -992,6 +1010,87 @@ def _trace_closest_paged(pages, ro, rd, eps, shared_origin, ordered,
         y0 = jnp.where(closer, y1, y0)
         z0 = jnp.where(closer, z1, z0)
     return _assemble_hit((t0, x0, y0, z0), ro, rd, shape, n)
+
+
+def _stack_pages(pages):
+    """Tuple of per-page MXUBVH -> ONE MXUBVH of [P,...] stacked slabs,
+    short last page padded to the max chunk count with the standard pad
+    conventions (zero coefs -> det==0 rejects; inverted bounds -> the
+    cull never selects them).  `tris` is not read by the trace kernels
+    and stays empty."""
+    ncm = max(p.coef_dt.shape[0] for p in pages)
+    pad_b = jnp.asarray([1e30, 1e30, 1e30, -1e30, -1e30, -1e30,
+                         0.0, 0.0], jnp.float32)
+
+    def pad_to(a, nc, fill=None):
+        d = ncm - nc
+        if d == 0:
+            return a
+        tail = (jnp.tile(fill[None], (d, 1)) if fill is not None
+                else jnp.zeros((d,) + a.shape[1:], a.dtype))
+        return jnp.concatenate([a, tail])
+
+    def stack(field, fill=None):
+        return jnp.stack([pad_to(getattr(p, field), p.coef_dt.shape[0],
+                                 fill) for p in pages])
+
+    return MXUBVH(stack("coef_uv"), stack("coef_dt"), stack("norms"),
+                  stack("chunk_bounds", pad_b),
+                  jnp.zeros((0,), jnp.float32))
+
+
+def _scan_pages(pages, planes, hulls, act, shared_origin, ordered, eps,
+                o_rows):
+    """Near-first dynamic-order page walk (ORT_PAGE_ORDER): scan the
+    stacked pages through an argsort-by-AABB-distance permutation,
+    feeding each page the running best-t cap.  Returns flat rows
+    (t, nx, ny, nz)."""
+    st = _stack_pages(pages)
+    nt = planes[0].shape[0]
+    if shared_origin is not None:
+        org = jnp.asarray(shared_origin, jnp.float32)
+    else:
+        # per-pixel origins (GI bounce): page distance from the active
+        # tiles' origin-hull centroid — exactness is irrelevant, any
+        # roughly-near-first order multiplies the cap
+        axes, any_act = hulls
+
+        def cmean(k):
+            c = 0.5 * (axes[k][0] + axes[k][1])
+            if any_act is None:
+                return jnp.mean(c)
+            w = any_act.astype(jnp.float32)
+            return jnp.sum(c * w) / jnp.maximum(jnp.sum(w), 1.0)
+
+        org = jnp.stack([cmean(0), cmean(1), cmean(2)])
+    valid = st.chunk_bounds[:, :, 0] <= st.chunk_bounds[:, :, 3]
+    bmin = jnp.min(jnp.where(valid[..., None],
+                             st.chunk_bounds[:, :, 0:3], INF), axis=1)
+    bmax = jnp.max(jnp.where(valid[..., None],
+                             st.chunk_bounds[:, :, 3:6], -INF), axis=1)
+    nearest = jnp.clip(org[None, :], bmin, bmax)
+    perm = jnp.argsort(
+        jnp.sum((nearest - org[None, :]) ** 2, axis=1)).astype(jnp.int32)
+    no_tris = jnp.zeros((0,), jnp.float32)
+
+    def step(carry, p):
+        page = MXUBVH(st.coef_uv[p], st.coef_dt[p], st.norms[p],
+                      st.chunk_bounds[p], no_tris)
+        t1, x1, y1, z1 = _closest_page_rows(
+            page, planes, hulls, shared_origin, ordered, eps,
+            o_rows=o_rows, t_cap=_page_cap(carry[0], act))
+        t0, x0, y0, z0 = carry
+        closer = t1 < t0
+        return (jnp.where(closer, t1, t0), jnp.where(closer, x1, x0),
+                jnp.where(closer, y1, y0),
+                jnp.where(closer, z1, z0)), None
+
+    init = (jnp.full((nt, TILE_RAYS), INF, jnp.float32),
+            jnp.zeros((nt, TILE_RAYS), jnp.float32),
+            jnp.zeros((nt, TILE_RAYS), jnp.float32),
+            jnp.zeros((nt, TILE_RAYS), jnp.float32))
+    carry, _ = jax.lax.scan(step, init, perm)
+    return carry
 
 
 def _page_cap(t_rows, act):
@@ -1057,8 +1156,22 @@ def _trace_shadow_paged(pages, ro, rd, t_max, eps, active, shared_k=0):
     t_cap, hulls, planes = _shadow_stream(ro_soa, rd_soa, tm, act)
     occ = _shadow_page_rows(pages[0], planes, hulls, t_cap, eps)
     for page in pages[1:]:
+        # inter-page any-hit early-out (the shadow analog of
+        # _page_cap): a tile whose active lanes are ALL already
+        # occluded poisons its cap to -INF, so the next page's cull
+        # drops it entirely.  Lanes with t_max <= 0 (collapsed/
+        # inactive windows) count as done; pad lanes are excluded via
+        # their negative sentinel t_max.
+        if PAGE_TCAP:
+            nt = occ.shape[0]
+            need = (occ < 0.5) & (tm.reshape(nt, TILE_RAYS) > 0.0)
+            if act is not None:
+                need = need & act.reshape(nt, TILE_RAYS)
+            cap_p = jnp.where(jnp.any(need, axis=1), t_cap, -INF)
+        else:
+            cap_p = t_cap
         occ = jnp.maximum(occ, _shadow_page_rows(page, planes, hulls,
-                                                 t_cap, eps))
+                                                 cap_p, eps))
     return _shadow_unpack(occ, shape, n, layout)
 
 

@@ -159,6 +159,32 @@ def test_paged_tracing_matches_single_page():
                                   np.asarray(b.valid)[m])
     np.testing.assert_array_equal(np.asarray(a.t)[m], np.asarray(b.t)[m])
 
+    # near-first dynamic page order (ORT_PAGE_ORDER): the lax.scan walk
+    # over stacked pages must match the static unrolled walk on every
+    # flavor — per-pixel origins, shared-origin SMEM fast path, and an
+    # active mask (hull-centroid distance source)
+    old_ord = bm.PAGE_ORDER
+    try:
+        bm.PAGE_ORDER = True
+        bm._trace_closest_paged.clear_cache()
+        for kw, mref in (
+                (dict(), None),
+                (dict(shared_origin=origin), None),
+                (dict(active=act), m)):
+            ro_k = ro_s if "shared_origin" in kw else ro
+            want = bm.trace_bvh_mxu_paged(single, ro_k, rd, **kw)
+            got = bm.trace_bvh_mxu_paged(paged, ro_k, rd, **kw)
+            sl = slice(None) if mref is None else mref
+            np.testing.assert_array_equal(np.asarray(want.valid)[sl],
+                                          np.asarray(got.valid)[sl])
+            hitm = np.asarray(want.valid) & (np.ones(N_RAYS, bool)
+                                             if mref is None else mref)
+            np.testing.assert_allclose(np.asarray(want.t)[hitm],
+                                       np.asarray(got.t)[hitm], rtol=1e-5)
+    finally:
+        bm.PAGE_ORDER = old_ord
+        bm._trace_closest_paged.clear_cache()
+
 
 def test_ordered_shared_origin_matches_unordered(scene):
     """Front-to-back ordered walk (shared camera origin) must produce the
