@@ -1,0 +1,351 @@
+"""Analytic direct-lighting megakernel: the whole `direct_light` tree in
+ONE Pallas pass over 128-lane pixel tiles.
+
+The reference evaluates its analytic scene in a single fragment shader —
+per-pixel disk/sun/point shadow traces and BRDF sums live entirely in
+registers (reference: shaders/rt/rt_lighting.glsl:313-395 +
+rt_scene_analytic.glsl:132-167).  The jnp transcription is correct but
+traffic-bound on TPU: the CPU cost audit puts ONE full-lane
+`direct_light` at ~7.1 GB of [S,H,W,3] intermediates (S=4 disk
+occlusion closest-traces ~2.0 GB, the BRDF sum ~2.0 GB, sun+point
+~1.9 GB), and the an_full frame calls it at the primary hits, at the
+GI bounce hits, and (tile-gated) three more times in the glass tree —
+~45 ms measured per full-lane call on the dev slice.
+
+This kernel keeps everything per-pixel in VMEM/registers exactly like
+the fragment shader: the 5-primitive closest-hit, the 4-sample disk
+loop, sun/sky/point terms, and the final material-type select.  Only
+the parts whose exactness is anchored elsewhere stay outside and
+stream in as planes:
+  * the RNG-driven unit-disk offsets (lighting._disk_offsets — the
+    quirk-exact hash/sin chain the oracle tests pin),
+  * the environment reflection `sky(reflect(-v, n))` (cubemap gather —
+    the flat row-gather form is already measured ~1.2 ms/2M rays),
+  * the material table planes (get_material — elementwise, fuses into
+    its producers).
+Streaming those is ~190 MB/frame against the ~7 GB it replaces.
+
+Scene geometry is compile-time constant (constants.py) except the
+point-light position (orbit — traced), which rides a tiny [8,128]
+broadcast-constant block like bvh_mxu's SMEM origin rows.
+
+ORT_AN_PALLAS=1 enables (hardware A/B pending); falls back to the jnp
+path off-TPU unless ORT_FORCE_MXU forces interpret mode.  Matches
+lighting.direct_light to VPU-rounding (op-for-op transcription; Mosaic
+transcendental lowering may differ in ULPs from XLA's — same drift
+class as the documented x3/bf16 wobble).
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+
+from ..constants import (EPS, PI, INF, SOFT_SHADOW_SAMPLES, LIGHT_CENTER,
+                         LIGHT_RADIUS, LIGHT_COLOR, FLOOR_NORMAL, FLOOR_D,
+                         SPHERE_LEFT_CENTER, SPHERE_LEFT_RADIUS,
+                         GLASS_CENTER, GLASS_RADIUS, MIRROR_CENTER,
+                         MIRROR_RADIUS, POINT_LIGHT_MARKER_RADIUS)
+
+LANES = 128
+# Rows of every plane processed per grid step.  The unrolled 4-sample
+# body keeps tens of [BLOCK,128] f32 temporaries live and Mosaic does
+# not aggressively reuse them (the SVGF BH=32 lesson) — 64 rows keeps
+# the worst-case working set well under the 16 MB VMEM budget.
+BLOCK = int(os.environ.get("ORT_AN_BLOCK", "64"))
+
+AN_PALLAS = os.environ.get("ORT_AN_PALLAS", "0") == "1"
+
+
+def _enabled() -> bool:
+    if not AN_PALLAS:
+        return False
+    if os.environ.get("ORT_FORCE_MXU", "") == "1":
+        return True
+    return jax.default_backend() == "tpu"
+
+
+def _use_interpret() -> bool:
+    return jax.default_backend() != "tpu"
+
+
+def _dot3(ax, ay, az, bx, by, bz):
+    return ax * bx + ay * by + az * bz
+
+
+def _norm3(x, y, z, eps=1e-12):
+    ln = jnp.sqrt(jnp.maximum(_dot3(x, y, z, x, y, z), 0.0))
+    ln = jnp.maximum(ln, eps)
+    return x / ln, y / ln, z / ln
+
+
+def _trace_t(ox, oy, oz, dx, dy, dz, point_pos, include_marker: bool,
+             eps: float):
+    """Closest-hit t (INF = miss) against the analytic scene — the
+    kernel-side transcription of scene_analytic.trace_analytic_core
+    with only the t bookkeeping (occlusion queries never need
+    normals/materials).  reference: rt_scene_analytic.glsl:132-167."""
+    fnx, fny, fnz = FLOOR_NORMAL
+    denom = _dot3(dx, dy, dz, fnx, fny, fnz)
+    safe = jnp.where(jnp.abs(denom) < 1e-6, 1.0, denom)
+    t = -(_dot3(ox, oy, oz, fnx, fny, fnz) + FLOOR_D) / safe
+    valid = (jnp.abs(denom) >= 1e-6) & (t >= eps)
+    best = jnp.where(valid, t, INF)
+
+    def sphere(best, cx, cy, cz, radius):
+        ocx, ocy, ocz = ox - cx, oy - cy, oz - cz
+        b = _dot3(ocx, ocy, ocz, dx, dy, dz)
+        c2 = _dot3(ocx, ocy, ocz, ocx, ocy, ocz) - radius * radius
+        disc = b * b - c2
+        s = jnp.sqrt(jnp.maximum(disc, 0.0))
+        t_near = -b - s
+        t_far = -b + s
+        t = jnp.where(t_near < eps, t_far, t_near)
+        valid = (disc >= 0.0) & (t >= eps)
+        return jnp.minimum(best, jnp.where(valid, t, INF))
+
+    best = sphere(best, *SPHERE_LEFT_CENTER, SPHERE_LEFT_RADIUS)
+    best = sphere(best, *GLASS_CENTER, GLASS_RADIUS)
+    best = sphere(best, *MIRROR_CENTER, MIRROR_RADIUS)
+    if include_marker:
+        best = sphere(best, point_pos[0], point_pos[1], point_pos[2],
+                      POINT_LIGHT_MARKER_RADIUS)
+    return best
+
+
+def _lambert_phong(nx, ny, nz, vx, vy, vz, lx, ly, lz, lir, lig, lib,
+                   ar, ag, ab, spec_strength, gloss):
+    """shade_lambert_phong, component form (rt_lighting.glsl:78-98)."""
+    ndl = jnp.maximum(_dot3(nx, ny, nz, lx, ly, lz), 0.0)
+    kd = ndl / PI
+    hx, hy, hz = _norm3(lx + vx, ly + vy, lz + vz)
+    ndh = jnp.maximum(_dot3(nx, ny, nz, hx, hy, hz), 0.0)
+    phong = jnp.power(ndh, gloss)
+    spec = jnp.where(spec_strength > 0.0, spec_strength * phong, 0.0)
+    lit = ndl > 0.0
+    outr = jnp.where(lit, (ar * kd + spec) * lir, 0.0)
+    outg = jnp.where(lit, (ag * kd + spec) * lig, 0.0)
+    outb = jnp.where(lit, (ab * kd + spec) * lib, 0.0)
+    return outr, outg, outb
+
+
+# Disk light frame (host-side float constants; see lighting.LIGHT_T/B)
+def _light_frame():
+    import numpy as np
+    from . import lighting as lt
+    return (tuple(float(v) for v in lt.LIGHT_N),
+            tuple(float(v) for v in lt.LIGHT_T),
+            tuple(float(v) for v in lt.LIGHT_B))
+
+
+def _kernel(consts_ref, *refs, sun_e: bool, sky_e: bool, point_e: bool,
+            eps: float, n_in: int):
+    (px_, py_, pz_, nx_, ny_, nz_, vx_, vy_, vz_,
+     ar_, ag_, ab_, sp_, gl_, mt_, sr_, sg_, sb_) = refs[0:18]
+    offs = refs[18:18 + 2 * SOFT_SHADOW_SAMPLES]
+    outr_ref, outg_ref, outb_ref = refs[n_in:n_in + 3]
+
+    def c(row):
+        # one broadcast scalar per row of the [8,128] consts block
+        return consts_ref[row, 0]
+
+    point_pos = (c(0), c(1), c(2))
+    sun_lx, sun_ly, sun_lz = c(3), c(4), c(5)          # l = -sun_dir
+    sky_ux, sky_uy, sky_uz = c(6), c(7), c(8)
+    sun_lir, sun_lig, sun_lib = c(9), c(10), c(11)
+    sky_lir, sky_lig, sky_lib = c(12), c(13), c(14)
+    pt_cr, pt_cg, pt_cb = c(15), c(16), c(17)
+
+    px, py, pz = px_[:, :], py_[:, :], pz_[:, :]
+    nx, ny, nz = nx_[:, :], ny_[:, :], nz_[:, :]
+    vx, vy, vz = vx_[:, :], vy_[:, :], vz_[:, :]
+    ar, ag, ab = ar_[:, :], ag_[:, :], ab_[:, :]
+    spec, gloss, mt = sp_[:, :], gl_[:, :], mt_[:, :]
+    skyr, skyg, skyb = sr_[:, :], sg_[:, :], sb_[:, :]
+
+    ln, ltv, lb = _light_frame()
+    lcx, lcy, lcz = LIGHT_CENTER
+
+    accr = jnp.zeros_like(px)
+    accg = jnp.zeros_like(px)
+    accb = jnp.zeros_like(px)
+    for i in range(SOFT_SHADOW_SAMPLES):
+        dxo = offs[2 * i][:, :] * LIGHT_RADIUS
+        dyo = offs[2 * i + 1][:, :] * LIGHT_RADIUS
+        xlx = lcx + ltv[0] * dxo + lb[0] * dyo
+        xly = lcy + ltv[1] * dxo + lb[1] * dyo
+        xlz = lcz + ltv[2] * dxo + lb[2] * dyo
+        dex, dey, dez = xlx - px, xly - py, xlz - pz
+        # occlusion (lighting._segment_shadow_query + occluded_toward)
+        max_t = jnp.sqrt(jnp.maximum(
+            _dot3(dex, dey, dez, dex, dey, dez), 0.0))
+        inv = 1.0 / jnp.maximum(max_t, 1e-12)
+        rdx, rdy, rdz = dex * inv, dey * inv, dez * inv
+        seps = jnp.maximum(1e-4, 1e-3 * max_t)
+        t_hit = _trace_t(px + rdx * seps, py + rdy * seps,
+                         pz + rdz * seps, rdx, rdy, rdz, point_pos,
+                         point_e, eps)
+        occ = t_hit < (max_t - seps)
+        # BRDF (lighting._disk_light_sum body)
+        lx, ly, lz = _norm3(dex, dey, dez)
+        ndl = jnp.maximum(_dot3(nx, ny, nz, lx, ly, lz), 0.0)
+        ctl = jnp.maximum(_dot3(lx, ly, lz, -ln[0], -ln[1], -ln[2]), 0.0)
+        r2 = jnp.maximum(_dot3(dex, dey, dez, dex, dey, dez), 1e-4)
+        geom = ndl * ctl / r2
+        gv = jnp.where(occ, 0.0, geom)
+        sr_i, sg_i, sb_i = _lambert_phong(
+            nx, ny, nz, vx, vy, vz, lx, ly, lz,
+            LIGHT_COLOR[0] * gv, LIGHT_COLOR[1] * gv,
+            LIGHT_COLOR[2] * gv, ar, ag, ab, spec, gloss)
+        accr = accr + sr_i
+        accg = accg + sg_i
+        accb = accb + sb_i
+    inv_s = 1.0 / float(SOFT_SHADOW_SAMPLES)
+    accr, accg, accb = accr * inv_s, accg * inv_s, accb * inv_s
+
+    is_diffuse = mt < 0.5
+    spec_d = jnp.where(is_diffuse, spec, 0.0)
+    if sun_e:
+        # _sun_shadow_query: epsForDist(1000) == 1.0
+        # jnp path: blocked = trace(origin, l).valid — ANY hit, no
+        # window compare (sun_direct:104)
+        t_hit = _trace_t(px + nx * 1.0, py + ny * 1.0, pz + nz * 1.0,
+                         sun_lx, sun_ly, sun_lz, point_pos, point_e, eps)
+        blocked = t_hit < INF
+        sr_i, sg_i, sb_i = _lambert_phong(
+            nx, ny, nz, vx, vy, vz, sun_lx, sun_ly, sun_lz,
+            sun_lir, sun_lig, sun_lib, ar, ag, ab, spec_d, gloss)
+        ndl = jnp.maximum(_dot3(nx, ny, nz, sun_lx, sun_ly, sun_lz), 0.0)
+        lit = (ndl > 0.0) & jnp.logical_not(blocked)
+        accr = accr + jnp.where(lit, sr_i, 0.0)
+        accg = accg + jnp.where(lit, sg_i, 0.0)
+        accb = accb + jnp.where(lit, sb_i, 0.0)
+
+    skydr = skydg = skydb = None
+    if sky_e:
+        ndl = jnp.maximum(_dot3(nx, ny, nz, sky_ux, sky_uy, sky_uz), 0.0)
+        kd = ndl / PI
+        skydr = ar * kd * sky_lir
+        skydg = ag * kd * sky_lig
+        skydb = ab * kd * sky_lib
+        accr, accg, accb = accr + skydr, accg + skydg, accb + skydb
+
+    if point_e:
+        tlx = point_pos[0] - px
+        tly = point_pos[1] - py
+        tlz = point_pos[2] - pz
+        dist2 = _dot3(tlx, tly, tlz, tlx, tly, tlz)
+        dist = jnp.sqrt(jnp.maximum(dist2, 1e-20))
+        lx, ly, lz = tlx / dist, tly / dist, tlz / dist
+        ndl = jnp.maximum(_dot3(nx, ny, nz, lx, ly, lz), 0.0)
+        # shadow ray toward the bulb ignores the marker sphere
+        peps = jnp.maximum(1e-4, 1e-3 * dist)
+        t_hit = _trace_t(px + lx * peps, py + ly * peps, pz + lz * peps,
+                         lx, ly, lz, point_pos, False, eps)
+        blocked = t_hit < (dist - peps)
+        fall = 1.0 / jnp.maximum(dist2, 1e-4)
+        sr_i, sg_i, sb_i = _lambert_phong(
+            nx, ny, nz, vx, vy, vz, lx, ly, lz,
+            pt_cr * fall, pt_cg * fall, pt_cb * fall,
+            ar, ag, ab, spec_d, gloss)
+        ok = (dist2 > 1e-6) & (ndl > 0.0) & jnp.logical_not(blocked)
+        accr = accr + jnp.where(ok, sr_i, 0.0)
+        accg = accg + jnp.where(ok, sg_i, 0.0)
+        accb = accb + jnp.where(ok, sb_i, 0.0)
+
+    # material-type select (direct_light:222-238): mirror = tinted env
+    # reflection; glass = env reflection + sky diffuse
+    mirr_r, mirr_g, mirr_b = skyr * ar, skyg * ag, skyb * ab
+    if sky_e:
+        glas_r = mirr_r + skydr
+        glas_g = mirr_g + skydg
+        glas_b = mirr_b + skydb
+    else:
+        glas_r, glas_g, glas_b = mirr_r, mirr_g, mirr_b
+    is_mirror = (mt > 0.5) & (mt < 1.5)
+    is_glass = mt > 1.5
+    outr = jnp.where(is_mirror, mirr_r, jnp.where(is_glass, glas_r, accr))
+    outg = jnp.where(is_mirror, mirr_g, jnp.where(is_glass, glas_g, accg))
+    outb = jnp.where(is_mirror, mirr_b, jnp.where(is_glass, glas_b, accb))
+    outr_ref[:, :] = outr
+    outg_ref[:, :] = outg
+    outb_ref[:, :] = outb
+
+
+def direct_light_pallas(scene, h, rng_frame, frame_index, vdir, px, py):
+    """Drop-in for lighting.direct_light (analytic scenes).  See module
+    docstring; reference: rt_lighting.glsl:313-395."""
+    from .materials import get_material
+    from .vecmath import normalize, reflect
+    from . import lighting as lt
+
+    params = scene.params
+    shape = jnp.shape(h.t)
+    n = normalize(h.n)
+    v = normalize(vdir)
+    mat = get_material(h.mat, params)
+    r = reflect(-v, n)
+    sky_r = scene.sky(r)
+    offs = lt._disk_offsets(rng_frame, frame_index, px, py)
+
+    sun_li = (jnp.asarray(params.sun_color, jnp.float32)
+              * params.sun_intensity)
+    sky_li = (jnp.asarray(params.sky_color, jnp.float32)
+              * params.sky_intensity)
+    pt_li = (jnp.asarray(params.point_light_color, jnp.float32)
+             * params.point_light_intensity)
+    consts = jnp.concatenate([
+        jnp.asarray(scene.point_light_pos, jnp.float32).reshape(3),
+        (-scene.sun_dir).reshape(3), scene.sky_up.reshape(3),
+        sun_li.reshape(3), sky_li.reshape(3), pt_li.reshape(3),
+        jnp.zeros(6, jnp.float32)])
+    consts = jnp.broadcast_to(consts.reshape(24, 1), (24, LANES))
+
+    def plane(a):
+        return a.reshape(-1)
+
+    planes = [plane(h.p[..., 0]), plane(h.p[..., 1]), plane(h.p[..., 2]),
+              plane(n[..., 0]), plane(n[..., 1]), plane(n[..., 2]),
+              plane(jnp.broadcast_to(v[..., 0], shape)),
+              plane(jnp.broadcast_to(v[..., 1], shape)),
+              plane(jnp.broadcast_to(v[..., 2], shape)),
+              plane(mat.albedo[..., 0]), plane(mat.albedo[..., 1]),
+              plane(mat.albedo[..., 2]),
+              plane(jnp.broadcast_to(mat.spec_strength, shape)),
+              plane(jnp.broadcast_to(mat.gloss, shape)),
+              plane(mat.mtype.astype(jnp.float32)),
+              plane(sky_r[..., 0]), plane(sky_r[..., 1]),
+              plane(sky_r[..., 2])]
+    for dx, dy in offs:
+        planes.append(plane(jnp.broadcast_to(dx, shape)))
+        planes.append(plane(jnp.broadcast_to(dy, shape)))
+
+    n_px = planes[0].shape[0]
+    group = LANES * BLOCK
+    pad = -n_px % group
+    nt = (n_px + pad) // LANES
+    planes = [jnp.pad(a, (0, pad)).reshape(nt, LANES) for a in planes]
+
+    n_in = len(planes)
+    kern = functools.partial(
+        _kernel, sun_e=bool(params.sun_enabled),
+        sky_e=bool(params.sky_enabled),
+        point_e=bool(params.point_light_enabled), eps=EPS, n_in=n_in)
+    grid = (nt // BLOCK,)
+    in_specs = ([pl.BlockSpec((24, LANES), lambda b: (0, 0))]
+                + [pl.BlockSpec((BLOCK, LANES), lambda b: (b, 0))] * n_in)
+    out_specs = [pl.BlockSpec((BLOCK, LANES), lambda b: (b, 0))] * 3
+    outs = pl.pallas_call(
+        kern,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=[jax.ShapeDtypeStruct((nt, LANES), jnp.float32)] * 3,
+        interpret=_use_interpret(),
+    )(consts, *planes)
+    rgb = [o.reshape(-1)[:n_px].reshape(shape) for o in outs]
+    return jnp.stack(rgb, axis=-1)

@@ -158,21 +158,30 @@ def point_direct(scene: SceneCtx, h, mat, vdir, blocked=None):
     return jnp.where(ok[..., None], out, 0.0)
 
 
-def _disk_samples(rng_frame, frame_index, px, py):
-    """The SOFT_SHADOW_SAMPLES world-space disk points per pixel
-    (reference: rt_lighting.glsl:359-371)."""
+def _disk_offsets(rng_frame, frame_index, px, py):
+    """The per-pixel unit-disk offsets (dx, dy) behind _disk_samples —
+    shared with the analytic Pallas megakernel, which reconstructs the
+    world-space points in-kernel with the identical FMA order."""
     rot_x, rot_y = cp_offset(px, py, frame_index)
-    center = const3(LIGHT_CENTER)
-    t_axis = jnp.asarray(LIGHT_T)
-    b_axis = jnp.asarray(LIGHT_B)
-    xls = []
+    offs = []
     for i in range(SOFT_SHADOW_SAMPLES):
         ux = rand(px + float(i), py + float(i), rng_frame)
         off = float(31 * i + 7)
         uy = rand(py + off, px + off, rng_frame)
         ux = jnp.mod(ux + rot_x, 1.0)
         uy = jnp.mod(uy + rot_y, 1.0)
-        dx, dy = concentric_sample(ux, uy)
+        offs.append(concentric_sample(ux, uy))
+    return offs
+
+
+def _disk_samples(rng_frame, frame_index, px, py):
+    """The SOFT_SHADOW_SAMPLES world-space disk points per pixel
+    (reference: rt_lighting.glsl:359-371)."""
+    center = const3(LIGHT_CENTER)
+    t_axis = jnp.asarray(LIGHT_T)
+    b_axis = jnp.asarray(LIGHT_B)
+    xls = []
+    for dx, dy in _disk_offsets(rng_frame, frame_index, px, py):
         xls.append(center + t_axis * (dx * LIGHT_RADIUS)[..., None]
                    + b_axis * (dy * LIGHT_RADIUS)[..., None])
     return xls
@@ -213,7 +222,16 @@ def direct_light(scene: SceneCtx, h, rng_frame, frame_index, vdir, px, py):
 
     Secondary-hit mirror/glass are approximated by environment reflections
     (no recursion), matching the reference exactly.
+
+    ORT_AN_PALLAS=1 routes the whole tree through the fused Pallas
+    megakernel (ops/an_pallas.py) — same math, ~190 MB of streams
+    instead of ~7 GB of XLA intermediates per full-lane call.
     """
+    from .an_pallas import _enabled as _an_pallas_enabled
+    if _an_pallas_enabled():
+        from .an_pallas import direct_light_pallas
+        return direct_light_pallas(scene, h, rng_frame, frame_index,
+                                   vdir, px, py)
     params = scene.params
     n = normalize(h.n)
     mat = get_material(h.mat, params)
