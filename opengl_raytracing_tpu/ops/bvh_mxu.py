@@ -84,7 +84,11 @@ KDIM = 16            # MT feature dim fed to the matmul (10 used + tmax)
 _PREC = {"default": jax.lax.Precision.DEFAULT,
          "highest": jax.lax.Precision.HIGHEST,
          "x3": jax.lax.Precision.DEFAULT}
-_MT_MODE = os.environ.get("ORT_MT_PRECISION", "highest")
+# Default x3 (r3k/r3l paired A/Bs: baseline 13.02 vs 16.54 ms, then
+# 11.10 ms in the r3l nine-case record; realistic 22.87 vs 30.55;
+# heavy 53.66 vs 68.73; cf_close within noise — checksum drift 3.2e-4
+# relative, inside the documented bf16_3x t-error bound).
+_MT_MODE = os.environ.get("ORT_MT_PRECISION", "x3")
 MT_X3 = _MT_MODE == "x3"
 K_EFF = 48 if MT_X3 else KDIM
 MT_PREC_UV = _PREC["default" if _MT_MODE == "mixed" else _MT_MODE]
