@@ -276,6 +276,190 @@ def _kernel(consts_ref, *refs, sun_e: bool, sky_e: bool, point_e: bool,
     outb_ref[:, :] = outb
 
 
+BVH_BRDF_PALLAS = os.environ.get("ORT_BVH_BRDF_PALLAS", "0") == "1"
+
+
+def _brdf_enabled() -> bool:
+    if not BVH_BRDF_PALLAS:
+        return False
+    if os.environ.get("ORT_FORCE_MXU", "") == "1":
+        return True
+    return jax.default_backend() == "tpu"
+
+
+def _kernel_bvh(consts_ref, *refs, sun_e: bool, sky_e: bool,
+                point_e: bool, n_in: int):
+    """direct_light_bvh's BRDF tree (rt_lighting.glsl:405-460) with the
+    occlusion bits streamed from the any-hit MXU kernel.  Material is
+    the compile-time white plastic (BVH_ALBEDO/SPEC/GLOSS)."""
+    from ..constants import BVH_ALBEDO, BVH_SPEC_STRENGTH, BVH_GLOSS
+
+    (px_, py_, pz_, nx_, ny_, nz_, vx_, vy_, vz_) = refs[0:9]
+    i = 9
+    offs = refs[i:i + 2 * SOFT_SHADOW_SAMPLES]
+    i += 2 * SOFT_SHADOW_SAMPLES
+    occd = refs[i:i + SOFT_SHADOW_SAMPLES]
+    i += SOFT_SHADOW_SAMPLES
+    occ_sun = occ_pt = None
+    if sun_e:
+        occ_sun = refs[i]
+        i += 1
+    if point_e:
+        occ_pt = refs[i]
+        i += 1
+    outr_ref, outg_ref, outb_ref = refs[n_in:n_in + 3]
+
+    def c(row):
+        return consts_ref[row, 0]
+
+    point_pos = (c(0), c(1), c(2))
+    sun_lx, sun_ly, sun_lz = c(3), c(4), c(5)
+    sky_ux, sky_uy, sky_uz = c(6), c(7), c(8)
+    sun_lir, sun_lig, sun_lib = c(9), c(10), c(11)
+    sky_lir, sky_lig, sky_lib = c(12), c(13), c(14)
+    pt_cr, pt_cg, pt_cb = c(15), c(16), c(17)
+
+    px, py, pz = px_[:, :], py_[:, :], pz_[:, :]
+    nx, ny, nz = nx_[:, :], ny_[:, :], nz_[:, :]
+    vx, vy, vz = vx_[:, :], vy_[:, :], vz_[:, :]
+    ar, ag, ab = BVH_ALBEDO
+    spec, gloss = BVH_SPEC_STRENGTH, BVH_GLOSS
+
+    ln, ltv, lb = _light_frame()
+    lcx, lcy, lcz = LIGHT_CENTER
+
+    accr = jnp.zeros_like(px)
+    accg = jnp.zeros_like(px)
+    accb = jnp.zeros_like(px)
+    for i_s in range(SOFT_SHADOW_SAMPLES):
+        dxo = offs[2 * i_s][:, :] * LIGHT_RADIUS
+        dyo = offs[2 * i_s + 1][:, :] * LIGHT_RADIUS
+        xlx = lcx + ltv[0] * dxo + lb[0] * dyo
+        xly = lcy + ltv[1] * dxo + lb[1] * dyo
+        xlz = lcz + ltv[2] * dxo + lb[2] * dyo
+        dex, dey, dez = xlx - px, xly - py, xlz - pz
+        occ = occd[i_s][:, :] > 0.5
+        lx, ly, lz = _norm3(dex, dey, dez)
+        ndl = jnp.maximum(_dot3(nx, ny, nz, lx, ly, lz), 0.0)
+        ctl = jnp.maximum(_dot3(lx, ly, lz, -ln[0], -ln[1], -ln[2]), 0.0)
+        r2 = jnp.maximum(_dot3(dex, dey, dez, dex, dey, dez), 1e-4)
+        gv = jnp.where(occ, 0.0, ndl * ctl / r2)
+        sr_i, sg_i, sb_i = _lambert_phong(
+            nx, ny, nz, vx, vy, vz, lx, ly, lz,
+            LIGHT_COLOR[0] * gv, LIGHT_COLOR[1] * gv,
+            LIGHT_COLOR[2] * gv, ar, ag, ab, spec, gloss)
+        accr = accr + sr_i
+        accg = accg + sg_i
+        accb = accb + sb_i
+    inv_s = 1.0 / float(SOFT_SHADOW_SAMPLES)
+    accr, accg, accb = accr * inv_s, accg * inv_s, accb * inv_s
+
+    # fake material is diffuse (mtype 0) => spec stays enabled for the
+    # hybrid lights (lighting.direct_light_bvh:331-338)
+    if sun_e:
+        blocked = occ_sun[:, :] > 0.5
+        sr_i, sg_i, sb_i = _lambert_phong(
+            nx, ny, nz, vx, vy, vz, sun_lx, sun_ly, sun_lz,
+            sun_lir, sun_lig, sun_lib, ar, ag, ab, spec, gloss)
+        ndl = jnp.maximum(_dot3(nx, ny, nz, sun_lx, sun_ly, sun_lz), 0.0)
+        lit = (ndl > 0.0) & jnp.logical_not(blocked)
+        accr = accr + jnp.where(lit, sr_i, 0.0)
+        accg = accg + jnp.where(lit, sg_i, 0.0)
+        accb = accb + jnp.where(lit, sb_i, 0.0)
+
+    if sky_e:
+        ndl = jnp.maximum(_dot3(nx, ny, nz, sky_ux, sky_uy, sky_uz), 0.0)
+        kd = ndl / PI
+        accr = accr + ar * kd * sky_lir
+        accg = accg + ag * kd * sky_lig
+        accb = accb + ab * kd * sky_lib
+
+    if point_e:
+        tlx = point_pos[0] - px
+        tly = point_pos[1] - py
+        tlz = point_pos[2] - pz
+        dist2 = _dot3(tlx, tly, tlz, tlx, tly, tlz)
+        dist = jnp.sqrt(jnp.maximum(dist2, 1e-20))
+        lx, ly, lz = tlx / dist, tly / dist, tlz / dist
+        ndl = jnp.maximum(_dot3(nx, ny, nz, lx, ly, lz), 0.0)
+        blocked = occ_pt[:, :] > 0.5
+        fall = 1.0 / jnp.maximum(dist2, 1e-4)
+        sr_i, sg_i, sb_i = _lambert_phong(
+            nx, ny, nz, vx, vy, vz, lx, ly, lz,
+            pt_cr * fall, pt_cg * fall, pt_cb * fall,
+            ar, ag, ab, spec, gloss)
+        ok = (dist2 > 1e-6) & (ndl > 0.0) & jnp.logical_not(blocked)
+        accr = accr + jnp.where(ok, sr_i, 0.0)
+        accg = accg + jnp.where(ok, sg_i, 0.0)
+        accb = accb + jnp.where(ok, sb_i, 0.0)
+
+    outr_ref[:, :] = accr
+    outg_ref[:, :] = accg
+    outb_ref[:, :] = accb
+
+
+def shade_bvh_brdf_pallas(scene, h, n, v, offs, occ_disk, blocked_sun,
+                          blocked_point):
+    """Drop-in for the BRDF tail of lighting.direct_light_bvh (the
+    occlusion bits already traced by the any-hit MXU kernel)."""
+    params = scene.params
+    shape = jnp.shape(h.t)
+
+    sun_li = (jnp.asarray(params.sun_color, jnp.float32)
+              * params.sun_intensity)
+    sky_li = (jnp.asarray(params.sky_color, jnp.float32)
+              * params.sky_intensity)
+    pt_li = (jnp.asarray(params.point_light_color, jnp.float32)
+             * params.point_light_intensity)
+    consts = jnp.concatenate([
+        jnp.asarray(scene.point_light_pos, jnp.float32).reshape(3),
+        (-scene.sun_dir).reshape(3), scene.sky_up.reshape(3),
+        sun_li.reshape(3), sky_li.reshape(3), pt_li.reshape(3),
+        jnp.zeros(6, jnp.float32)])
+    consts = jnp.broadcast_to(consts.reshape(24, 1), (24, LANES))
+
+    def plane(a):
+        return jnp.broadcast_to(a, shape).reshape(-1)
+
+    planes = [plane(h.p[..., 0]), plane(h.p[..., 1]), plane(h.p[..., 2]),
+              plane(n[..., 0]), plane(n[..., 1]), plane(n[..., 2]),
+              plane(v[..., 0]), plane(v[..., 1]), plane(v[..., 2])]
+    for dx, dy in offs:
+        planes.append(plane(dx))
+        planes.append(plane(dy))
+    for o in occ_disk:
+        planes.append(plane(o.astype(jnp.float32)))
+    if params.sun_enabled:
+        planes.append(plane(blocked_sun.astype(jnp.float32)))
+    if params.point_light_enabled:
+        planes.append(plane(blocked_point.astype(jnp.float32)))
+
+    n_px = planes[0].shape[0]
+    group = LANES * BLOCK
+    pad = -n_px % group
+    nt = (n_px + pad) // LANES
+    planes = [jnp.pad(a, (0, pad)).reshape(nt, LANES) for a in planes]
+
+    n_in = len(planes)
+    kern = functools.partial(
+        _kernel_bvh, sun_e=bool(params.sun_enabled),
+        sky_e=bool(params.sky_enabled),
+        point_e=bool(params.point_light_enabled), n_in=n_in)
+    in_specs = ([pl.BlockSpec((24, LANES), lambda b: (0, 0))]
+                + [pl.BlockSpec((BLOCK, LANES), lambda b: (b, 0))] * n_in)
+    out_specs = [pl.BlockSpec((BLOCK, LANES), lambda b: (b, 0))] * 3
+    outs = pl.pallas_call(
+        kern,
+        grid=(nt // BLOCK,),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=[jax.ShapeDtypeStruct((nt, LANES), jnp.float32)] * 3,
+        interpret=_use_interpret(),
+    )(consts, *planes)
+    rgb = [o.reshape(-1)[:n_px].reshape(shape) for o in outs]
+    return jnp.stack(rgb, axis=-1)
+
+
 def direct_light_pallas(scene, h, rng_frame, frame_index, vdir, px, py):
     """Drop-in for lighting.direct_light (analytic scenes).  See module
     docstring; reference: rt_lighting.glsl:313-395."""

@@ -280,7 +280,12 @@ def direct_light_bvh(scene: SceneCtx, h, rng_frame, frame_index, vdir,
     gloss = jnp.full(shape, BVH_GLOSS, jnp.float32)
     params = scene.params
 
-    xls = _disk_samples(rng_frame, frame_index, px, py)
+    offs = _disk_offsets(rng_frame, frame_index, px, py)
+    center = const3(LIGHT_CENTER)
+    t_axis = jnp.asarray(LIGHT_T)
+    b_axis = jnp.asarray(LIGHT_B)
+    xls = [center + t_axis * (dx * LIGHT_RADIUS)[..., None]
+           + b_axis * (dy * LIGHT_RADIUS)[..., None] for dx, dy in offs]
     occ_disk = blocked_sun = blocked_point = None
     if scene.use_bvh:
         origins, dirs, wins = [], [], []
@@ -323,6 +328,16 @@ def direct_light_bvh(scene: SceneCtx, h, rng_frame, frame_index, vdir,
             k += 1
         if params.point_light_enabled:
             blocked_point = occ[k]
+
+    if scene.use_bvh:
+        # ORT_BVH_BRDF_PALLAS=1: the whole BRDF tail in one fused Pallas
+        # pass (the occlusion bits above already came from the any-hit
+        # kernel) — see ops/an_pallas.py
+        from .an_pallas import _brdf_enabled
+        if _brdf_enabled():
+            from .an_pallas import shade_bvh_brdf_pallas
+            return shade_bvh_brdf_pallas(scene, h, n, v, offs, occ_disk,
+                                         blocked_sun, blocked_point)
 
     acc = _disk_light_sum(scene, h, n, v, albedo, spec, gloss,
                           rng_frame, frame_index, px, py, xls=xls,

@@ -47,7 +47,16 @@ for sc in 0 1; do
     | sed "s/^{/{\"compact\": $sc, /" | tee -a /tmp/r3n_compact.log
 done
 
-# 4. round-record nine-case matrix at the tree's defaults (x3 +
+# 4. the BVH BRDF-tail megakernel A/B (the ~5 ms shading-math stage
+#    of the headline frame, r3f/r3k ablations)
+for bp in 0 1; do
+  BENCH_SKIP_PROBE=1 BENCH_CASES=baseline,full BENCH_FRAMES=8 \
+    BENCH_BUDGET=1200 BENCH_TIMEOUT=700 ORT_BVH_BRDF_PALLAS=$bp \
+    timeout 1500 python bench.py 2>&1 \
+    | sed "s/^{/{\"brdf\": $bp, /" | tee -a /tmp/r3n_brdf.log
+done
+
+# 5. round-record nine-case matrix at the tree's defaults (x3 +
 #    page-tcap now default-on)
 BENCH_SKIP_PROBE=1 BENCH_BUDGET=3600 BENCH_TIMEOUT=800 \
   timeout 4000 python bench.py 2>&1 | tee /tmp/r3n_bench.log

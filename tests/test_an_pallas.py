@@ -56,6 +56,46 @@ def test_direct_light_pallas_light_toggles():
     np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-6)
 
 
+def test_bvh_brdf_pallas_matches_jnp(monkeypatch):
+    """ORT_BVH_BRDF_PALLAS: the fused BRDF tail of direct_light_bvh must
+    match the jnp path, occlusion bits included."""
+    from opengl_raytracing_tpu.scene import (make_bunny, gather_triangles,
+                                             build_bvh)
+    from opengl_raytracing_tpu.scene.geometry import model_transform
+    from opengl_raytracing_tpu.ops.scene import prepare_bvh
+
+    params = preset("full")
+    cam = Camera()
+    cam.aspect = W / H
+    right, up, fwd, thf = cam.basis()
+    vp = cam.view_projection()
+    fin = FrameInputs(jnp.asarray(cam.position), jnp.asarray(right),
+                      jnp.asarray(up), jnp.asarray(fwd), jnp.float32(thf),
+                      jnp.float32(cam.aspect), jnp.zeros(2, jnp.float32),
+                      jnp.asarray(vp), jnp.asarray(vp), jnp.int32(0))
+    tris = gather_triangles(make_bunny(2), model_transform((0, 1.0, -3.0),
+                                                           1.0))
+    bvh = prepare_bvh(tris)
+    scene = SceneCtx.create(params, fin.cam_pos, use_bvh=True, bvh=bvh)
+    px, py, rd = primary_rays(H, W, fin, params)
+    ro = jnp.broadcast_to(fin.cam_pos, rd.shape)
+    h = _sanitize_hit(scene.trace(ro, rd), ro, rd)
+    act = scene.trace(ro, rd).valid
+    seed, fi = jnp.int32(2), jnp.int32(2)
+
+    # FORCE_MXU for BOTH sides so the occlusion inputs are identical
+    # and only the BRDF path differs
+    monkeypatch.setenv("ORT_FORCE_MXU", "1")
+    want = np.asarray(lt.direct_light_bvh(scene, h, seed, fi, -rd,
+                                          px, py, active=act))
+    monkeypatch.setattr(an_pallas, "BVH_BRDF_PALLAS", True)
+    got = np.asarray(lt.direct_light_bvh(scene, h, seed, fi, -rd,
+                                         px, py, active=act))
+    m = np.asarray(act)
+    np.testing.assert_allclose(got[m], want[m], rtol=2e-5, atol=2e-6)
+    assert m.any()
+
+
 def test_direct_light_pallas_ragged_tail():
     """Non-tile-multiple pixel counts pad and slice correctly."""
     params = preset("baseline")
