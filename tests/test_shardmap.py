@@ -108,6 +108,52 @@ def test_shardmap_bvh_mxu_forced(monkeypatch):
     assert diff.max() < 2e-2 and np.quantile(diff, 0.99) < 1e-3
 
 
+def test_shardmap_shade_megakernels_forced(monkeypatch):
+    """The r3 shading megakernels (analytic direct_light + BVH BRDF
+    tail) under shard_map — multi-chip x Pallas, exercised before they
+    ever meet hardware (same rationale as the MXU-forced test)."""
+    import opengl_raytracing_tpu.ops.an_pallas as anp
+    monkeypatch.setenv("ORT_FORCE_MXU", "1")
+    monkeypatch.setattr(anp, "AN_PALLAS", True)
+    monkeypatch.setattr(anp, "BVH_BRDF_PALLAS", True)
+    fin = make_inputs()
+    mesh = make_mesh(jax.devices()[:8])
+
+    # analytic frame (direct_light megakernel)
+    params = _slim(preset("baseline"))
+    st = shard_image_rows(mesh, RenderState.create(H, W))
+    fn = make_shardmap_render_fn(mesh, H, W, use_bvh=False, donate=False,
+                                 check_vma=False)
+    st, out, _ = fn(params, fin, st, None, None)
+    img = np.asarray(out.image)
+    assert img.shape == (H, W, 3) and np.isfinite(img).all()
+    st1 = RenderState.create(H, W)
+    _, ref = render_frame(params, fin, st1, None, None, height=H, width=W,
+                          use_bvh=False)
+    diff = np.abs(img - np.asarray(ref.image))
+    assert diff.max() < 2e-2 and np.quantile(diff, 0.99) < 1e-3
+
+    # BVH frame (BRDF-tail megakernel downstream of the any-hit kernel)
+    from opengl_raytracing_tpu.scene import make_icosphere
+    from opengl_raytracing_tpu.scene.geometry import (gather_triangles,
+                                                      model_transform)
+    from opengl_raytracing_tpu.ops.scene import prepare_bvh
+    tris = gather_triangles(make_icosphere(1.0, 1),
+                            model_transform((0.0, 1.0, -3.0), 1.0))
+    bvh = prepare_bvh(tris)
+    st = shard_image_rows(mesh, RenderState.create(H, W))
+    fnb = make_shardmap_render_fn(mesh, H, W, use_bvh=True, donate=False,
+                                  check_vma=False)
+    st, outb, _ = fnb(params, fin, st, None, bvh)
+    imgb = np.asarray(outb.image)
+    assert imgb.shape == (H, W, 3) and np.isfinite(imgb).all()
+    st1 = RenderState.create(H, W)
+    _, refb = render_frame(params, fin, st1, None, bvh, height=H, width=W,
+                           use_bvh=True)
+    diffb = np.abs(imgb - np.asarray(refb.image))
+    assert diffb.max() < 2e-2 and np.quantile(diffb, 0.99) < 1e-3
+
+
 def test_shardmap_bvh_scene_runs():
     """shard_map + BVH walker: the while_loop carries must be
     shard-variance-correct (regression — constant inits tripped the
