@@ -60,6 +60,20 @@ BLOCK = int(os.environ.get("ORT_AN_BLOCK", "64"))
 
 AN_PALLAS = os.environ.get("ORT_AN_PALLAS", "0") == "1"
 
+# jnp.power(array, array) is the one transcendental in these kernels
+# without precedent in the proven SVGF/MXU kernels (exp/sqrt are).
+# ORT_AN_POW=exp swaps in the exp(g*log(x)) identity with an x<=0
+# guard — a one-env fix if Mosaic rejects Pow, at worst-ULP parity
+# drift vs XLA's pow.
+_POW_EXP = os.environ.get("ORT_AN_POW", "pow") == "exp"
+
+
+def _pow(x, y):
+    if _POW_EXP:
+        return jnp.where(x > 0.0,
+                         jnp.exp(y * jnp.log(jnp.maximum(x, 1e-37))), 0.0)
+    return jnp.power(x, y)
+
 
 def _enabled() -> bool:
     if not AN_PALLAS:
@@ -124,7 +138,7 @@ def _lambert_phong(nx, ny, nz, vx, vy, vz, lx, ly, lz, lir, lig, lib,
     kd = ndl / PI
     hx, hy, hz = _norm3(lx + vx, ly + vy, lz + vz)
     ndh = jnp.maximum(_dot3(nx, ny, nz, hx, hy, hz), 0.0)
-    phong = jnp.power(ndh, gloss)
+    phong = _pow(ndh, gloss)
     spec = jnp.where(spec_strength > 0.0, spec_strength * phong, 0.0)
     lit = ndl > 0.0
     outr = jnp.where(lit, (ar * kd + spec) * lir, 0.0)

@@ -46,6 +46,19 @@ def test_direct_light_pallas_matches_jnp(preset_name, monkeypatch):
     np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-6)
 
 
+def test_direct_light_pallas_pow_exp_fallback(monkeypatch):
+    """ORT_AN_POW=exp (the Mosaic escape hatch for jnp.power) must stay
+    within BRDF tolerance of the pow form."""
+    monkeypatch.setattr(an_pallas, "_POW_EXP", True)
+    params = preset("baseline")
+    scene, h, vdir, px, py = _frame(params)
+    seed, fi = jnp.int32(5), jnp.int32(5)
+    want = np.asarray(lt.direct_light(scene, h, seed, fi, vdir, px, py))
+    got = np.asarray(an_pallas.direct_light_pallas(
+        scene, h, seed, fi, vdir, px, py))
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
 def test_direct_light_pallas_light_toggles():
     params = preset("full").replace(sun_enabled=0, point_light_enabled=0)
     scene, h, vdir, px, py = _frame(params)
