@@ -279,6 +279,12 @@ def measure_moving(height, width, frames) -> dict:
     from opengl_raytracing_tpu.models import preset
     from opengl_raytracing_tpu.sampling import generate_jitter2d
 
+    # BENCH_MOVING_MODE attributes the moving-vs-full gap: "full"
+    # (default) = yaw + dolly-in; "yaw" = rotation only (trace cost
+    # constant-distance); "dolly" = translation only; "still" = frozen
+    # camera but camera_moved=1 + fresh prev_vp each frame (isolates
+    # the TAA-reproj/accum-reset path from geometry proximity).
+    mode = os.environ.get("BENCH_MOVING_MODE", "full")
     params = preset("full")
     _, bvh = _scene()
     cam = Camera()
@@ -286,9 +292,11 @@ def measure_moving(height, width, frames) -> dict:
     per_frame = []
     prev_vp = np.asarray(cam.view_projection(), np.float32)
     for f in range(frames):
-        cam.yaw += 0.4                      # slow look + dolly-in sweep
-        cam.position = (cam.position
-                        + np.asarray([0.0, 0.0, -0.05], np.float32))
+        if mode in ("full", "yaw"):
+            cam.yaw += 0.4                  # slow look sweep
+        if mode in ("full", "dolly"):
+            cam.position = (cam.position
+                            + np.asarray([0.0, 0.0, -0.05], np.float32))
         jit = generate_jitter2d(f) * float(
             np.asarray(params.jitter_moving_scale))
         fin = dataclasses.replace(
@@ -302,7 +310,8 @@ def measure_moving(height, width, frames) -> dict:
                                 fins=_stack_fins(per_frame))
     return {
         "metric": (f"moving-camera full pipeline (TAA reproj + SVGF), "
-                   f"{width}x{height} 1spp, bunny BVH"),
+                   f"{width}x{height} 1spp, bunny BVH"
+                   + ("" if mode == "full" else f", mode={mode}")),
         "ms_per_frame": round(sec * 1e3, 2),
         "fps": round(1.0 / sec, 1),
         "mrays": round(height * width / sec / 1e6, 2),
