@@ -48,6 +48,19 @@ for sp in 0 1; do
     | sed "s/^{/{\"svgfp\": $sp, /" | tee -a /tmp/r3o_svgf.log
 done
 
+# 3b. grid-step amortization: the CPU cull-stats study (r3o) puts the
+#     bench camera at 516/16224 active tiles and 59.5 GFLOP ~ 0.74 ms
+#     of real MXU work vs the ~4.3 ms measured primary kernel — the
+#     rest is per-grid-step overhead (507 steps at SUBTILES=32).
+#     Bigger blocks cut steps linearly; per-tile windows still gate
+#     the inner loop.
+for st in 64 128; do
+  BENCH_SKIP_PROBE=1 BENCH_CASES=baseline,heavy BENCH_FRAMES=8 \
+    BENCH_BUDGET=1000 BENCH_TIMEOUT=700 ORT_SUBTILES=$st \
+    timeout 1200 python bench.py 2>&1 \
+    | sed "s/^{/{\"subtiles\": $st, /" | tee -a /tmp/r3o_subtiles.log
+done
+
 # 4. an_full stage attribution under AN_PALLAS=1 — the r3l run lost the
 #    marker/mirror/glass/taa/frame tail to the wedge and predates the
 #    megakernel; direct/gi deltas price the kernel per call site.
