@@ -285,6 +285,10 @@ def measure_moving(height, width, frames) -> dict:
     # camera but camera_moved=1 + fresh prev_vp each frame (isolates
     # the TAA-reproj/accum-reset path from geometry proximity).
     mode = os.environ.get("BENCH_MOVING_MODE", "full")
+    if mode not in ("full", "yaw", "dolly", "still"):
+        # fail fast on typos: an unknown mode would silently measure a
+        # frozen camera and mislabel it (same convention as child())
+        raise SystemExit(f"unknown BENCH_MOVING_MODE {mode!r}")
     params = preset("full")
     _, bvh = _scene()
     cam = Camera()

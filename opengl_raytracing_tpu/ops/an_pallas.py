@@ -29,8 +29,11 @@ Scene geometry is compile-time constant (constants.py) except the
 point-light position (orbit — traced), which rides a tiny [8,128]
 broadcast-constant block like bvh_mxu's SMEM origin rows.
 
-ORT_AN_PALLAS=1 enables (hardware A/B pending); falls back to the jnp
-path off-TPU unless ORT_FORCE_MXU forces interpret mode.  Matches
+Default ON since the r3n hardware A/B (2026-08-20): an_baseline
+11.5 → 6.15 ms (−47%, checksum drift 0.5 in 6.7M = rounding-class)
+and an_full 145.4 → 136.8 ms on the same session.  ORT_AN_PALLAS=0
+reverts to the jnp path, which also remains the off-TPU fallback
+unless ORT_FORCE_MXU forces interpret mode.  Matches
 lighting.direct_light to VPU-rounding (op-for-op transcription; Mosaic
 transcendental lowering may differ in ULPs from XLA's — same drift
 class as the documented x3/bf16 wobble).
@@ -58,7 +61,7 @@ LANES = 128
 # the worst-case working set well under the 16 MB VMEM budget.
 BLOCK = int(os.environ.get("ORT_AN_BLOCK", "64"))
 
-AN_PALLAS = os.environ.get("ORT_AN_PALLAS", "0") == "1"
+AN_PALLAS = os.environ.get("ORT_AN_PALLAS", "1") == "1"
 
 # jnp.power(array, array) is the one transcendental in these kernels
 # without precedent in the proven SVGF/MXU kernels (exp/sqrt are).
