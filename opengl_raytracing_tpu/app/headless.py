@@ -72,6 +72,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="force the CPU backend (the axon TPU plugin "
                         "overrides JAX_PLATFORMS, so an env var is not "
                         "enough)")
+    p.add_argument("--turbo", type=int, default=1,
+                   help="accumulation frames chained device-side per "
+                        "dispatch while the view is idle (camera still, "
+                        "orbit off) — converges Nx faster over the "
+                        "~26 ms-per-dispatch tunneled link")
     return p
 
 
@@ -104,6 +109,7 @@ def make_app(args) -> Application:
         params = params.replace(point_light_orbit_enabled=1)
     state = AppState(height=h, width=w, params=params)
     application = Application(state=state, jit=args.jit)
+    application.turbo = max(1, int(getattr(args, "turbo", 1)))
 
     if args.resume:
         p, cam, frame, rs = load_snapshot(args.resume)

@@ -288,3 +288,35 @@ def test_resume_reapplies_cli_overrides(tmp_path):
     assert abs(float(np.asarray(
         app2.app.params.sun_intensity)) - 0.9) < 1e-6  # CLI override wins
     assert app2.input.exposure == 2.0  # mirror synced
+
+
+def test_turbo_chain_matches_sequential_steps():
+    """turbo=k (k still frames chained per dispatch) must reproduce k
+    sequential step() calls exactly: same jitter sequence, same accum,
+    same presented image."""
+    a = small_app()
+    b = small_app()
+    b.turbo = 3
+    for _ in range(3):
+        img_a = a.step()
+    img_b = b.step()
+    assert int(b.app.render_state.frame_index) == 3
+    assert b.app.host_frame_index == 3
+    np.testing.assert_array_equal(np.asarray(b.app.render_state.accum),
+                                  np.asarray(a.app.render_state.accum))
+    np.testing.assert_array_equal(np.asarray(img_b), np.asarray(img_a))
+
+
+def test_turbo_disabled_while_moving_or_orbiting():
+    a = small_app()
+    a.turbo = 4
+    a.act("look 5 0")          # camera motion -> per-dispatch stepping
+    a.step()
+    assert int(a.app.render_state.frame_index) == 1
+    o = small_app(point_light_orbit_enabled=1)
+    o.turbo = 4
+    o.step()                   # orbit animates params -> no chaining
+    # (the orbit's yaw diff then resets accumulation, matching the
+    # reference's paramsChanged — so check the dispatch choice, not the
+    # post-reset frame_index)
+    assert not any(k[0] == "chain" for k in o._render_cache)
