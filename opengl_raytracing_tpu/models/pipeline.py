@@ -289,6 +289,105 @@ def _analytic_gate_frac() -> float:
 _TILE = TILE_H * TILE_W  # lanes per kernel tile (== bvh_mxu.TILE_RAYS)
 
 
+def _an_hit_gate_frac() -> float:
+    """ORT_AN_HIT_GATE: tile-capacity fraction for the analytic
+    HIT-shading gate (0 = off, the default pending a hardware A/B).
+
+    The analytic diffuse stack (direct light + GI + AO) is evaluated on
+    EVERY lane and masked by the sky select, but the sky typically
+    covers the whole upper image half (the floor spans the lower) —
+    ~40% of 128-lane row-major tiles contain no hit at the default
+    an_full camera.  This gate compacts the whole _shade_analytic call
+    (the inner glass/mirror gates then operate on the compacted
+    stream) to tiles containing any primary hit, exactly like
+    shade_bvh_auto/ORT_BVH_GATE_FRAC does for the mesh path — and the
+    analytic variant is bit-identical (no trace-in-tile regrouping
+    caveat: the megakernel and all shading math are per-lane pure).
+    Dense fallback via lax.cond when more tiles qualify."""
+    return float(os.environ.get("ORT_AN_HIT_GATE", "0") or "0")
+
+
+def shade_analytic_auto(scene: SceneCtx, h_b: Hit, seeds, frame_index,
+                        vdir_b, px_b, py_b, mask_b, ao=None, *,
+                        spp: int = 1):
+    """_shade_analytic through the hit-occupancy tile gate when enabled.
+
+    Mirrors shade_bvh_auto: [.., H, W] grids flatten to the row-major
+    tile stream (the swizzled analytic stream is already flat), the
+    gate compacts to occupied tiles, results scatter back.  Garbage on
+    sky tiles is discarded by the caller's sky select."""
+    gate = _an_hit_gate_frac()
+    sw = px_b.ndim - (0 if spp == 1 else 1) == 1
+    if sw:
+        n_px = px_b.shape[-1]
+    else:
+        grid_h, grid_w = px_b.shape[-2:]
+        n_px = grid_h * grid_w
+    if not (gate > 0.0 and n_px % _TILE == 0):
+        return _shade_analytic(scene, h_b, seeds, frame_index, vdir_b,
+                               px_b, py_b, ao=ao)
+    if sw:
+        def flat(x, vec=False):
+            return x
+
+        def unflat(x):
+            return x
+        seeds_f = seeds
+    else:
+        def flat(x, vec=False):
+            ax = x.ndim - (3 if vec else 2)
+            return x.reshape(x.shape[:ax] + (grid_h * grid_w,)
+                             + x.shape[ax + 2:])
+
+        def unflat(x):
+            ax = x.ndim - 2  # [..., N, 3]
+            return x.reshape(x.shape[:ax] + (grid_h, grid_w)
+                             + x.shape[ax + 1:])
+        seeds_f = (seeds if spp == 1 else seeds.reshape(spp, 1))
+    h_f = Hit(flat(h_b.t), flat(h_b.p, True), flat(h_b.n, True),
+              flat(h_b.mat))
+    active = flat(mask_b)
+    px_f, py_f = flat(px_b), flat(py_b)
+    vdir_f = flat(vdir_b, True)
+    ao_f = None if ao is None else flat(ao)
+
+    n = px_f.shape[-1]
+    t = n // _TILE
+    k = max(1, min(t, int(round(gate * t))))
+
+    lane = active
+    while lane.ndim > 1:
+        lane = lane.any(axis=0)
+    tile_sel = lane.reshape(t, _TILE).any(axis=1)
+    count = jnp.sum(tile_sel.astype(jnp.int32))
+    idx = jnp.argsort(~tile_sel, stable=True)[:k]
+
+    def gtile(x, vec=False):
+        ax = x.ndim - (2 if vec else 1)
+        xr = x.reshape(x.shape[:ax] + (t, _TILE) + x.shape[ax + 1:])
+        g = jnp.take(xr, idx, axis=ax)
+        return g.reshape(x.shape[:ax] + (k * _TILE,) + x.shape[ax + 1:])
+
+    def compact(_):
+        h_c = Hit(gtile(h_f.t), gtile(h_f.p, True), gtile(h_f.n, True),
+                  gtile(h_f.mat))
+        out_c = _shade_analytic(
+            scene, h_c, seeds_f, frame_index, gtile(vdir_f, True),
+            gtile(px_f), gtile(py_f),
+            ao=None if ao_f is None else gtile(ao_f))
+        ax = out_c.ndim - 2
+        outr = out_c.reshape(out_c.shape[:ax] + (k, _TILE, 3))
+        full = jnp.zeros(out_c.shape[:ax] + (t, _TILE, 3), out_c.dtype)
+        full = full.at[..., idx, :, :].set(outr)
+        return full.reshape(out_c.shape[:ax] + (t * _TILE, 3))
+
+    def dense(_):
+        return _shade_analytic(scene, h_f, seeds_f, frame_index, vdir_f,
+                               px_f, py_f, ao=ao_f)
+
+    return unflat(jax.lax.cond(count <= k, compact, dense, None))
+
+
 def _tile_gated_shade(fn, lane_mask, h: Hit, vdir, px, py, frac: float):
     """Evaluate `fn(h, vdir, px, py) -> [..., N, 3]` only on the 8x16
     pixel tiles where `lane_mask` has any lane set.
@@ -717,8 +816,9 @@ def trace_and_shade(scene: SceneCtx, params: RenderParams, fin: FrameInputs,
         shaded = shade_bvh_auto(scene, h_b, seeds, frame_index, vdir_b,
                                 px_b, py_b, mask_b, ao, spp=spp)
     else:
-        shaded = _shade_analytic(scene, h_b, seeds, frame_index, vdir_b,
-                                 px_b, py_b, ao=ao)
+        shaded = shade_analytic_auto(scene, h_b, seeds, frame_index,
+                                     vdir_b, px_b, py_b, mask_b, ao,
+                                     spp=spp)
 
     if spp == 1:
         frame_sum = jnp.where(hit_mask[..., None], shaded, sky_radiance)

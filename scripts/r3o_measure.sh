@@ -14,6 +14,17 @@ export JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS=5
 timeout 150 python scripts/childproc.py --probe \
   || { echo 'TPU unreachable, aborting'; exit 1; }
 
+# log hygiene (CLAUDE.md): zero per-study logs at start so crashed/
+# retried runs never mix populations; a live writer's offset stays
+# harmless with truncation (vs rm).
+: > /tmp/r3o_canary.log
+: > /tmp/r3o_moving.log
+: > /tmp/r3o_frames.log
+: > /tmp/r3o_svgf.log
+: > /tmp/r3o_subtiles.log
+: > /tmp/r3o_anablate.log
+: > /tmp/r3o_cf.log
+
 BENCH_SKIP_PROBE=1 BENCH_CASES=baseline BENCH_FRAMES=4 BENCH_BUDGET=500 \
   timeout 600 python bench.py 2>&1 | tee /tmp/r3o_canary.log
 canary_ms=$(grep -o '"ms_per_frame": [0-9.]*' /tmp/r3o_canary.log \
@@ -86,6 +97,7 @@ BENCH_SKIP_PROBE=1 BENCH_CASES=cf_far BENCH_FRAMES=8 BENCH_BUDGET=700 \
 BENCH_SKIP_PROBE=1 BENCH_CASES=moving BENCH_FRAMES=8 BENCH_BUDGET=700 \
   BENCH_TIMEOUT=600 ORT_PAGE_CHUNKS=24 ORT_PAGE_ORDER=1 \
   timeout 800 python bench.py 2>&1 \
-  | sed 's/^{/{"pc": 24, "porder": 1, /' | tee -a /tmp/r3o_moving.log
+  | sed 's/^{/{"mode": "full", "pc": 24, "porder": 1, /' \
+  | tee -a /tmp/r3o_moving.log
 
 echo DONE

@@ -1,0 +1,48 @@
+#!/bin/bash
+# Round-4 first hardware pass — bank the round-4 code knobs and the
+# post-flip round record.  Cheap cases first so a wedge banks the most
+# information.  Schemas: every A/B line gets ONE extra key naming its
+# knob value; each study writes its OWN log, zeroed at start.
+set -x
+cd "$(dirname "$0")/.."
+
+export JAX_COMPILATION_CACHE_DIR=/root/.jax_cache
+export JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS=5
+
+timeout 150 python scripts/childproc.py --probe \
+  || { echo 'TPU unreachable, aborting'; exit 1; }
+
+: > /tmp/r4a_canary.log
+: > /tmp/r4a_angate.log
+: > /tmp/r4a_anrec.log
+: > /tmp/r4a_bench.log
+
+BENCH_SKIP_PROBE=1 BENCH_CASES=baseline BENCH_FRAMES=4 BENCH_BUDGET=500 \
+  timeout 600 python bench.py 2>&1 | tee /tmp/r4a_canary.log
+canary_ms=$(grep -o '"ms_per_frame": [0-9.]*' /tmp/r4a_canary.log \
+  | head -1 | awk '{print $2}')
+if [ -z "$canary_ms" ] || awk "BEGIN{exit !($canary_ms > 80)}"; then
+  echo "canary ${canary_ms:-none} ms — slice degraded, aborting"
+  exit 1
+fi
+
+# 1. ORT_AN_HIT_GATE A/B (new r4 knob): compacts the whole analytic
+#    shade to hit tiles.  0 = dense (current default), 0.65/0.8 probe
+#    the capacity; an_full's default camera has ~40% sky tiles.
+for g in 0 0.65 0.8; do
+  BENCH_SKIP_PROBE=1 BENCH_CASES=an_baseline,an_full BENCH_FRAMES=8 \
+    BENCH_BUDGET=900 BENCH_TIMEOUT=600 ORT_AN_HIT_GATE=$g \
+    timeout 1000 python bench.py 2>&1 \
+    | sed "s/^{/{\"angate\": \"$g\", /" | tee -a /tmp/r4a_angate.log
+done
+
+# 2. Post-AN_PALLAS-flip analytic record at 16 frames (default knobs).
+BENCH_SKIP_PROBE=1 BENCH_CASES=an_baseline,an_full BENCH_FRAMES=16 \
+  BENCH_BUDGET=900 BENCH_TIMEOUT=600 timeout 1000 python bench.py 2>&1 \
+  | sed 's/^{/{"postflip": 1, /' | tee -a /tmp/r4a_anrec.log
+
+# 3. Full matrix with current defaults (the BENCH_r04 preview).
+BENCH_SKIP_PROBE=1 BENCH_BUDGET=1800 BENCH_TIMEOUT=600 \
+  timeout 2000 python bench.py 2>&1 | tee /tmp/r4a_bench.log
+
+echo DONE

@@ -15,3 +15,26 @@ if "xla_force_host_platform_device_count" not in flags:
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+
+import pytest  # noqa: E402
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers",
+        "slow: exhaustive parity A/B (minutes of XLA CPU compiles); "
+        "skipped by default, RUN_SLOW=1 enables — run these before "
+        "changing the kernels/pipeline they pin")
+
+
+def pytest_collection_modifyitems(config, items):
+    """Default suite skips slow-marked tests (r3 wall-time drift: the
+    full suite hit ~47 min under load; the slow set is ~half of it and
+    pins default-OFF knobs or paths the driver artifacts re-validate
+    every round).  RUN_SLOW=1 runs everything."""
+    if os.environ.get("RUN_SLOW") == "1":
+        return
+    skip = pytest.mark.skip(reason="slow parity A/B (RUN_SLOW=1 enables)")
+    for item in items:
+        if "slow" in item.keywords:
+            item.add_marker(skip)

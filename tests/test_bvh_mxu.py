@@ -493,6 +493,7 @@ def test_ordered_group_walk_bit_matches_per_chunk(scene, monkeypatch):
     np.testing.assert_array_equal(out[1][1], out[4][1])
 
 
+@pytest.mark.slow
 def test_defer_normal_bit_matches_inkernel(scene, monkeypatch):
     """ORT_DEFER_NORMAL=1 (kernel returns winning-tri indices; normals
     fetched by one flat XLA row-gather) must be bit-identical to the
@@ -543,6 +544,7 @@ def test_defer_normal_bit_matches_inkernel(scene, monkeypatch):
         np.testing.assert_array_equal(a.p[sel], b.p[sel], err_msg=str(k))
 
 
+@pytest.mark.slow
 def test_subtile_compact_bit_matches(scene, monkeypatch):
     """ORT_SUBTILE_COMPACT=1 (meta rows actives-first per block, loop
     bound = active count, plane reads/writes via the original-index

@@ -18,6 +18,7 @@ pytestmark = pytest.mark.skipif(len(jax.devices()) < 8,
                                 reason="needs 8 virtual devices")
 
 
+@pytest.mark.slow
 def test_row_sharded_render_matches_single_device():
     params = preset("full")
     fin = make_inputs()
@@ -38,6 +39,7 @@ def test_row_sharded_render_matches_single_device():
     assert len(st1.accum.sharding.device_set) == 8
 
 
+@pytest.mark.slow
 def test_sharded_temporal_sequence():
     """Two frames with history reuse under sharding == unsharded result.
     Exercises the SVGF halo exchange across shard boundaries."""
@@ -55,6 +57,7 @@ def test_sharded_temporal_sequence():
     assert np.quantile(diff, 0.99) < 2e-3 and diff.max() < 5e-2
 
 
+@pytest.mark.slow
 def test_dryrun_multichip_entrypoint():
     import __graft_entry__ as ge
     ge.dryrun_multichip(8)

@@ -1,5 +1,6 @@
 """End-to-end frame function smoke + temporal behavior."""
 
+import pytest
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -78,6 +79,7 @@ def test_bvh_frame_smoke():
     assert np.asarray(out.gnrm).any()
 
 
+@pytest.mark.slow
 def test_bvh_tile_gate_bit_identical(monkeypatch):
     """ORT_BVH_GATE_FRAC compacts hit-tile shading (direct light + GI +
     AO wavefronts) the way the analytic gate compacts glass/mirror; the
@@ -211,6 +213,56 @@ def test_analytic_tile_gate_bit_identical(monkeypatch):
     tiny = frame(1e-6)  # K=1 < occupied tiles -> runtime dense fallback
     np.testing.assert_allclose(gated, dense, rtol=0, atol=2.4e-7)
     np.testing.assert_allclose(tiny, dense, rtol=0, atol=2.4e-7)
+
+
+@pytest.mark.slow
+def test_analytic_hit_gate_matches_dense(monkeypatch):
+    """ORT_AN_HIT_GATE compacts the WHOLE analytic shade (direct + GI +
+    AO + the nested glass/mirror gates) to tiles containing a primary
+    hit; sky-tile garbage is discarded by the sky select.  Must match
+    the dense form in the compact branch, the count>K fallback, and at
+    spp>1.
+
+    Tolerance: per-lane math is identical, but the flattened stream
+    changes array SHAPES, and XLA's transcendental lowering (pow in the
+    phong term) takes shape-dependent SIMD paths — measured in EAGER
+    mode (no fusion involved): 6/9216 lanes differ, max 8.6e-6 on a
+    5.9-magnitude radiance lane = ~1.4e-6 relative (a few ulps through
+    pow amplification), q99 6e-8.  Same compiler-numerics class as the
+    glass-gate flips documented above, so: q99 at the 2-ulp bound and
+    max at 1e-5 absolute post-tonemap."""
+    params = preset("full")
+    fin = make_inputs()
+
+    def frame(frac, spp=1):
+        monkeypatch.setenv("ORT_AN_HIT_GATE", str(frac))
+        state = RenderState.create(H, W)
+        _, out = render_frame(params, fin, state, height=H, width=W,
+                              use_bvh=False)
+        return np.asarray(out.image)
+
+    def frame_spp(frac):
+        monkeypatch.setenv("ORT_AN_HIT_GATE", str(frac))
+        state = RenderState.create(H, W)
+        p2 = params.replace(spp_per_frame=2)
+        _, out = render_frame(p2, fin, state, height=H, width=W,
+                              use_bvh=False)
+        return np.asarray(out.image)
+
+    def close(a, b):
+        diff = np.abs(a - b)
+        assert np.quantile(diff, 0.99) < 2.4e-7, np.quantile(diff, 0.99)
+        assert diff.max() < 1e-5, diff.max()
+
+    dense = frame(0)
+    gated = frame(0.9)
+    tiny = frame(1e-6)  # K=1 < occupied tiles -> runtime dense fallback
+    close(gated, dense)
+    close(tiny, dense)
+
+    dense2 = frame_spp(0)
+    gated2 = frame_spp(0.9)
+    close(gated2, dense2)
 
 
 def test_frame_jit_options_plumbing(monkeypatch):

@@ -108,6 +108,7 @@ def test_shardmap_bvh_mxu_forced(monkeypatch):
     assert diff.max() < 2e-2 and np.quantile(diff, 0.99) < 1e-3
 
 
+@pytest.mark.slow
 def test_shardmap_shade_megakernels_forced(monkeypatch):
     """The r3 shading megakernels (analytic direct_light + BVH BRDF
     tail) under shard_map — multi-chip x Pallas, exercised before they

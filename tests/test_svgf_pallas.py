@@ -1,5 +1,6 @@
 """Pallas SVGF stencil vs the jnp reference implementation."""
 
+import pytest
 import numpy as np
 import jax.numpy as jnp
 
@@ -28,6 +29,7 @@ def test_pallas_svgf_matches_jnp():
     np.testing.assert_allclose(a, b, atol=2e-5, rtol=1e-4)
 
 
+@pytest.mark.slow
 def test_pallas_svgf_band_configs_match(monkeypatch):
     """Every (band height, buffering) config is bit-identical: the r3
     restructure (BH=32 slabs + cross-grid-step prefetch) only changes

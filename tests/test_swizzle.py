@@ -6,6 +6,7 @@ per-ray math is order-independent, so outputs must be BIT-identical with
 it on or off.
 """
 
+import pytest
 import numpy as np
 import jax.numpy as jnp
 
@@ -33,6 +34,7 @@ def test_swizzle_roundtrip():
     np.testing.assert_array_equal(blk, np.asarray(a[0:8, 0:16, 0]))
 
 
+@pytest.mark.slow
 def test_swizzled_frame_bit_identical(monkeypatch):
     tris = gather_triangles(make_bunny(2),
                             model_transform(DEFAULT_BVH_TRANSLATE,
@@ -63,6 +65,7 @@ def test_swizzled_frame_bit_identical(monkeypatch):
                                       np.asarray(getattr(off, k)))
 
 
+@pytest.mark.slow
 def test_swizzled_frame_nondivisible_grid(monkeypatch):
     """Non-tile-divisible grids (like the 135-row shard bands) swizzle
     via duplicated edge rays and must still be bit-identical.
