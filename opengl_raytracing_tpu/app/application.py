@@ -249,6 +249,7 @@ class Application:
             prev_view_proj=jnp.asarray(frame.prev_view_proj),
             camera_moved=jnp.int32(1 if camera_moved else 0))
 
+        k = 1
         if app.ray_mode:
             ordered = self._resolve_ordered()
             eff_params = app.params.replace(ordered_primary=ordered)
@@ -311,7 +312,7 @@ class Application:
 
         inp.clear_edges()
         self.frame_count += 1
-        app.record_frame_time()
+        app.record_frame_time(frames=k)
         return image
 
     def run(self, frames: int, dt: float = 1.0 / 60.0):

@@ -192,12 +192,15 @@ class AppState:
         if reason:
             log("ACCUM", "reset (%s)", reason)
 
-    def record_frame_time(self) -> float:
+    def record_frame_time(self, frames: int = 1) -> float:
+        """`frames` > 1 when one dispatch chained several accumulation
+        frames (turbo): the stats window carries per-FRAME times so the
+        fps overlay reports accumulation frames/s, not dispatches/s."""
         now = time.monotonic()
         dt = (now - self.last_frame_start) * 1e3
         self.last_frame_start = now
-        self.frame_times_ms.append(dt)
-        if len(self.frame_times_ms) > 240:
+        self.frame_times_ms.extend([dt / frames] * frames)
+        while len(self.frame_times_ms) > 240:
             self.frame_times_ms.pop(0)
         return dt
 

@@ -29,10 +29,13 @@ fi
 # 1. ORT_AN_HIT_GATE A/B (new r4 knob): compacts the whole analytic
 #    shade to hit tiles.  0 = dense (current default), 0.65/0.8 probe
 #    the capacity; an_full's default camera has ~40% sky tiles.
+# budget 1400 keeps every arm at 8 frames: bench's low-budget degrade
+# path (<240s remaining -> 4-frame run) must never split an A/B's
+# populations between arms
 for g in 0 0.65 0.8; do
   BENCH_SKIP_PROBE=1 BENCH_CASES=an_baseline,an_full BENCH_FRAMES=8 \
-    BENCH_BUDGET=900 BENCH_TIMEOUT=600 ORT_AN_HIT_GATE=$g \
-    timeout 1000 python bench.py 2>&1 \
+    BENCH_BUDGET=1400 BENCH_TIMEOUT=600 ORT_AN_HIT_GATE=$g \
+    timeout 1500 python bench.py 2>&1 \
     | sed "s/^{/{\"angate\": \"$g\", /" | tee -a /tmp/r4a_angate.log
 done
 
