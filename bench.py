@@ -385,7 +385,10 @@ def main() -> int:
             # (CLAUDE.md): wait for it (bounded by BENCH_WAIT_S) before
             # giving up — a driver-run bench with a generous outer
             # timeout salvages the round record from a transient wedge.
-            wait_s = int(os.environ.get("BENCH_WAIT_S", "900"))
+            # 600 not 900: the recovery wait plus the shortened-timeout
+            # case sweep must stay inside the driver's outer wall clock
+            # (BENCH_r03 died at rc=124 with a case unstamped)
+            wait_s = int(os.environ.get("BENCH_WAIT_S", "600"))
             print(json.dumps({"note": "liveness probe failed; waiting "
                               f"up to {wait_s}s for recovery"}),
                   flush=True)
