@@ -29,6 +29,7 @@ from ..sampling import (rand, eps_for_dist, concentric_sample,
 from .materials import (get_material, MaterialProps, MTYPE_DIFFUSE,
                         MTYPE_MIRROR, MTYPE_GLASS)
 from .scene import SceneCtx
+from .scene_analytic import Hit
 from .vecmath import dot, normalize, reflect, refract, mix, const3, length
 
 # Disk light frame, precomputed on host
@@ -374,6 +375,58 @@ def one_bounce_gi_analytic(scene: SceneCtx, h0, rng_frame, seed, frame_index,
     return jnp.where((cos_theta > 0.0)[..., None], out, 0.0)
 
 
+def direct_and_gi_analytic(scene: SceneCtx, h0, seed, frame_index, vdir,
+                           px, py):
+    """(direct radiance at h0, GI contribution) with the TWO full-lane
+    direct_light evaluations — at the primary hit and at the GI bounce
+    hit — fused into ONE 2-batch call (the shadow-wavefront batching
+    pattern: one megakernel launch under ORT_AN_PALLAS instead of two,
+    one fused XLA evaluation otherwise).
+
+    Per-lane math is identical to
+    `direct_light(h0) , one_bounce_gi_analytic(h0)` as the pipeline
+    called them: the primary evaluation keeps rng_frame = seed, the
+    bounce evaluation keeps rng_frame = frame_index — the rng rows ride
+    the batch axis and broadcast through the elementwise hash chain."""
+    params = scene.params
+    mat0 = get_material(h0.mat, params)
+    n0 = normalize(h0.n)
+    # hemisphere sample (one_bounce_gi_analytic:363-370, rng_frame there
+    # is the pipeline's frame_index)
+    so = jnp.asarray(seed * 13).astype(jnp.float32)
+    so2 = jnp.asarray(seed * 37).astype(jnp.float32)
+    ux = rand(px + so, py + so, frame_index)
+    uy = rand(py + so2, px + so2, frame_index)
+    wi = sample_hemisphere_cosine(n0, ux, uy)
+    cos_theta = jnp.maximum(dot(n0, wi), 0.0)
+    h1 = scene.trace(h0.p + n0 * EPS, wi, coherent=False)
+
+    shp = jnp.broadcast_shapes(jnp.shape(h0.t), jnp.shape(h1.t))
+
+    def b(x, vec=False):
+        return jnp.broadcast_to(x, shp + ((3,) if vec else ()))
+
+    h_pair = Hit(jnp.stack([b(h0.t), b(h1.t)]),
+                 jnp.stack([b(h0.p, True), b(h1.p, True)]),
+                 jnp.stack([b(h0.n, True), b(h1.n, True)]),
+                 jnp.stack([b(h0.mat), b(h1.mat)]))
+    v_pair = jnp.stack([b(vdir, True), b(-wi, True)])
+    # int32, not float: rand()'s frame path wraps int32 bits (seed*1663
+    # exceeds f32 exactness past frame ~10k)
+    rng_pair = jnp.stack([
+        jnp.broadcast_to(jnp.asarray(seed, jnp.int32), shp),
+        jnp.broadcast_to(jnp.asarray(frame_index, jnp.int32), shp)])
+    px2 = jnp.broadcast_to(px, (2,) + shp)
+    py2 = jnp.broadcast_to(py, (2,) + shp)
+    lit = direct_light(scene, h_pair, rng_pair, frame_index, v_pair,
+                       px2, py2)
+
+    li = jnp.where(h1.valid[..., None], lit[1], scene.sky(wi))
+    gi = mat0.albedo * (cos_theta / PI)[..., None] * li
+    gi = jnp.where((cos_theta > 0.0)[..., None], gi, 0.0)
+    return lit[0], gi
+
+
 def one_bounce_gi_bvh(scene: SceneCtx, h0, rng_frame, seed, frame_index,
                       px, py, active=None):
     """BVH GI with grazing-angle cut and firefly luminance clamp
@@ -412,33 +465,36 @@ def shade_glass(scene: SceneCtx, h, wo, mat, seed, frame_index, px, py):
     ior = jnp.maximum(mat.ior, 1.0001)
     eta = 1.0 / ior
 
-    # Reflection: env + local
+    # The reflected / straight-through / bent secondary rays are
+    # independent given the primary hit, so all three trace AND light
+    # as ONE 3-batch wavefront (leading batch axis) — one megakernel
+    # launch instead of three under ORT_AN_PALLAS, one fused trace in
+    # the jnp path (the shadow-wavefront batching pattern).  Per-lane
+    # math is unchanged.
     r = reflect(i, n)
     reflect_env = scene.sky(r)
-    h_refl = scene.trace_ignore_glass(h.p + r * EPS, r)
-    v2 = normalize(scene.cam_pos - h_refl.p)
-    refl_local_lit = direct_light(scene, h_refl, seed, frame_index, v2,
-                                  px, py)
-    reflect_local = jnp.where(h_refl.valid[..., None], refl_local_lit,
-                              reflect_env)
-    reflect_col = mix(reflect_env, reflect_local, GLASS_LOCAL_REFL_WEIGHT)
-
-    # Straight-through
-    h_straight = scene.trace_ignore_glass(h.p + i * EPS, i)
-    v2s = normalize(scene.cam_pos - h_straight.p)
-    straight_lit = direct_light(scene, h_straight, seed, frame_index, v2s,
-                                px, py)
-    straight_col = jnp.where(h_straight.valid[..., None], straight_lit,
-                             scene.sky(i))
-
-    # Bent refraction, softened toward straight-through
     cos_theta = jnp.clip(dot(-i, n), 0.0, 1.0)
     t_phys, k = refract(i, n, eta)
     t_dir = normalize(mix(i, normalize(t_phys), GLASS_DISTORTION_STRENGTH))
-    h_refr = scene.trace_ignore_glass(h.p + t_dir * EPS, t_dir)
-    v2r = normalize(scene.cam_pos - h_refr.p)
-    bent_lit = direct_light(scene, h_refr, seed, frame_index, v2r, px, py)
-    bent_col = jnp.where(h_refr.valid[..., None], bent_lit, scene.sky(t_dir))
+
+    dirs = jnp.stack([r, i, t_dir], axis=0)             # [3,...,3]
+    h3 = scene.trace_ignore_glass(h.p[None] + dirs * EPS, dirs)
+    v23 = normalize(scene.cam_pos - h3.p)
+    # px/py carry the batch axis exactly like the SPP axis does in the
+    # pipeline, so the per-pixel RNG/offset chains broadcast per row
+    px3 = jnp.broadcast_to(px, (3,) + jnp.shape(px))
+    py3 = jnp.broadcast_to(py, (3,) + jnp.shape(py))
+    lit3 = direct_light(scene, h3, seed, frame_index, v23, px3, py3)
+
+    # Reflection: env + local
+    reflect_local = jnp.where(h3.valid[0][..., None], lit3[0], reflect_env)
+    reflect_col = mix(reflect_env, reflect_local, GLASS_LOCAL_REFL_WEIGHT)
+
+    # Straight-through
+    straight_col = jnp.where(h3.valid[1][..., None], lit3[1], scene.sky(i))
+
+    # Bent refraction, softened toward straight-through
+    bent_col = jnp.where(h3.valid[2][..., None], lit3[2], scene.sky(t_dir))
 
     refr_col = jnp.where((k > 0.0)[..., None],
                          mix(straight_col, bent_col,
