@@ -587,13 +587,18 @@ def _shade_analytic(scene: SceneCtx, h: Hit, seed, frame_index, vdir, px, py,
     # bounce direct-light evaluations fuse into ONE 2-batch call (one
     # megakernel launch under ORT_AN_PALLAS instead of two full-lane
     # launches) — per-lane math identical to the sequential form.
-    if params.enable_gi:
+    if params.enable_gi and lt.AN_LIGHT_BATCH:
         radiance, gi = lt.direct_and_gi_analytic(scene, h, seed,
                                                  frame_index, vdir, px, py)
         radiance = radiance + jnp.float32(params.gi_scale_analytic) * gi
     else:
         radiance = lt.direct_light(scene, h, seed, frame_index, vdir,
                                    px, py)
+        if params.enable_gi:
+            radiance = radiance + (
+                jnp.float32(params.gi_scale_analytic)
+                * lt.one_bounce_gi_analytic(scene, h, frame_index, seed,
+                                            frame_index, px, py))
     if params.enable_ao:
         if ao is None:
             ao = lt.compute_ao(scene, h, frame_index, px, py)

@@ -32,6 +32,13 @@ from .scene import SceneCtx
 from .scene_analytic import Hit
 from .vecmath import dot, normalize, reflect, refract, mix, const3, length
 
+# Batch the analytic secondary direct-light evaluations (glass tree
+# 3-batch, primary+GI 2-batch) into single calls — fewer megakernel
+# launches under ORT_AN_PALLAS.  ORT_AN_LIGHT_BATCH=0 reverts to the
+# sequential per-call form for paired hardware A/Bs (bit-parity class:
+# identical per-lane math, shape-dependent transcendental ulps only).
+AN_LIGHT_BATCH = os.environ.get("ORT_AN_LIGHT_BATCH", "1") == "1"
+
 # Disk light frame, precomputed on host
 # (reference: shaders/rt/rt_lighting.glsl:29-32, 355-357).
 _KN = np.asarray(LIGHT_NORMAL_RAW, np.float64)
@@ -477,24 +484,45 @@ def shade_glass(scene: SceneCtx, h, wo, mat, seed, frame_index, px, py):
     t_phys, k = refract(i, n, eta)
     t_dir = normalize(mix(i, normalize(t_phys), GLASS_DISTORTION_STRENGTH))
 
-    dirs = jnp.stack([r, i, t_dir], axis=0)             # [3,...,3]
-    h3 = scene.trace_ignore_glass(h.p[None] + dirs * EPS, dirs)
-    v23 = normalize(scene.cam_pos - h3.p)
-    # px/py carry the batch axis exactly like the SPP axis does in the
-    # pipeline, so the per-pixel RNG/offset chains broadcast per row
-    px3 = jnp.broadcast_to(px, (3,) + jnp.shape(px))
-    py3 = jnp.broadcast_to(py, (3,) + jnp.shape(py))
-    lit3 = direct_light(scene, h3, seed, frame_index, v23, px3, py3)
+    if AN_LIGHT_BATCH:
+        dirs = jnp.stack([r, i, t_dir], axis=0)         # [3,...,3]
+        h3 = scene.trace_ignore_glass(h.p[None] + dirs * EPS, dirs)
+        v23 = normalize(scene.cam_pos - h3.p)
+        # px/py carry the batch axis exactly like the SPP axis does in
+        # the pipeline, so the RNG/offset chains broadcast per row
+        px3 = jnp.broadcast_to(px, (3,) + jnp.shape(px))
+        py3 = jnp.broadcast_to(py, (3,) + jnp.shape(py))
+        lit3 = direct_light(scene, h3, seed, frame_index, v23, px3, py3)
+        valid = h3.valid
+        refl_lit, straight_lit, bent_lit = lit3[0], lit3[1], lit3[2]
+        refl_valid, str_valid, bent_valid = valid[0], valid[1], valid[2]
+    else:
+        h_refl = scene.trace_ignore_glass(h.p + r * EPS, r)
+        v2 = normalize(scene.cam_pos - h_refl.p)
+        refl_lit = direct_light(scene, h_refl, seed, frame_index, v2,
+                                px, py)
+        h_straight = scene.trace_ignore_glass(h.p + i * EPS, i)
+        v2s = normalize(scene.cam_pos - h_straight.p)
+        straight_lit = direct_light(scene, h_straight, seed, frame_index,
+                                    v2s, px, py)
+        h_refr = scene.trace_ignore_glass(h.p + t_dir * EPS, t_dir)
+        v2r = normalize(scene.cam_pos - h_refr.p)
+        bent_lit = direct_light(scene, h_refr, seed, frame_index, v2r,
+                                px, py)
+        refl_valid, str_valid, bent_valid = (h_refl.valid,
+                                             h_straight.valid,
+                                             h_refr.valid)
 
     # Reflection: env + local
-    reflect_local = jnp.where(h3.valid[0][..., None], lit3[0], reflect_env)
+    reflect_local = jnp.where(refl_valid[..., None], refl_lit, reflect_env)
     reflect_col = mix(reflect_env, reflect_local, GLASS_LOCAL_REFL_WEIGHT)
 
     # Straight-through
-    straight_col = jnp.where(h3.valid[1][..., None], lit3[1], scene.sky(i))
+    straight_col = jnp.where(str_valid[..., None], straight_lit,
+                             scene.sky(i))
 
     # Bent refraction, softened toward straight-through
-    bent_col = jnp.where(h3.valid[2][..., None], lit3[2], scene.sky(t_dir))
+    bent_col = jnp.where(bent_valid[..., None], bent_lit, scene.sky(t_dir))
 
     refr_col = jnp.where((k > 0.0)[..., None],
                          mix(straight_col, bent_col,

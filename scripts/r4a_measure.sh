@@ -39,6 +39,16 @@ for g in 0 0.65 0.8; do
     | sed "s/^{/{\"angate\": \"$g\", /" | tee -a /tmp/r4a_angate.log
 done
 
+# 1b. ORT_AN_LIGHT_BATCH A/B (r4 code change: glass 3-batch + primary/
+#     GI 2-batch direct-light fusion — fewer megakernel launches).
+: > /tmp/r4a_anbatch.log
+for lb in 0 1; do
+  BENCH_SKIP_PROBE=1 BENCH_CASES=an_baseline,an_full BENCH_FRAMES=8 \
+    BENCH_BUDGET=1400 BENCH_TIMEOUT=600 ORT_AN_LIGHT_BATCH=$lb \
+    timeout 1500 python bench.py 2>&1 \
+    | sed "s/^{/{\"anbatch\": $lb, /" | tee -a /tmp/r4a_anbatch.log
+done
+
 # 2. Post-AN_PALLAS-flip analytic record at 16 frames (default knobs).
 BENCH_SKIP_PROBE=1 BENCH_CASES=an_baseline,an_full BENCH_FRAMES=16 \
   BENCH_BUDGET=900 BENCH_TIMEOUT=600 timeout 1000 python bench.py 2>&1 \

@@ -286,3 +286,25 @@ def test_frame_jit_options_plumbing(monkeypatch):
         "compiler_options": {"xla_tpu_scoped_vmem_limit_kib": "49152"}}
     monkeypatch.setenv("ORT_SCOPED_VMEM_KIB", "")
     assert frame_jit_options() == {}
+
+
+def test_an_light_batch_matches_sequential(monkeypatch):
+    """ORT_AN_LIGHT_BATCH=0 (sequential direct_light calls) and the
+    default batched form must agree — identical per-lane math, same
+    shape-dependent transcendental-ulp class as the hit gate."""
+    import opengl_raytracing_tpu.ops.lighting as lt
+    params = preset("full")
+    fin = make_inputs()
+
+    def frame(batch):
+        monkeypatch.setattr(lt, "AN_LIGHT_BATCH", batch)
+        state = RenderState.create(H, W)
+        _, out = render_frame(params, fin, state, height=H, width=W,
+                              use_bvh=False)
+        return np.asarray(out.image)
+
+    a = frame(True)
+    b = frame(False)
+    diff = np.abs(a - b)
+    assert np.quantile(diff, 0.99) < 2.4e-7, np.quantile(diff, 0.99)
+    assert diff.max() < 1e-5, diff.max()
