@@ -54,6 +54,17 @@ BENCH_SKIP_PROBE=1 BENCH_CASES=an_baseline,an_full BENCH_FRAMES=16 \
   BENCH_BUDGET=900 BENCH_TIMEOUT=600 timeout 1000 python bench.py 2>&1 \
   | sed 's/^{/{"postflip": 1, /' | tee -a /tmp/r4a_anrec.log
 
+# 2b. moving 'still' mode retry: r3o lost it to the cold compile (it
+#     ran first); the executable is shared across modes so it is warm
+#     now.  still isolates the camera_moved=1 TAA-branch cost at
+#     identity gather addresses (r3o: yaw 40.0 / dolly 38.1 / full
+#     43.2 vs ~31-33 static-equivalent).
+: > /tmp/r4a_movstill.log
+BENCH_SKIP_PROBE=1 BENCH_CASES=moving BENCH_FRAMES=8 BENCH_BUDGET=900 \
+  BENCH_TIMEOUT=800 BENCH_MOVING_MODE=still \
+  timeout 1000 python bench.py 2>&1 \
+  | sed 's/^{/{"mode": "still", /' | tee -a /tmp/r4a_movstill.log
+
 # 3. Full matrix with current defaults (the BENCH_r04 preview).
 BENCH_SKIP_PROBE=1 BENCH_BUDGET=1800 BENCH_TIMEOUT=600 \
   timeout 2000 python bench.py 2>&1 | tee /tmp/r4a_bench.log
