@@ -46,14 +46,16 @@ BASELINE_MRAYS = 300.0  # reference RTX 5090 derived primary throughput
 
 H = int(os.environ.get("BENCH_HEIGHT", "1080"))
 W = int(os.environ.get("BENCH_WIDTH", "1920"))
-# 16 chained frames per timed dispatch: the tunnel's ~26 ms dispatch +
+# 32 chained frames per timed dispatch: the tunnel's ~26 ms dispatch +
 # readback floor (scripts/ablate.py noop; scripts/roofline.py) is an
 # artifact of the remote axon link, not the renderer — at 8 frames it
 # taxed every reported ms_per_frame by ~3.3 ms (17% at the 19.5 ms
-# baseline).  16 halves the tax to ~1.6 ms; the reference's published
+# baseline), at 16 by ~1.6, at 32 by ~0.8.  The reference's published
 # FPS is read from a continuous render loop, so longer chains are the
-# honest comparison, and lax.scan compile time is length-independent.
-FRAMES = int(os.environ.get("BENCH_FRAMES", "16"))
+# honest comparison; lax.scan compile time is length-independent.
+# Measured (r3o frames32 study): 16f 11.23 ms -> 32f 10.56 ms on the
+# same defaults, matching the predicted tax cut.
+FRAMES = int(os.environ.get("BENCH_FRAMES", "32"))
 PRESET = os.environ.get("BENCH_PRESET", "baseline")
 TIMEOUT_S = int(os.environ.get("BENCH_TIMEOUT", "480"))
 # Default budget sized to the driver's observed outer wall clock:
