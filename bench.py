@@ -252,7 +252,13 @@ def measure_analytic(height, width, frames, case) -> dict:
         env = None
         cross = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                              "cubemaps", "sky_day.png")
-        if os.path.exists(cross):
+        # BENCH_AN_ENV=0 drops the cubemap (procedural sky instead) —
+        # isolates the env-gather share of the an_full frame (r4: the
+        # `direct` ablation stage costs 49 ms with the megakernel ON,
+        # same as jnp — the suspect is the 4-tap bilinear gather, not
+        # the BRDF/occlusion math the kernel replaced)
+        if (os.path.exists(cross)
+                and os.environ.get("BENCH_AN_ENV", "1") == "1"):
             from opengl_raytracing_tpu.utils.image import load_cubemap_cross
             env = jnp.asarray(load_cubemap_cross(cross))
     cam = Camera()

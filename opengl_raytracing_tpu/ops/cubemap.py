@@ -45,7 +45,7 @@ def direction_to_face_uv(d):
 
 def _env_gather() -> str:
     """ORT_ENV_GATHER selects the bilinear tap lowering: 'flat'
-    (default), 'planes', or 'multi'.
+    (default), 'onetake', 'u8', 'planes', or 'multi'.
 
     'multi' is the naive `env[face, y0, x0]` advanced-indexing form —
     three separate index vectors per tap.  XLA TPU lowers that
@@ -56,7 +56,18 @@ def _env_gather() -> str:
     same lowering as the TAA history fetch, measured ~1.2 ms per 2M-ray
     gather.  'planes' additionally splits channels into three scalar
     gathers from a [3, 6*F*F] table (more index traffic, pad-proof);
-    kept for A/B."""
+    kept for A/B.
+
+    r4 additions, motivated by the an_full ablation (the `direct`
+    stage costs 49 ms with the shading megakernel ON — the remaining
+    outside-the-kernel work is dominated by these gathers):
+    'onetake' stacks the four bilinear tap indices into ONE [4,N] take
+    (identical rows fetched — bit-exact; 1 gather op instead of 4);
+    'u8' additionally gathers from a uint8 table and converts AFTER
+    the fetch — bit-exact whenever the environment came from 8-bit
+    sources (every PNG cross: values are exactly k/255, and
+    round(v*255)/255 round-trips them), 4x fewer gathered bytes and
+    no f32 row padding.  Do not use 'u8' with float (HDR/EXR) maps."""
     return os.environ.get("ORT_ENV_GATHER", "flat")
 
 
@@ -93,6 +104,19 @@ def sample_cubemap(env, d):
         c01 = jnp.take(envf, i01, axis=0)
         c10 = jnp.take(envf, i10, axis=0)
         c11 = jnp.take(envf, i11, axis=0)
+    elif mode in ("onetake", "u8"):
+        envf = env.reshape(-1, 3)
+        if mode == "u8":
+            # exact for k/255-valued tables (PNG-sourced); the blend
+            # below runs in f32 on the identical texel values
+            envf = jnp.clip(jnp.round(envf * 255.0), 0.0,
+                            255.0).astype(jnp.uint8)
+        taps = jnp.take(envf, jnp.stack([i00, i01, i10, i11]), axis=0)
+        if mode == "u8":
+            # true division: the loader computes k/255 by f32 divide,
+            # and k * fl(1/255) can land 1 ulp away
+            taps = taps.astype(jnp.float32) / 255.0
+        c00, c01, c10, c11 = taps[0], taps[1], taps[2], taps[3]
     elif mode == "planes":
         envp = jnp.moveaxis(env, -1, 0).reshape(3, -1)
         out = []

@@ -132,8 +132,11 @@ def present(accum, motion, gpos, gnrm, params: RenderParams,
     if params.enable_svgf:
         import os
         import jax
-        # Pallas banded-halo stencil measured 13.8 vs 17.3 ms (jnp) at
-        # 1080p (PERF.md) — default on TPU; ORT_SVGF_PALLAS=0 reverts.
+        # Pallas banded-halo stencil — default on TPU; ORT_SVGF_PALLAS=0
+        # reverts.  Re-paired r4 at current defaults (x3 + 48M scoped
+        # vmem): full preset 28.86 vs 41.94 ms jnp, same session
+        # (PERF.md r4/r3o); the original r2 pair was 13.8 vs 17.3 for
+        # the stage alone.
         use_pallas = (allow_pallas
                       and os.environ.get("ORT_SVGF_PALLAS", "1") == "1"
                       and jax.default_backend() == "tpu")

@@ -49,6 +49,21 @@ for lb in 0 1; do
     | sed "s/^{/{\"anbatch\": $lb, /" | tee -a /tmp/r4a_anbatch.log
 done
 
+# 1c. an_full env-gather attribution: the r3o ablation's `direct`
+#     stage costs 49.2 ms WITH the megakernel (53.1 jnp) while the
+#     no-env an_baseline halved — the suspect is the 4-tap cubemap
+#     gather.  no-env run bounds its share; ORT_ENV_GATHER=planes is
+#     the never-measured alternative lowering.
+: > /tmp/r4a_anenv.log
+BENCH_SKIP_PROBE=1 BENCH_CASES=an_full BENCH_FRAMES=8 BENCH_BUDGET=700 \
+  BENCH_TIMEOUT=600 BENCH_AN_ENV=0 timeout 800 python bench.py 2>&1 \
+  | sed 's/^{/{"anenv": 0, /' | tee -a /tmp/r4a_anenv.log
+for eg in planes onetake u8; do
+  BENCH_SKIP_PROBE=1 BENCH_CASES=an_full BENCH_FRAMES=8 BENCH_BUDGET=700 \
+    BENCH_TIMEOUT=600 ORT_ENV_GATHER=$eg timeout 800 python bench.py 2>&1 \
+    | sed "s/^{/{\"envgather\": \"$eg\", /" | tee -a /tmp/r4a_anenv.log
+done
+
 # 2. Post-AN_PALLAS-flip analytic record at 16 frames (default knobs).
 BENCH_SKIP_PROBE=1 BENCH_CASES=an_baseline,an_full BENCH_FRAMES=16 \
   BENCH_BUDGET=900 BENCH_TIMEOUT=600 timeout 1000 python bench.py 2>&1 \

@@ -84,16 +84,35 @@ def test_dummy_cubemap_color():
 
 
 def test_sample_cubemap_gather_modes_bit_match(monkeypatch):
-    """The flat / planes / multi gather lowerings fetch identical taps
-    with identical per-channel arithmetic -> bit-identical rgb."""
+    """The flat / onetake / planes / multi gather lowerings fetch
+    identical taps with identical per-channel arithmetic ->
+    bit-identical rgb."""
     rng = np.random.RandomState(7)
     env = jnp.asarray(rng.rand(6, 9, 9, 3).astype(np.float32))
     d = rng.randn(257, 3).astype(np.float32)
     d /= np.linalg.norm(d, axis=-1, keepdims=True)
     d = jnp.asarray(d)
     out = {}
-    for mode in ("flat", "planes", "multi"):
+    for mode in ("flat", "onetake", "planes", "multi"):
         monkeypatch.setenv("ORT_ENV_GATHER", mode)
         out[mode] = np.asarray(sample_cubemap(env, d))
     np.testing.assert_array_equal(out["flat"], out["multi"])
+    np.testing.assert_array_equal(out["onetake"], out["multi"])
     np.testing.assert_array_equal(out["planes"], out["multi"])
+
+
+def test_sample_cubemap_u8_mode_exact_for_png_tables(monkeypatch):
+    """'u8' gathers a uint8 table and divides after the fetch —
+    bit-identical to 'flat' whenever the environment is k/255-valued
+    (every PNG-sourced cross, the loader's exact arithmetic)."""
+    rng = np.random.RandomState(11)
+    env = jnp.asarray(
+        rng.randint(0, 256, (6, 9, 9, 3)).astype(np.float32) / 255.0)
+    d = rng.randn(513, 3).astype(np.float32)
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    d = jnp.asarray(d)
+    monkeypatch.setenv("ORT_ENV_GATHER", "flat")
+    want = np.asarray(sample_cubemap(env, d))
+    monkeypatch.setenv("ORT_ENV_GATHER", "u8")
+    got = np.asarray(sample_cubemap(env, d))
+    np.testing.assert_array_equal(got, want)
