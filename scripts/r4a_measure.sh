@@ -58,7 +58,7 @@ done
 BENCH_SKIP_PROBE=1 BENCH_CASES=an_full BENCH_FRAMES=8 BENCH_BUDGET=700 \
   BENCH_TIMEOUT=600 BENCH_AN_ENV=0 timeout 800 python bench.py 2>&1 \
   | sed 's/^{/{"anenv": 0, /' | tee -a /tmp/r4a_anenv.log
-for eg in planes onetake u8; do
+for eg in planes onetake u8 patch patch_u8; do
   BENCH_SKIP_PROBE=1 BENCH_CASES=an_full BENCH_FRAMES=8 BENCH_BUDGET=700 \
     BENCH_TIMEOUT=600 ORT_ENV_GATHER=$eg timeout 800 python bench.py 2>&1 \
     | sed "s/^{/{\"envgather\": \"$eg\", /" | tee -a /tmp/r4a_anenv.log

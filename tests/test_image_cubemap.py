@@ -93,11 +93,12 @@ def test_sample_cubemap_gather_modes_bit_match(monkeypatch):
     d /= np.linalg.norm(d, axis=-1, keepdims=True)
     d = jnp.asarray(d)
     out = {}
-    for mode in ("flat", "onetake", "planes", "multi"):
+    for mode in ("flat", "onetake", "patch", "planes", "multi"):
         monkeypatch.setenv("ORT_ENV_GATHER", mode)
         out[mode] = np.asarray(sample_cubemap(env, d))
     np.testing.assert_array_equal(out["flat"], out["multi"])
     np.testing.assert_array_equal(out["onetake"], out["multi"])
+    np.testing.assert_array_equal(out["patch"], out["multi"])
     np.testing.assert_array_equal(out["planes"], out["multi"])
 
 
@@ -116,3 +117,6 @@ def test_sample_cubemap_u8_mode_exact_for_png_tables(monkeypatch):
     monkeypatch.setenv("ORT_ENV_GATHER", "u8")
     got = np.asarray(sample_cubemap(env, d))
     np.testing.assert_array_equal(got, want)
+    monkeypatch.setenv("ORT_ENV_GATHER", "patch_u8")
+    got_p = np.asarray(sample_cubemap(env, d))
+    np.testing.assert_array_equal(got_p, want)
