@@ -80,6 +80,21 @@ BENCH_SKIP_PROBE=1 BENCH_CASES=moving BENCH_FRAMES=8 BENCH_BUDGET=900 \
   timeout 1000 python bench.py 2>&1 \
   | sed 's/^{/{"mode": "still", /' | tee -a /tmp/r4a_movstill.log
 
+# 2c. TAA moving-path lowering A/B: the r3o an_full ablation prices
+#     the branch-free moving resolve at ~+10 ms/frame — exactly the
+#     moving-camera penalty (yaw 40 vs ~31 static).  ORT_TAA_PLANES
+#     (channel-plane gathers) and ORT_ACCUM_PLANES (its cancel-the-
+#     moveaxis partner) were never priced on hardware.
+: > /tmp/r4a_taaplanes.log
+for tp in "0 0" "1 0" "1 1"; do
+  set -- $tp
+  BENCH_SKIP_PROBE=1 BENCH_CASES=moving BENCH_FRAMES=8 BENCH_BUDGET=800 \
+    BENCH_TIMEOUT=700 ORT_TAA_PLANES=$1 ORT_ACCUM_PLANES=$2 \
+    timeout 900 python bench.py 2>&1 \
+    | sed "s/^{/{\"taaplanes\": $1, \"accplanes\": $2, /" \
+    | tee -a /tmp/r4a_taaplanes.log
+done
+
 # 3. Full matrix with current defaults (the BENCH_r04 preview).
 BENCH_SKIP_PROBE=1 BENCH_BUDGET=1800 BENCH_TIMEOUT=600 \
   timeout 2000 python bench.py 2>&1 | tee /tmp/r4a_bench.log
