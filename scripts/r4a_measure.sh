@@ -64,6 +64,15 @@ for eg in planes onetake u8 patch patch_u8; do
     | sed "s/^{/{\"envgather\": \"$eg\", /" | tee -a /tmp/r4a_anenv.log
 done
 
+# 1d. megakernel rows-per-step: if the an_full `direct` stage's 45 ms
+#     is kernel-side (not the env gathers), fatter grid steps move it.
+: > /tmp/r4a_anblock.log
+for ab in 128 256; do
+  BENCH_SKIP_PROBE=1 BENCH_CASES=an_full BENCH_FRAMES=8 BENCH_BUDGET=700 \
+    BENCH_TIMEOUT=600 ORT_AN_BLOCK=$ab timeout 800 python bench.py 2>&1 \
+    | sed "s/^{/{\"anblock\": $ab, /" | tee -a /tmp/r4a_anblock.log
+done
+
 # 2. Post-AN_PALLAS-flip analytic record at 16 frames (default knobs).
 BENCH_SKIP_PROBE=1 BENCH_CASES=an_baseline,an_full BENCH_FRAMES=16 \
   BENCH_BUDGET=900 BENCH_TIMEOUT=600 timeout 1000 python bench.py 2>&1 \
