@@ -786,7 +786,13 @@ def trace_and_shade(scene: SceneCtx, params: RenderParams, fin: FrameInputs,
     gpos = jnp.where(hit_mask[..., None], h.p, 0.0)
     gnrm = jnp.where(hit_mask[..., None], normalize(h.n), 0.0)
 
-    sky_radiance = scene.sky(rd)
+    # ORT_SKY_MISS_GATE=f fetches the miss-lane environment only on
+    # tiles containing a miss (sky_radiance is consumed exclusively
+    # through the ~hit_mask select below); the an_full ablation prices
+    # full-lane env gathers as a top cost.  0 (default) = dense.
+    sky_radiance = scene.sky_gated(
+        rd, jnp.logical_not(hit_mask),
+        float(os.environ.get("ORT_SKY_MISS_GATE", "0") or "0"))
     vdir = -rd
 
     # SPP as a leading batch axis: the per-sample RNG is a pure function

@@ -490,7 +490,13 @@ def direct_light_pallas(scene, h, rng_frame, frame_index, vdir, px, py):
     v = normalize(vdir)
     mat = get_material(h.mat, params)
     r = reflect(-v, n)
-    sky_r = scene.sky(r)
+    # The kernel consumes sky_r ONLY through its mirror/glass output
+    # select (mtype > 0.5 lanes — a few percent of the screen);
+    # ORT_AN_SKYR_GATE=f fetches the env reflection on just those
+    # tiles.  0 (default) = dense full-lane fetch.
+    sky_r = scene.sky_gated(
+        r, mat.mtype > 0.5,
+        float(os.environ.get("ORT_AN_SKYR_GATE", "0") or "0"))
     offs = lt._disk_offsets(rng_frame, frame_index, px, py)
 
     sun_li = (jnp.asarray(params.sun_color, jnp.float32)

@@ -169,6 +169,41 @@ def sample_cubemap(env, d):
     return top + (bot - top) * fy
 
 
+def sample_cubemap_gated(env, d, lane_mask, frac: float):
+    """sample_cubemap evaluated only on the 128-lane tiles where
+    `lane_mask` has any lane set; other lanes return 0 (callers must
+    discard them by the same mask).
+
+    `d` is a FLAT [N,3] direction stream with N % 128 == 0; the same
+    argsort/compact/scatter machinery as the pipeline tile gates
+    (models/pipeline._tile_gated_shade), with the lax.cond dense
+    fallback when more tiles qualify than the frac*T capacity.  The
+    an_full ablation prices each full-lane 4-tap env gather at a
+    two-digit ms share of the frame while its consumers are a masked
+    subset (sky: miss lanes; megakernel sky_r: mirror/glass lanes) —
+    this fetches only the consuming tiles."""
+    import jax
+
+    n = d.shape[0]
+    t = n // 128
+    k = max(1, min(t, int(round(frac * t))))
+    tile_sel = lane_mask.reshape(t, 128).any(axis=1)
+    count = jnp.sum(tile_sel.astype(jnp.int32))
+    idx = jnp.argsort(~tile_sel, stable=True)[:k]
+
+    def compact(_):
+        dg = jnp.take(d.reshape(t, 128, 3), idx, axis=0)
+        c = sample_cubemap(env, dg.reshape(k * 128, 3))
+        out = jnp.zeros((t, 128, 3), c.dtype)
+        out = out.at[idx].set(c.reshape(k, 128, 3))
+        return out.reshape(n, 3)
+
+    def dense(_):
+        return sample_cubemap(env, d)
+
+    return jax.lax.cond(count <= k, compact, dense, None)
+
+
 def dummy_cubemap(size: int = 1):
     """1x1 blue-ish fallback cubemap so env samplers are always valid
     (reference: src/render/cubemap.cpp:7-31, pixel (128,128,255)/255)."""

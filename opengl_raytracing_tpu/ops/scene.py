@@ -216,3 +216,22 @@ class SceneCtx:
 
     def sky(self, d):
         return sa.sky(d, self.params, self.env_map)
+
+    def sky_gated(self, d, lane_mask, frac: float):
+        """sky() fetched only on the 128-lane tiles where `lane_mask`
+        is set; other lanes return 0 and MUST be discarded by the
+        caller's own select on the same mask.  Dense fallback whenever
+        gating cannot apply (no env map, frac<=0, non-tile-aligned
+        stream) or, at runtime, when more tiles qualify than the
+        frac capacity (lax.cond inside sample_cubemap_gated) — the
+        gate is an optimization, never a source of truth."""
+        import numpy as np
+        n_px = int(np.prod(jnp.shape(d)[:-1]))
+        if not (frac > 0.0 and self.params.enable_env_map
+                and self.env_map is not None and n_px % 128 == 0):
+            return self.sky(d)
+        from .cubemap import sample_cubemap_gated
+        out = sample_cubemap_gated(self.env_map, d.reshape(n_px, 3),
+                                   jnp.reshape(lane_mask, (n_px,)), frac)
+        return (out.reshape(jnp.shape(d))
+                * self.params.env_map_intensity)

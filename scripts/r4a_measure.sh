@@ -64,6 +64,15 @@ for eg in planes onetake u8 patch patch_u8; do
     | sed "s/^{/{\"envgather\": \"$eg\", /" | tee -a /tmp/r4a_anenv.log
 done
 
+# 1c2. env-gather tile gates: sky(rd) only on miss tiles, the
+#      megakernel's sky_r only on mirror/glass tiles (the sole
+#      consumers).  Bit-parity pinned by test_pipeline.
+: > /tmp/r4a_skygate.log
+BENCH_SKIP_PROBE=1 BENCH_CASES=an_full BENCH_FRAMES=8 BENCH_BUDGET=700 \
+  BENCH_TIMEOUT=600 ORT_SKY_MISS_GATE=0.75 ORT_AN_SKYR_GATE=0.15 \
+  timeout 800 python bench.py 2>&1 \
+  | sed 's/^{/{"skygates": 1, /' | tee -a /tmp/r4a_skygate.log
+
 # 1d. megakernel rows-per-step: if the an_full `direct` stage's 45 ms
 #     is kernel-side (not the env gathers), fatter grid steps move it.
 : > /tmp/r4a_anblock.log

@@ -308,3 +308,56 @@ def test_an_light_batch_matches_sequential(monkeypatch):
     diff = np.abs(a - b)
     assert np.quantile(diff, 0.99) < 2.4e-7, np.quantile(diff, 0.99)
     assert diff.max() < 1e-5, diff.max()
+
+
+def _rand_env(seed=3, f=8):
+    rng = np.random.RandomState(seed)
+    return jnp.asarray(
+        rng.randint(0, 256, (6, f, f, 3)).astype(np.float32) / 255.0)
+
+
+def test_sky_miss_gate_matches_dense(monkeypatch):
+    """ORT_SKY_MISS_GATE fetches the miss-lane environment only on
+    miss tiles; the frame must match the dense fetch (hit lanes never
+    read sky_radiance).  Same fusion-ulp tolerance class as the other
+    tile gates."""
+    params = preset("full").replace(enable_env_map=1)
+    fin = make_inputs()
+    env = _rand_env()
+
+    def frame(frac):
+        monkeypatch.setenv("ORT_SKY_MISS_GATE", str(frac))
+        state = RenderState.create(H, W)
+        _, out = render_frame(params, fin, state, env_map=env,
+                              height=H, width=W)
+        return np.asarray(out.image)
+
+    dense = frame(0)
+    gated = frame(0.9)
+    tiny = frame(1e-6)  # count > K -> runtime dense fallback
+    for got in (gated, tiny):
+        diff = np.abs(got - dense)
+        assert np.quantile(diff, 0.99) < 2.4e-7, np.quantile(diff, 0.99)
+        assert diff.max() < 1e-5, diff.max()
+
+
+def test_an_skyr_gate_matches_dense(monkeypatch):
+    """ORT_AN_SKYR_GATE fetches the megakernel's env reflection only on
+    mirror/glass tiles (the only consumers of sky_r)."""
+    monkeypatch.setenv("ORT_FORCE_MXU", "1")  # megakernel via interpret
+    params = preset("baseline").replace(enable_env_map=1)
+    fin = make_inputs()
+    env = _rand_env(5)
+
+    def frame(frac):
+        monkeypatch.setenv("ORT_AN_SKYR_GATE", str(frac))
+        state = RenderState.create(H, W)
+        _, out = render_frame(params, fin, state, env_map=env,
+                              height=H, width=W)
+        return np.asarray(out.image)
+
+    dense = frame(0)
+    gated = frame(0.5)
+    diff = np.abs(gated - dense)
+    assert np.quantile(diff, 0.99) < 2.4e-7, np.quantile(diff, 0.99)
+    assert diff.max() < 1e-5, diff.max()
