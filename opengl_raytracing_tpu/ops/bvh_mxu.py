@@ -116,6 +116,14 @@ GROUP = int(os.environ.get("ORT_CHUNK_GROUP", "4"))
 # early termination at group granularity.  1 = per-chunk walk.
 ORDERED_GROUP = int(os.environ.get("ORT_ORDERED_GROUP", "1"))
 
+# Per-tile near-first compacted group walk (see _sorted_group_plan):
+# each tile visits exactly its surviving chunk groups, nearest slab
+# entry first, with tile-wide early exit once no remaining group can
+# beat the running best t (closest) and faster all-occluded exits
+# (shadow).  Replaces the window+bitmask walk in the UNORDERED kernels.
+# ORT_GROUP_SORT=1 enables (opt-in pending hardware A/B).
+GROUP_SORT = os.environ.get("ORT_GROUP_SORT", "0") == "1"
+
 # Shared-origin kernels take the camera origin as a tiny broadcast-
 # constant input instead of streaming three [NT,128] planes of the same
 # value (25 MB/frame at 1080p).  ORT_SMEM_ORIGIN=0 reverts to the plane
@@ -370,13 +378,15 @@ def _tile_hulls(ro_soa, rd_soa, act=None, shared_origin=None):
     return axes, any_act
 
 
-def _tile_chunk_ranges(chunk_bounds, hulls, t_cap=None):
-    """Conservative per-tile candidate chunk range for ONE page.
+def _chunk_hit_matrix(chunk_bounds, hulls, t_cap=None):
+    """Per-(chunk, tile) conservative slab test for ONE page.
 
-    `hulls` from _tile_hulls.  Returns (lo [NT], n [NT]) int32 such that
-    any triangle intersected by any tile ray lies within chunks
-    [lo, lo+n), plus the ordered/group walk bitmasks.
-    """
+    Returns (hit [NC,NT] bool, tmin_lo [NC,NT] f32): `hit` marks chunks
+    whose AABB the tile's ray hull may enter (t-capped when `t_cap`
+    given); `tmin_lo` is the interval lower bound on any ray's slab
+    entry t — exact in the sense that every real intersection of a tile
+    ray with a triangle in the chunk satisfies t >= tmin_lo.  Shared by
+    the range/bitmask cull and the sorted-group plan."""
     axes, any_act = hulls
     nt = axes[0][0].shape[0]
     nc = chunk_bounds.shape[0]
@@ -420,6 +430,22 @@ def _tile_chunk_ranges(chunk_bounds, hulls, t_cap=None):
         # all-inactive tiles have +/-INF hulls whose interval products
         # degenerate to "pass everything" — gate them off explicitly
         hit = hit & any_act[None, :]
+    return hit, tmin_lo
+
+
+def _tile_chunk_ranges(chunk_bounds, hulls, t_cap=None, hit=None):
+    """Conservative per-tile candidate chunk range for ONE page.
+
+    `hulls` from _tile_hulls.  Returns (lo [NT], n [NT]) int32 such that
+    any triangle intersected by any tile ray lies within chunks
+    [lo, lo+n), plus the ordered/group walk bitmasks.  `hit` (from
+    _chunk_hit_matrix) avoids recomputing the slab tests when the
+    caller already has them.
+    """
+    nc = chunk_bounds.shape[0]
+    if hit is None:
+        hit, _ = _chunk_hit_matrix(chunk_bounds, hulls, t_cap)
+    nt = hit.shape[1]
 
     cidx = jnp.arange(nc, dtype=jnp.int32)[:, None]
     lo = jnp.min(jnp.where(hit, cidx, nc), axis=0)
@@ -460,6 +486,58 @@ def _tile_chunk_ranges(chunk_bounds, hulls, t_cap=None):
     return (lo.astype(jnp.int32), n.astype(jnp.int32), mask_lo, mask_hi,
             glo.astype(jnp.int32), gn.astype(jnp.int32),
             gmask.astype(jnp.int32))
+
+
+def _sorted_group_plan(chunk_bounds, hulls, t_cap=None):
+    """Per-tile near-first COMPACTED group walk plan (ORT_GROUP_SORT).
+
+    The window+bitmask group walk iterates a tile's contiguous window
+    [glo, glo+gn) and cond-skips bitmask gaps — close cameras measured
+    ~1.7x more scalar window steps than surviving groups (cf_stats,
+    272x480: 8,375 steps for 5,004 survivors), every gap step pure
+    overhead, and the walk has no within-page occlusion pruning at all
+    (the 2.3x fixcap headroom).  This plan gives each tile exactly its
+    surviving groups, sorted by the tile's OWN conservative slab entry
+    bound (near first):
+
+      sortpos [NT, NG] i32 — k-th nearest surviving group id per tile
+      sufnext [NT, NG] f32 — entry lower bound of the NEXT sorted
+                             position (INF past the end): ascending
+                             sort makes the suffix minimum the next
+                             element, so the kernel may stop after
+                             position k once every lane's running best
+                             t <= sufnext[k] (a later triangle hits at
+                             t >= its chunk's tmin_lo >= sufnext — the
+                             strict `t < best` update can never win)
+
+    plus the (cull, k_n) fields the drivers need.  Exactness: the
+    per-chunk bound tmin_lo is conservative per tile (see
+    _chunk_hit_matrix), so early exit never drops a reachable hit; the
+    only divergence from the window walk is chunk visit ORDER, which
+    can flip the winner between triangles at exactly equal t
+    (tie-free scenes are bit-identical — same caveat as the ordered
+    walk, see trace_bvh_mxu)."""
+    nc = chunk_bounds.shape[0]
+    hit, tmin = _chunk_hit_matrix(chunk_bounds, hulls, t_cap)
+    cull = _tile_chunk_ranges(chunk_bounds, hulls, t_cap, hit=hit)
+    nt = hit.shape[1]
+    ng = -(-nc // GROUP)
+    pad = ng * GROUP - nc
+    if pad:
+        hit = jnp.pad(hit, ((0, pad), (0, 0)))
+        tmin = jnp.pad(tmin, ((0, pad), (0, 0)),
+                       constant_values=INF)
+    hit_g = hit.reshape(ng, GROUP, nt)
+    ghit = jnp.any(hit_g, axis=1)                       # [NG,NT]
+    gmin = jnp.min(jnp.where(hit_g, tmin.reshape(ng, GROUP, nt), INF),
+                   axis=1)                              # [NG,NT]
+    key = jnp.where(ghit, gmin, INF)
+    order = jnp.argsort(key, axis=0).astype(jnp.int32)  # [NG,NT]
+    key_sorted = jnp.take_along_axis(key, order, axis=0)
+    sufnext = jnp.concatenate(
+        [key_sorted[1:], jnp.full((1, nt), INF, jnp.float32)], axis=0)
+    k_n = jnp.sum(ghit.astype(jnp.int32), axis=0)       # [NT]
+    return cull, k_n, order.T, sufnext.T
 
 
 def _soa_planes(ro_soa, rd_soa, extra=None):
@@ -532,7 +610,16 @@ def _closest_kernel(ids_ref, perm_ref, gate_ref, gorder_ref, gbound_ref,
                     meta_ref, *refs,
                     eps: float, subtiles: int, ordered: bool,
                     shared_o: bool = False, defer: bool = False,
-                    compact: bool = False):
+                    compact: bool = False, gsort: bool = False):
+    i = 0
+    sp_ref = sm_ref = None
+    if gsort:
+        # sorted-group walk plan (original-subtile-order rows):
+        # sp = per-tile sorted surviving group ids, sm = next-position
+        # entry bound for the early exit (_sorted_group_plan)
+        sp_ref, sm_ref = refs[0:2]
+        i = 2
+    refs = refs[i:]
     i = 0
     if shared_o:
         # planes carry only directions; the origin rides a tiny [8,128]
@@ -767,11 +854,11 @@ def _closest_kernel(ids_ref, perm_ref, gate_ref, gorder_ref, gbound_ref,
                 # scalar loop overhead GROUPx; the group bitmask skips
                 # all-miss groups.
                 glo = meta_ref[s, 6]
-                gn = meta_ref[s, 7]
+                gn = meta_ref[s, 7]   # gsort mode: k_n (survivor count)
                 gmask = meta_ref[s, 8]
 
-                def group_work(gi, carry):
-                    base = (glo + gi) * GROUP
+                def group_work_abs(gabs, carry):
+                    base = gabs * GROUP
                     cg_uv = cuv_ref[pl.ds(base, GROUP)].reshape(
                         GROUP * 2 * CHUNK, K_EFF)
                     cg_dt = cdt_ref[pl.ds(base, GROUP)].reshape(
@@ -792,15 +879,33 @@ def _closest_kernel(ids_ref, perm_ref, gate_ref, gorder_ref, gbound_ref,
                             carry)
                     return carry
 
-                def group_body(gi, carry):
-                    sh = jnp.clip(glo + gi, 0, 31)
-                    bit = (gmask >> sh) & 1
-                    return jax.lax.cond(
-                        bit > 0, lambda cr: group_work(gi, cr),
-                        lambda cr: cr, carry)
+                if gsort:
+                    # Compacted near-first walk: position k visits the
+                    # tile's k-th nearest surviving group — no bitmask
+                    # gaps, every step does matmul work — and the tile
+                    # stops once no remaining group's entry bound can
+                    # beat the running best t of any lane.
+                    def sort_body(st):
+                        k, carry = st
+                        carry = group_work_abs(sp_ref[so, k], carry)
+                        cap = jnp.max(carry[0])
+                        k = jnp.where(cap <= sm_ref[so, k], gn, k + 1)
+                        return k, carry
 
-                carry_out = jax.lax.fori_loop(
-                    0, gn, group_body, carry0)
+                    _, carry_out = jax.lax.while_loop(
+                        lambda st: st[0] < gn, sort_body,
+                        (jnp.int32(0), carry0))
+                else:
+                    def group_body(gi, carry):
+                        sh = jnp.clip(glo + gi, 0, 31)
+                        bit = (gmask >> sh) & 1
+                        return jax.lax.cond(
+                            bit > 0,
+                            lambda cr: group_work_abs(glo + gi, cr),
+                            lambda cr: cr, carry)
+
+                    carry_out = jax.lax.fori_loop(
+                        0, gn, group_body, carry0)
             t_ref[pl.ds(so, 1), :] = carry_out[0]
             if defer:
                 it_ref[pl.ds(so, 1), :] = carry_out[1]
@@ -814,10 +919,18 @@ def _closest_kernel(ids_ref, perm_ref, gate_ref, gorder_ref, gbound_ref,
 
 
 def _shadow_kernel(ids_ref, perm_ref, gate_ref, gorder_ref, gbound_ref,
-                   meta_ref,
-                   ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, tm_ref,
-                   cuv_ref, cdt_ref, occ_ref, *, eps: float, subtiles: int,
-                   ordered: bool = False, compact: bool = False):
+                   meta_ref, *refs, eps: float, subtiles: int,
+                   ordered: bool = False, compact: bool = False,
+                   gsort: bool = False):
+    sp_ref = None
+    if gsort:
+        # sorted-group plan rows (original subtile order): near-first
+        # order finds occluders sooner, so the all-occluded early exit
+        # fires earlier; no bitmask-gap steps (_sorted_group_plan)
+        sp_ref = refs[0]
+        refs = refs[1:]
+    (ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, tm_ref,
+     cuv_ref, cdt_ref, occ_ref) = refs
     b = pl.program_id(0)
     occ_ref[:, :] = jnp.zeros((subtiles, TILE_RAYS), jnp.float32)
 
@@ -845,8 +958,8 @@ def _shadow_kernel(ids_ref, perm_ref, gate_ref, gorder_ref, gbound_ref,
             # exact f32 window (in x3 mode f rows are bf16 splits)
             tmax = tm_ref[pl.ds(so, 1), :]     # [1,128]
 
-            def group_work(gi, occ):
-                base = (glo + gi) * GROUP
+            def group_work(gabs, occ):
+                base = gabs * GROUP
                 cg_uv = cuv_ref[pl.ds(base, GROUP)].reshape(
                     GROUP * 2 * CHUNK, K_EFF)
                 cg_dt = cdt_ref[pl.ds(base, GROUP)].reshape(
@@ -884,18 +997,28 @@ def _shadow_kernel(ids_ref, perm_ref, gate_ref, gorder_ref, gbound_ref,
             def group_body(gi, occ):
                 sh = jnp.clip(glo + gi, 0, 31)
                 bit = (gmask >> sh) & 1
-                return jax.lax.cond(bit > 0, lambda oc: group_work(gi, oc),
-                                    lambda oc: oc, occ)
+                return jax.lax.cond(
+                    bit > 0, lambda oc: group_work(glo + gi, oc),
+                    lambda oc: oc, occ)
 
             # while-loop with all-occluded early exit
             def sh_cond(st):
                 return st[0] < gn
 
-            def sh_body(st):
-                gi, occ = st
-                occ = group_body(gi, occ)
-                gi = jnp.where(jnp.min(occ) >= 1.0, gn, gi + 1)
-                return gi, occ
+            if gsort:
+                # compacted near-first walk: gn carries k_n; every step
+                # intersects a real surviving group, nearest first
+                def sh_body(st):
+                    gi, occ = st
+                    occ = group_work(sp_ref[so, gi], occ)
+                    gi = jnp.where(jnp.min(occ) >= 1.0, gn, gi + 1)
+                    return gi, occ
+            else:
+                def sh_body(st):
+                    gi, occ = st
+                    occ = group_body(gi, occ)
+                    gi = jnp.where(jnp.min(occ) >= 1.0, gn, gi + 1)
+                    return gi, occ
 
             occ0 = jnp.zeros((1, TILE_RAYS), jnp.float32)
             _, occ = jax.lax.while_loop(sh_cond, sh_body,
@@ -1291,7 +1414,7 @@ _COMPILER_PARAMS = pltpu.CompilerParams(vmem_limit_bytes=64 * 1024 * 1024)
 
 
 def _grid_specs(nt, n_out, n_planes, n_full_inputs=1, subtiles=SUBTILES,
-                o_mod_blocks=None):
+                o_mod_blocks=None, n_sorted=0, ng=0):
     """SPARSE grid plumbing: the grid still runs NB steps, but the
     active blocks are compacted to the FRONT via prefetched dynamic
     index maps (`ids_in` for inputs, `perm` for outputs):
@@ -1328,13 +1451,18 @@ def _grid_specs(nt, n_out, n_planes, n_full_inputs=1, subtiles=SUBTILES,
         o_spec = pl.BlockSpec((subtiles, TILE_RAYS), in_map_o,
                               memory_space=pltpu.VMEM)
         plane_specs = [o_spec] * 3 + [in_spec] * (n_planes - 3)
+    # sorted-group plan inputs (sortpos/sufnext): per-tile rows blocked
+    # like meta, in ORIGINAL subtile order (kernels index them with the
+    # pre-compaction subtile id)
+    sort_specs = [pl.BlockSpec((subtiles, ng), in_map,
+                               memory_space=pltpu.VMEM)] * n_sorted
     return pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=5,
         grid=(nt // subtiles,),
         in_specs=[
             pl.BlockSpec((subtiles, META_W), in_map,
                          memory_space=pltpu.VMEM),
-        ] + plane_specs
+        ] + sort_specs + plane_specs
           + [pl.BlockSpec(memory_space=pltpu.VMEM)] * n_full_inputs,
         out_specs=[out_spec] * n_out if n_out > 1 else out_spec,
     )
@@ -1475,7 +1603,16 @@ def _closest_page_rows(mxu: MXUBVH, planes, hulls, shared_origin, ordered,
     reach."""
     nt = planes[0].shape[0]
     subtiles = _subtiles_for(nt)
-    cull = _tile_chunk_ranges(mxu.chunk_bounds, hulls, t_cap)
+    gsort = GROUP_SORT and not (ordered and shared_origin is not None)
+    sort_in = ()
+    if gsort:
+        cull, k_n, sortpos, sufnext = _sorted_group_plan(
+            mxu.chunk_bounds, hulls, t_cap)
+        # gn slot carries the survivor count (walk bound + subtile gate)
+        cull = cull[:5] + (k_n.astype(jnp.int32), cull[6])
+        sort_in = (sortpos, sufnext)
+    else:
+        cull = _tile_chunk_ranges(mxu.chunk_bounds, hulls, t_cap)
     lo, cn = cull[0], cull[1]
     nc = mxu.coef_dt.shape[0]
     if ordered and shared_origin is not None:
@@ -1502,7 +1639,7 @@ def _closest_page_rows(mxu: MXUBVH, planes, hulls, shared_origin, ordered,
     kern = functools.partial(_closest_kernel, eps=eps, subtiles=subtiles,
                              ordered=is_ordered,
                              shared_o=o_rows is not None, defer=defer,
-                             compact=SUBTILE_COMPACT)
+                             compact=SUBTILE_COMPACT, gsort=gsort)
     extra = () if o_rows is None else (o_rows,)
     full = (mxu.coef_uv, mxu.coef_dt) if defer else (
         mxu.coef_uv, mxu.coef_dt, mxu.norms)
@@ -1517,13 +1654,14 @@ def _closest_page_rows(mxu: MXUBVH, planes, hulls, shared_origin, ordered,
         kern,
         grid_spec=_grid_specs(nt, n_out, n_planes=len(planes),
                               n_full_inputs=len(full) + len(extra),
-                              subtiles=subtiles),
+                              subtiles=subtiles, n_sorted=len(sort_in),
+                              ng=sort_in[0].shape[1] if sort_in else 0),
         out_shape=[jax.ShapeDtypeStruct((nt, TILE_RAYS), jnp.float32,
                                         vma=vma)] * n_out,
         interpret=_use_interpret(),
         compiler_params=_COMPILER_PARAMS,
     )(*_pvary_to(vma, ids_in, perm, gate, gorder, gbound,
-                 meta, *planes, *extra, *full))
+                 meta, *sort_in, *planes, *extra, *full))
 
 
 def _assemble_hit(rows, ro, rd, shape, n) -> Hit:
@@ -1612,11 +1750,19 @@ def _shadow_page_rows(mxu: MXUBVH, planes, hulls, t_cap, eps):
     if nt_o != nt:
         assert nt_o % subtiles == 0, (nt_o, subtiles)
         o_mod = nt_o // subtiles
-    cull = _tile_chunk_ranges(mxu.chunk_bounds, hulls, t_cap)
+    sort_in = ()
+    if GROUP_SORT:
+        cull, k_n, sortpos, _ = _sorted_group_plan(
+            mxu.chunk_bounds, hulls, t_cap)
+        cull = cull[:5] + (k_n.astype(jnp.int32), cull[6])
+        sort_in = (sortpos,)
+    else:
+        cull = _tile_chunk_ranges(mxu.chunk_bounds, hulls, t_cap)
     cn = cull[1]
     nc = mxu.coef_dt.shape[0]
     kern = functools.partial(_shadow_kernel, eps=eps, subtiles=subtiles,
-                             compact=SUBTILE_COMPACT)
+                             compact=SUBTILE_COMPACT,
+                             gsort=bool(sort_in))
     ids_in, perm, gate = _sparse_plan(cn, nt, subtiles)
     meta = _pack_meta(cull)
     if SUBTILE_COMPACT:
@@ -1625,11 +1771,13 @@ def _shadow_page_rows(mxu: MXUBVH, planes, hulls, t_cap, eps):
     return pl.pallas_call(
         kern,
         grid_spec=_grid_specs(nt, 1, n_planes=7, n_full_inputs=2,
-                              subtiles=subtiles, o_mod_blocks=o_mod),
+                              subtiles=subtiles, o_mod_blocks=o_mod,
+                              n_sorted=len(sort_in),
+                              ng=sort_in[0].shape[1] if sort_in else 0),
         out_shape=jax.ShapeDtypeStruct((nt, TILE_RAYS), jnp.float32,
                                        vma=vma),
         interpret=_use_interpret(),
         compiler_params=_COMPILER_PARAMS,
     )(*_pvary_to(vma, ids_in, perm, gate, jnp.arange(nc, dtype=jnp.int32),
-                 jnp.zeros(nc, jnp.float32), meta, *planes,
+                 jnp.zeros(nc, jnp.float32), meta, *sort_in, *planes,
                  mxu.coef_uv, mxu.coef_dt))

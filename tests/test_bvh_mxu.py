@@ -650,3 +650,50 @@ def test_x3_precision_matches_highest(monkeypatch):
         assert (np.abs(a.n[sel] - b.n[sel]).max(axis=-1) < 1e-6).mean() \
             > 0.999
     assert (want_o == got_o).mean() > 0.999
+
+
+def test_group_sort_walk_matches_window_walk(scene, monkeypatch):
+    """ORT_GROUP_SORT replaces the window+bitmask group walk with a
+    per-tile near-first compacted walk + early exit (_sorted_group_plan).
+    Every pruned group's entry bound exceeds every lane's running best
+    t, so closest/shadow results are bit-identical on tie-free scenes —
+    random incoherent rays, coherent camera rays, active-masked lanes,
+    and the paged walk with inter-page t-caps all pin that here."""
+    from opengl_raytracing_tpu.ops import bvh_mxu as bm
+    mxu, tris = scene
+    ro, rd = _rays(13)
+    origin = jnp.asarray(np.array([0.0, 1.0, 0.5], np.float32))
+    org = jnp.broadcast_to(origin, rd.shape)
+    rng = np.random.RandomState(7)
+    act = jnp.asarray(rng.rand(rd.shape[0]) > 0.4)
+    win = jnp.full((rd.shape[0],), 4.0)
+
+    # multi-page build of a bigger mesh exercises the per-page plans +
+    # inter-page t-cap/early-out interaction
+    big = gather_triangles(make_icosphere(1.0, 3),
+                           model_transform((0.0, 1.0, -3.0), 1.0))
+    monkeypatch.setattr(bm, "PAGE_CHUNKS", 8)
+    pages = bm.build_mxu_paged(build_bvh(big))
+    assert len(pages) > 1
+
+    def run():
+        h = trace_bvh_mxu(mxu, ro, rd)
+        hs = trace_bvh_mxu(mxu, org, rd, shared_origin=origin)
+        ha = trace_bvh_mxu(mxu, ro, rd, active=act)
+        occ = trace_bvh_shadow_mxu(mxu, ro, rd, win, active=act)
+        hp = bm.trace_bvh_mxu_paged(pages, org, rd, shared_origin=origin)
+        op = bm.trace_bvh_shadow_mxu_paged(pages, ro, rd, win)
+        am = np.asarray(act)
+        return (np.asarray(h.t), np.asarray(h.n),
+                np.asarray(hs.t), np.asarray(hs.n),
+                np.where(am, np.asarray(ha.t), 0.0),
+                np.where(am, np.asarray(occ), 0.0),
+                np.asarray(hp.t), np.asarray(hp.n), np.asarray(op))
+
+    want = run()
+    monkeypatch.setattr(bm, "GROUP_SORT", True)
+    jax.clear_caches()  # the module knob is not a jit cache key
+    got = run()
+    jax.clear_caches()
+    for i, (a, b) in enumerate(zip(want, got)):
+        np.testing.assert_array_equal(a, b, err_msg=f"output {i}")
