@@ -116,6 +116,20 @@ GROUP = int(os.environ.get("ORT_CHUNK_GROUP", "4"))
 # early termination at group granularity.  1 = per-chunk walk.
 ORDERED_GROUP = int(os.environ.get("ORT_ORDERED_GROUP", "1"))
 
+# Lane-packed multi-batch shadow wavefronts (ORT_SHADOW_PACK): the k
+# same-shape shadow batches of a wavefront (4 disk + sun + point in
+# direct lighting; S hemisphere samples in AO) today trace as k
+# CONSECUTIVE tile streams — the same pixel tile walks its (nearly
+# identical) chunk window k times, paying k scalar loops, k coef-load
+# sequences and k cull plans.  Packing puts the k batches on LANES
+# instead: one walk per pixel tile intersects each group against a
+# [K_EFF, k*128] feature block (one matmul pair, k*128-wide — wider N
+# amortizes the MXU weight load), under ONE union-hull cull plan.
+# cf_stats 1080p: the 4 disk batches' surviving-group sets differ <2%,
+# so the union walk does ~1/k the scalar steps at equal MXU elements.
+# ORT_SHADOW_PACK=1 enables (opt-in pending hardware A/B).
+SHADOW_PACK = os.environ.get("ORT_SHADOW_PACK", "0") == "1"
+
 # Per-tile near-first compacted group walk (see _sorted_group_plan):
 # each tile visits exactly its surviving chunk groups, nearest slab
 # entry first, with tile-wide early exit once no remaining group can
@@ -1020,7 +1034,13 @@ def _shadow_kernel(ids_ref, perm_ref, gate_ref, gorder_ref, gbound_ref,
                     gi = jnp.where(jnp.min(occ) >= 1.0, gn, gi + 1)
                     return gi, occ
 
-            occ0 = jnp.zeros((1, TILE_RAYS), jnp.float32)
+            # Dead lanes (collapsed windows: inactive rays, pads) can
+            # never occlude, so seed them already-occluded — otherwise
+            # one inactive lane blocks the tile's all-occluded early
+            # exit forever.  Callers mask outputs with tmax > 0
+            # (_shadow_unpack), so the seeded 1.0 never escapes.
+            occ0 = jnp.where(tmax <= 0.0, 1.0,
+                             jnp.zeros((1, TILE_RAYS), jnp.float32))
             _, occ = jax.lax.while_loop(sh_cond, sh_body,
                                         (jnp.int32(0), occ0))
             occ_ref[pl.ds(so, 1), :] = occ
@@ -1242,6 +1262,11 @@ def trace_bvh_shadow_mxu_paged(mxu, ro, rd, t_max, eps: float = EPS,
     flattening would sever the array identity inside): when every batch
     passes the same origin array, only one copy enters the stream."""
     pages = _as_pages(mxu)
+    if (SHADOW_PACK and isinstance(ro, (list, tuple)) and len(rd) > 1):
+        # lane-packed wavefront: k batches on lanes, one walk per pixel
+        # tile (shared origins detected inside by array identity)
+        return _trace_shadow_packed(pages, tuple(ro), tuple(rd),
+                                    tuple(t_max), eps, active)
     shared_k = 0
     if (SHARED_SHADOW_ORIGIN and isinstance(ro, (list, tuple))
             and len(ro) > 1 and all(r is ro[0] for r in ro[1:])):
@@ -1268,8 +1293,13 @@ def _shadow_stream(ro_soa, rd_soa, tm, act):
     return t_cap, hulls, planes
 
 
-def _shadow_unpack(occ_rows, shape, n, layout):
+def _shadow_unpack(occ_rows, shape, n, layout, tm=None):
     flat = occ_rows.reshape(-1)
+    if tm is not None:
+        # dead lanes (collapsed windows) are SEEDED occluded in-kernel
+        # so they don't block the all-occluded early exit — strip the
+        # seed here (a real occlusion needs a positive window)
+        flat = jnp.where(tm.reshape(-1) > 0.0, flat, 0.0)
     if layout is None:
         return flat[:n].reshape(shape) > 0.5
     k, L, n_item = layout  # interior per-batch padding
@@ -1299,7 +1329,264 @@ def _trace_shadow_paged(pages, ro, rd, t_max, eps, active, shared_k=0):
             cap_p = t_cap
         occ = jnp.maximum(occ, _shadow_page_rows(page, planes, hulls,
                                                  cap_p, eps))
-    return _shadow_unpack(occ, shape, n, layout)
+    return _shadow_unpack(occ, shape, n, layout, tm)
+
+
+# -----------------------------------------------------------------------------
+# Lane-packed multi-batch shadow wavefronts (ORT_SHADOW_PACK)
+# -----------------------------------------------------------------------------
+
+def _union_hulls(hulls_list):
+    """Conservative union of per-batch tile hulls: one cull plan covers
+    every batch's rays (exact — the union interval contains each
+    batch's interval, so no chunk any batch ray can enter is culled)."""
+    axes = []
+    for kk in range(3):
+        o_lo = functools.reduce(
+            jnp.minimum, [h[0][kk][0] for h in hulls_list])
+        o_hi = functools.reduce(
+            jnp.maximum, [h[0][kk][1] for h in hulls_list])
+        i_lo = functools.reduce(
+            jnp.minimum, [h[0][kk][2] for h in hulls_list])
+        i_hi = functools.reduce(
+            jnp.maximum, [h[0][kk][3] for h in hulls_list])
+        axes.append((o_lo, o_hi, i_lo, i_hi))
+    return tuple(axes), hulls_list[0][1]
+
+
+def _shadow_pack_prep(ro_seq, rd_seq, tm_seq, active):
+    """k same-ITEM-shape shadow batches -> ONE pixel-tile stream with
+    the k batches on lanes: per-batch SoA planes [NT,128], union hulls,
+    per-tile t_cap over all batches, and the [NT, k*128] window matrix
+    (lane blocks in batch order) for dead-lane seeding/unpacking."""
+    k = len(rd_seq)
+    shape0 = jnp.broadcast_shapes(jnp.shape(ro_seq[0])[:-1],
+                                  jnp.shape(rd_seq[0])[:-1])
+    n_item = int(np.prod(shape0)) if shape0 else 1
+    group = TILE_RAYS * _subtiles_for(n_item // TILE_RAYS + 1)
+    n_pad = -n_item % group
+    nt = (n_item + n_pad) // TILE_RAYS
+    shared_o = all(r is ro_seq[0] for r in ro_seq[1:])
+
+    def flat3(a, kk, pad_val):
+        v = jnp.broadcast_to(a, shape0 + (3,))[..., kk].reshape(-1)
+        if n_pad:
+            v = jnp.concatenate(
+                [v, jnp.full((n_pad,), pad_val, jnp.float32)])
+        return v
+
+    act = act_item = None
+    if active is not None:
+        act_item = jnp.broadcast_to(active, shape0).reshape(-1)
+        act = act_item
+        if n_pad:
+            act = jnp.concatenate([act, jnp.zeros(n_pad, jnp.bool_)])
+
+    planes, hulls_list, caps, tm_rows = [], [], [], []
+    o_soa0 = None
+    for j in range(k):
+        o_soa = (o_soa0 if (shared_o and o_soa0 is not None) else
+                 tuple(flat3(ro_seq[j], kk, 1e8) for kk in range(3)))
+        o_soa0 = o_soa0 if o_soa0 is not None else o_soa
+        d_soa = tuple(flat3(rd_seq[j], kk, float(kk == 0))
+                      for kk in range(3))
+        tm_j = jnp.broadcast_to(tm_seq[j], shape0).reshape(-1)
+        if act_item is not None:
+            tm_j = jnp.where(act_item, tm_j, -1.0)
+        if n_pad:
+            tm_j = jnp.concatenate([tm_j, jnp.full((n_pad,), -1.0,
+                                                   jnp.float32)])
+        hulls_list.append(_tile_hulls(o_soa, d_soa, act))
+        tm_t = tm_j.reshape(nt, TILE_RAYS)
+        caps.append(jnp.max(tm_t, axis=1))
+        tm_rows.append(tm_t)
+        if j == 0 or not shared_o:
+            planes += [v.reshape(nt, TILE_RAYS) for v in o_soa]
+        planes += [v.reshape(nt, TILE_RAYS) for v in d_soa]
+        planes.append(tm_t)
+    hulls = _union_hulls(hulls_list)
+    t_cap = functools.reduce(jnp.maximum, caps)
+    tm_all = jnp.concatenate(tm_rows, axis=1)       # [NT, k*128]
+    return ((k,) + shape0, n_item, nt, shared_o, planes, hulls, t_cap,
+            tm_all)
+
+
+def _shadow_kernel_pack(ids_ref, perm_ref, gate_ref, gorder_ref,
+                        gbound_ref, meta_ref, *refs, eps: float,
+                        subtiles: int, k: int, shared_o: bool,
+                        compact: bool = False, gsort: bool = False):
+    """Any-hit over k lane-packed batches: one chunk-group walk per
+    PIXEL tile, each group intersected against the [K_EFF, k*128]
+    feature block of all k batches at once (one matmul pair; the
+    all-occluded early exit spans all k*128 lanes, dead lanes seeded).
+    Plane order per _shadow_pack_prep: shared origins once or per
+    batch, then (dx, dy, dz, tm) per batch."""
+    sp_ref = None
+    i = 0
+    if gsort:
+        sp_ref = refs[0]
+        i = 1
+    if shared_o:
+        o_refs = refs[i:i + 3]
+        bat_refs = [refs[i + 3 + 4 * j: i + 7 + 4 * j] for j in range(k)]
+        i += 3 + 4 * k
+    else:
+        bat_refs = [refs[i + 7 * j: i + 7 * (j + 1)] for j in range(k)]
+        i += 7 * k
+    cuv_ref, cdt_ref = refs[i:i + 2]
+    occ_ref = refs[i + 2]
+    b = pl.program_id(0)
+    w = k * TILE_RAYS
+    occ_ref[:, :] = jnp.zeros((subtiles, w), jnp.float32)
+
+    @pl.when(gate_ref[b] > 0)
+    def _():
+        def subtile_body(s, _):
+            glo = meta_ref[s, 6]
+            gn = meta_ref[s, 7]
+            gmask = meta_ref[s, 8]
+            so = meta_ref[s, 9] if compact else s
+
+            @pl.when(gn > 0)
+            def _work():
+                walk(s, so, glo, gn, gmask)
+            return 0
+
+        def walk(s, so, glo, gn, gmask):
+            fs, tms = [], []
+            for j in range(k):
+                if shared_o:
+                    rows = (*o_refs, *bat_refs[j])
+                else:
+                    rows = tuple(bat_refs[j])
+                fs.append(_expand_features(rows, so, with_tmax=True))
+                tms.append(rows[6][pl.ds(so, 1), :])
+            f = jnp.concatenate(fs, axis=1)          # [K_EFF, k*128]
+            tmax = jnp.concatenate(tms, axis=1)      # [1, k*128]
+
+            def group_work(gabs, occ):
+                base = gabs * GROUP
+                cg_uv = cuv_ref[pl.ds(base, GROUP)].reshape(
+                    GROUP * 2 * CHUNK, K_EFF)
+                cg_dt = cdt_ref[pl.ds(base, GROUP)].reshape(
+                    GROUP * 2 * CHUNK, K_EFF)
+                out_uv = jnp.dot(cg_uv, f,
+                                 preferred_element_type=jnp.float32,
+                                 precision=SHADOW_PRECISION)
+                out_dt = jnp.dot(cg_dt, f,
+                                 preferred_element_type=jnp.float32,
+                                 precision=SHADOW_PRECISION)
+                for g in range(GROUP):               # static unroll
+                    b_uv = out_uv[g * 256:(g + 1) * 256]
+                    b_dt = out_dt[g * 256:(g + 1) * 256]
+                    # division-free sign tests (see _shadow_kernel)
+                    det = b_dt[0:128, :]
+                    sgn = jnp.where(det >= 0.0, 1.0, -1.0)
+                    adet = jnp.abs(det)
+                    ok_det = adet >= 1e-8
+                    u_n = b_uv[0:128, :] * sgn
+                    v_n = b_uv[128:256, :] * sgn
+                    t_n = b_dt[128:256, :] * sgn
+                    acc = (ok_det & (u_n >= 0.0) & (u_n <= adet)
+                           & (v_n >= 0.0) & (u_n + v_n <= adet)
+                           & (t_n >= eps * adet) & (t_n <= tmax * adet))
+                    acc_f = jnp.where(acc, 1.0, 0.0)
+                    occ = jnp.maximum(occ, jnp.max(acc_f, axis=0,
+                                                   keepdims=True))
+                return occ
+
+            def sh_cond(st):
+                return st[0] < gn
+
+            if gsort:
+                def sh_body(st):
+                    gi, occ = st
+                    occ = group_work(sp_ref[so, gi], occ)
+                    gi = jnp.where(jnp.min(occ) >= 1.0, gn, gi + 1)
+                    return gi, occ
+            else:
+                def sh_body(st):
+                    gi, occ = st
+                    sh = jnp.clip(glo + gi, 0, 31)
+                    bit = (gmask >> sh) & 1
+                    occ = jax.lax.cond(
+                        bit > 0, lambda oc: group_work(glo + gi, oc),
+                        lambda oc: oc, occ)
+                    gi = jnp.where(jnp.min(occ) >= 1.0, gn, gi + 1)
+                    return gi, occ
+
+            occ0 = jnp.where(tmax <= 0.0, 1.0,
+                             jnp.zeros((1, w), jnp.float32))
+            _, occ = jax.lax.while_loop(sh_cond, sh_body,
+                                        (jnp.int32(0), occ0))
+            occ_ref[pl.ds(so, 1), :] = occ
+
+        jax.lax.fori_loop(0, gate_ref[b] if compact else subtiles,
+                          subtile_body, 0)
+
+
+def _shadow_pack_page_rows(mxu: MXUBVH, planes, hulls, t_cap, eps, k,
+                           shared_o):
+    """One page's packed any-hit kernel: occlusion rows [NT, k*128]."""
+    nt = planes[0].shape[0]
+    subtiles = _subtiles_for(nt)
+    sort_in = ()
+    if GROUP_SORT:
+        cull, k_n, sortpos, _ = _sorted_group_plan(
+            mxu.chunk_bounds, hulls, t_cap)
+        cull = cull[:5] + (k_n.astype(jnp.int32), cull[6])
+        sort_in = (sortpos,)
+    else:
+        cull = _tile_chunk_ranges(mxu.chunk_bounds, hulls, t_cap)
+    cn = cull[1]
+    nc = mxu.coef_dt.shape[0]
+    kern = functools.partial(_shadow_kernel_pack, eps=eps,
+                             subtiles=subtiles, k=k, shared_o=shared_o,
+                             compact=SUBTILE_COMPACT,
+                             gsort=bool(sort_in))
+    ids_in, perm, gate = _sparse_plan(cn, nt, subtiles)
+    meta = _pack_meta(cull)
+    if SUBTILE_COMPACT:
+        meta, gate = _compact_meta(meta, ids_in, gate, subtiles, False)
+    vma = _union_vma(ids_in, perm, gate, *planes)
+    return pl.pallas_call(
+        kern,
+        grid_spec=_grid_specs(nt, 1, n_planes=len(planes),
+                              n_full_inputs=2, subtiles=subtiles,
+                              n_sorted=len(sort_in),
+                              ng=sort_in[0].shape[1] if sort_in else 0,
+                              out_width=k * TILE_RAYS),
+        out_shape=jax.ShapeDtypeStruct((nt, k * TILE_RAYS), jnp.float32,
+                                       vma=vma),
+        interpret=_use_interpret(),
+        compiler_params=_COMPILER_PARAMS,
+    )(*_pvary_to(vma, ids_in, perm, gate, jnp.arange(nc, dtype=jnp.int32),
+                 jnp.zeros(nc, jnp.float32), meta, *sort_in, *planes,
+                 mxu.coef_uv, mxu.coef_dt))
+
+
+@functools.partial(jax.jit, static_argnames=("eps",))
+def _trace_shadow_packed(pages, ro, rd, t_max, eps, active):
+    """Paged driver for the lane-packed k-batch any-hit wavefront."""
+    (shape, n_item, nt, shared_o, planes, hulls, t_cap,
+     tm_all) = _shadow_pack_prep(ro, rd, t_max, active)
+    k = len(rd)
+    occ = _shadow_pack_page_rows(pages[0], planes, hulls, t_cap, eps, k,
+                                 shared_o)
+    for page in pages[1:]:
+        if PAGE_TCAP:
+            # tiles whose lanes (all batches) are occluded or dead drop
+            # out of later pages entirely
+            need = (occ < 0.5) & (tm_all > 0.0)
+            cap_p = jnp.where(jnp.any(need, axis=1), t_cap, -INF)
+        else:
+            cap_p = t_cap
+        occ = jnp.maximum(occ, _shadow_pack_page_rows(
+            page, planes, hulls, cap_p, eps, k, shared_o))
+    occ = jnp.where(tm_all > 0.0, occ, 0.0)         # strip dead seeds
+    per_batch = occ.reshape(nt, k, TILE_RAYS).transpose(1, 0, 2)
+    return (per_batch.reshape(k, nt * TILE_RAYS)[:, :n_item]
+            .reshape(shape) > 0.5)
 
 
 def _pad_tiles(ro, rd, extra=None, active=None):
@@ -1414,7 +1701,8 @@ _COMPILER_PARAMS = pltpu.CompilerParams(vmem_limit_bytes=64 * 1024 * 1024)
 
 
 def _grid_specs(nt, n_out, n_planes, n_full_inputs=1, subtiles=SUBTILES,
-                o_mod_blocks=None, n_sorted=0, ng=0):
+                o_mod_blocks=None, n_sorted=0, ng=0,
+                out_width=TILE_RAYS):
     """SPARSE grid plumbing: the grid still runs NB steps, but the
     active blocks are compacted to the FRONT via prefetched dynamic
     index maps (`ids_in` for inputs, `perm` for outputs):
@@ -1437,7 +1725,7 @@ def _grid_specs(nt, n_out, n_planes, n_full_inputs=1, subtiles=SUBTILES,
     def out_map(b, ids, perm, n, go, gb):
         return (perm[b], 0)
 
-    out_spec = pl.BlockSpec((subtiles, TILE_RAYS), out_map,
+    out_spec = pl.BlockSpec((subtiles, out_width), out_map,
                             memory_space=pltpu.VMEM)
     in_spec = pl.BlockSpec((subtiles, TILE_RAYS), in_map,
                            memory_space=pltpu.VMEM)
@@ -1736,7 +2024,7 @@ def trace_bvh_shadow_mxu(mxu: MXUBVH, ro, rd, t_max, eps: float = EPS,
         ro, rd, t_max, active, shared_k)
     t_cap, hulls, planes = _shadow_stream(ro_soa, rd_soa, tm, act)
     occ_rows = _shadow_page_rows(mxu, planes, hulls, t_cap, eps)
-    return _shadow_unpack(occ_rows, shape, n, layout)
+    return _shadow_unpack(occ_rows, shape, n, layout, tm)
 
 
 def _shadow_page_rows(mxu: MXUBVH, planes, hulls, t_cap, eps):

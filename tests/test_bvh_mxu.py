@@ -697,3 +697,58 @@ def test_group_sort_walk_matches_window_walk(scene, monkeypatch):
     jax.clear_caches()
     for i, (a, b) in enumerate(zip(want, got)):
         np.testing.assert_array_equal(a, b, err_msg=f"output {i}")
+
+
+def test_shadow_pack_matches_batched(scene, monkeypatch):
+    """ORT_SHADOW_PACK traces a k-batch shadow wavefront with the
+    batches on LANES (one union-hull walk per pixel tile, [K,k*128]
+    matmuls) — results must match the concatenated-stream form exactly,
+    for per-batch origins (disk lights), shared origins (AO), active
+    masks, multi-page walks, and composed with ORT_GROUP_SORT."""
+    from opengl_raytracing_tpu.ops import bvh_mxu as bm
+    mxu, tris = scene
+    big = gather_triangles(make_icosphere(1.0, 3),
+                           model_transform((0.0, 1.0, -3.0), 1.0))
+    monkeypatch.setattr(bm, "PAGE_CHUNKS", 8)
+    pages = bm.build_mxu_paged(build_bvh(big))
+    assert len(pages) > 1
+
+    rng = np.random.RandomState(3)
+    n = N_RAYS
+    hp = rng.uniform(-1.5, 1.5, (n, 3)).astype(np.float32) \
+        + np.array([0, 1, -3], np.float32)
+    act = jnp.asarray(rng.rand(n) > 0.35)
+    light = np.array([0.5, 5.0, -1.0], np.float32)
+    oris, dirs, wins = [], [], []
+    for j in range(4):
+        xl = light + rng.randn(3).astype(np.float32) * 0.4
+        d = xl[None] - hp
+        w = np.linalg.norm(d, axis=1)
+        d /= w[:, None]
+        oris.append(jnp.asarray(hp + d * 1e-3))
+        dirs.append(jnp.asarray(d))
+        wins.append(jnp.asarray(w - 1e-3))
+
+    def run():
+        o1 = bm.trace_bvh_shadow_mxu_paged(
+            pages, tuple(oris), tuple(dirs), tuple(wins), active=act)
+        o2 = bm.trace_bvh_shadow_mxu_paged(
+            pages, (oris[0],) * 4, tuple(dirs), tuple(wins), active=act)
+        o3 = bm.trace_bvh_shadow_mxu_paged(
+            (pages[0],), tuple(oris), tuple(dirs), tuple(wins))
+        am = np.asarray(act)[None]
+        return (np.where(am, np.asarray(o1), 0),
+                np.where(am, np.asarray(o2), 0), np.asarray(o3))
+
+    want = run()
+    monkeypatch.setattr(bm, "SHADOW_PACK", True)
+    jax.clear_caches()
+    got = run()
+    monkeypatch.setattr(bm, "GROUP_SORT", True)
+    jax.clear_caches()
+    got_s = run()
+    jax.clear_caches()
+    for i, (a, b, c) in enumerate(zip(want, got, got_s)):
+        np.testing.assert_array_equal(a, b, err_msg=f"pack output {i}")
+        np.testing.assert_array_equal(a, c,
+                                      err_msg=f"pack+gsort output {i}")
