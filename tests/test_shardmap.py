@@ -209,3 +209,35 @@ def test_shardmap_accum_planes_matches(monkeypatch):
         st_s, out_s, _ = fn(params, fin, st_s, None, None)
     diff = np.abs(np.asarray(out_s.image) - outs[-1])
     assert np.quantile(diff, 0.99) < 1e-3 and diff.max() < 2e-2
+
+
+def test_shardmap_bvh_walk_knobs_forced(monkeypatch):
+    """The r4 walk kernels (ORT_GROUP_SORT sorted-group walk +
+    ORT_SHADOW_PACK lane-packed shadow wavefronts) under shard_map —
+    their extra kernel inputs (sortpos/sufnext rows, packed planes)
+    must carry the sharded-axis vma like every other per-ray input."""
+    monkeypatch.setenv("ORT_FORCE_MXU", "1")
+    from opengl_raytracing_tpu.ops import bvh_mxu as bm
+    monkeypatch.setattr(bm, "GROUP_SORT", True)
+    monkeypatch.setattr(bm, "SHADOW_PACK", True)
+    params = _slim(preset("baseline"))
+    fin = make_inputs()
+    mesh = make_mesh(jax.devices()[:8])
+    from opengl_raytracing_tpu.scene import make_icosphere
+    from opengl_raytracing_tpu.scene.geometry import (gather_triangles,
+                                                      model_transform)
+    from opengl_raytracing_tpu.ops.scene import prepare_bvh
+    tris = gather_triangles(make_icosphere(1.0, 1),
+                            model_transform((0.0, 1.0, -3.0), 1.0))
+    bvh = prepare_bvh(tris)
+    st = shard_image_rows(mesh, RenderState.create(H, W))
+    fn = make_shardmap_render_fn(mesh, H, W, use_bvh=True, donate=False,
+                                 check_vma=False)
+    st, out, _ = fn(params, fin, st, None, bvh)
+    img = np.asarray(out.image)
+    assert img.shape == (H, W, 3) and np.isfinite(img).all()
+    st1 = RenderState.create(H, W)
+    _, ref = render_frame(params, fin, st1, None, bvh, height=H, width=W,
+                          use_bvh=True)
+    diff = np.abs(img - np.asarray(ref.image))
+    assert diff.max() < 2e-2 and np.quantile(diff, 0.99) < 1e-3
