@@ -259,8 +259,13 @@ def measure_analytic(height, width, frames, case) -> dict:
         # the BRDF/occlusion math the kernel replaced)
         if (os.path.exists(cross)
                 and os.environ.get("BENCH_AN_ENV", "1") == "1"):
+            import numpy as np
             from opengl_raytracing_tpu.utils.image import load_cubemap_cross
-            env = jnp.asarray(load_cubemap_cross(cross))
+            faces = load_cubemap_cross(cross)
+            # PNG source: integer texels end-to-end -> the 'auto' env
+            # gather resolves to patch_u8 (app/state.py does the same)
+            env = jnp.asarray(np.clip(np.round(faces * 255.0), 0.0,
+                                      255.0).astype(np.uint8))
     cam = Camera()
     cam.aspect = w / h
     sec, checksum = _run_frames(params, None, _fin(cam), h, w, frames,

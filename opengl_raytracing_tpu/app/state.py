@@ -157,6 +157,14 @@ class AppState:
                      if native.available() and img.dtype == np.uint8
                      else slice_cubemap_cross(img))
             import jax.numpy as jnp
+            if img.dtype == np.uint8:
+                # keep 8-bit sources as integer texels: the dtype is
+                # trace-static, so sample_cubemap's 'auto' mode takes
+                # the patch_u8 lowering (r4a: an_full 143 -> 51 ms)
+                # with exact k/255 values (round repairs the f32
+                # divide+multiply round trip)
+                faces = np.clip(np.round(faces * 255.0), 0.0,
+                                255.0).astype(np.uint8)
             self.env_map = jnp.asarray(faces)
             log("ENV", "loaded cubemap %s (%dx%d faces)", path,
                 faces.shape[1], faces.shape[2])

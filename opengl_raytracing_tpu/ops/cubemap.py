@@ -71,8 +71,15 @@ def _env_gather() -> str:
     'patch' bakes each texel's 2x2 CLAMP_TO_EDGE patch into a [T,12]
     table so ONE take per pixel fetches all four taps (4x fewer
     indices); 'patch_u8' combines both.  All modes bit-match
-    (test_image_cubemap)."""
-    return os.environ.get("ORT_ENV_GATHER", "flat")
+    (test_image_cubemap).
+
+    'auto' (default since the r4a A/B: an_full 143.15 ms flat /
+    113.22 u8 / 57.01 patch / **51.49 patch_u8**) resolves per the
+    env array's dtype, which is trace-static: uint8 tables (8-bit
+    sources keep their integer texels end-to-end, app/state.py) take
+    the patch_u8 lowering with NO re-quantization; float tables
+    (HDR/EXR — u8 would clip and quantize) take 'patch'."""
+    return os.environ.get("ORT_ENV_GATHER", "auto")
 
 
 def sample_cubemap(env, d):
@@ -96,6 +103,14 @@ def sample_cubemap(env, d):
     fys = jnp.clip(ys - y0.astype(jnp.float32), 0.0, 1.0)
 
     mode = _env_gather()
+    is_u8 = env.dtype == jnp.uint8
+    if mode == "auto":
+        mode = "patch_u8" if is_u8 else "patch"
+    if is_u8 and mode != "patch_u8":
+        # legacy/explicit modes operate on the float table; k/255 by
+        # true division matches the float loader bit-exactly
+        env = env.astype(jnp.float32) / 255.0
+        is_u8 = False
     if mode != "multi":
         row0 = (face * f + y0) * f
         row1 = (face * f + y1) * f
@@ -137,7 +152,7 @@ def sample_cubemap(env, d):
         envq = jnp.concatenate(
             [envf, envf[t_i + dx], envf[t_i + dy], envf[t_i + dy + dx]],
             axis=1)                                          # [T,12]
-        if mode == "patch_u8":
+        if mode == "patch_u8" and not is_u8:
             envq = jnp.clip(jnp.round(envq * 255.0), 0.0,
                             255.0).astype(jnp.uint8)
         row = jnp.take(envq, i00, axis=0)                    # [...,12]

@@ -120,3 +120,29 @@ def test_sample_cubemap_u8_mode_exact_for_png_tables(monkeypatch):
     monkeypatch.setenv("ORT_ENV_GATHER", "patch_u8")
     got_p = np.asarray(sample_cubemap(env, d))
     np.testing.assert_array_equal(got_p, want)
+
+
+def test_sample_cubemap_auto_mode_and_u8_arrays(monkeypatch):
+    """'auto' (the default) resolves by array dtype: uint8 tables take
+    the patch_u8 lowering with no re-quantization, float tables take
+    'patch' — both bit-identical to 'flat' on the float values.  Every
+    legacy explicit mode also accepts a uint8 array (floated k/255)."""
+    rng = np.random.RandomState(5)
+    ints = rng.randint(0, 256, (6, 9, 9, 3))
+    env_f = jnp.asarray(ints.astype(np.float32) / 255.0)
+    env_u8 = jnp.asarray(ints.astype(np.uint8))
+    d = rng.randn(513, 3).astype(np.float32)
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    d = jnp.asarray(d)
+    monkeypatch.setenv("ORT_ENV_GATHER", "flat")
+    want = np.asarray(sample_cubemap(env_f, d))
+    monkeypatch.delenv("ORT_ENV_GATHER", raising=False)  # auto default
+    np.testing.assert_array_equal(np.asarray(sample_cubemap(env_u8, d)),
+                                  want)
+    np.testing.assert_array_equal(np.asarray(sample_cubemap(env_f, d)),
+                                  want)
+    for mode in ("flat", "onetake", "u8", "patch", "planes", "multi"):
+        monkeypatch.setenv("ORT_ENV_GATHER", mode)
+        np.testing.assert_array_equal(
+            np.asarray(sample_cubemap(env_u8, d)), want,
+            err_msg=f"u8 array under mode {mode}")
