@@ -305,7 +305,12 @@ def measure_moving(height, width, frames) -> dict:
         # fail fast on typos: an unknown mode would silently measure a
         # frozen camera and mislabel it (same convention as child())
         raise SystemExit(f"unknown BENCH_MOVING_MODE {mode!r}")
-    params = preset("full")
+    # BENCH_MOVING_PRESET / BENCH_MOVING_TAA attribute the moving
+    # penalty by stage: preset=baseline drops TAA+SVGF entirely,
+    # TAA=0 keeps SVGF but skips the reproject resolve.
+    params = preset(os.environ.get("BENCH_MOVING_PRESET", "full"))
+    if os.environ.get("BENCH_MOVING_TAA") == "0":
+        params = params.replace(enable_taa=0)
     _, bvh = _scene()
     cam = Camera()
     cam.aspect = width / height

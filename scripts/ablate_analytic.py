@@ -55,8 +55,15 @@ def _setup():
     env = None
     cross = os.path.join(os.path.dirname(_SCRIPTS), "cubemaps",
                          "sky_day.png")
-    if os.path.exists(cross):
-        env = jnp.asarray(load_cubemap_cross(cross))
+    # BENCH_AN_ENV=0 ablates the cubemap itself (procedural sky)
+    if (os.path.exists(cross)
+            and os.environ.get("BENCH_AN_ENV", "1") == "1"):
+        import numpy as np
+        faces = load_cubemap_cross(cross)
+        # integer texels -> the default 'auto' gather = patch_u8,
+        # matching bench.py and the app loader
+        env = jnp.asarray(np.clip(np.round(faces * 255.0), 0.0,
+                                  255.0).astype(np.uint8))
     cam = Camera()
     cam.aspect = W / H
     right, up, fwd, thf = cam.basis()
