@@ -291,7 +291,13 @@ _TILE = TILE_H * TILE_W  # lanes per kernel tile (== bvh_mxu.TILE_RAYS)
 
 def _an_hit_gate_frac() -> float:
     """ORT_AN_HIT_GATE: tile-capacity fraction for the analytic
-    HIT-shading gate (0 = off, the default pending a hardware A/B).
+    HIT-shading gate (DEFAULT 0.8 on TPU since the r4a A/B:
+    an_baseline 7.15 -> 5.83 at 0.65 -> 5.26 ms at 0.8, same
+    session; dense fallback keeps fuller cameras exact; 0 = off).
+    Off-TPU the default stays 0: the lax.cond fallback compiles the
+    whole shade tree twice, which tripled per-test XLA-CPU compile
+    time in the suite — test_analytic_hit_gate pins gate parity
+    explicitly.
 
     The analytic diffuse stack (direct light + GI + AO) is evaluated on
     EVERY lane and masked by the sky select, but the sky typically
@@ -304,7 +310,8 @@ def _an_hit_gate_frac() -> float:
     analytic variant is bit-identical (no trace-in-tile regrouping
     caveat: the megakernel and all shading math are per-lane pure).
     Dense fallback via lax.cond when more tiles qualify."""
-    return float(os.environ.get("ORT_AN_HIT_GATE", "0") or "0")
+    default = "0.8" if jax.default_backend() == "tpu" else "0"
+    return float(os.environ.get("ORT_AN_HIT_GATE", default) or "0")
 
 
 def shade_analytic_auto(scene: SceneCtx, h_b: Hit, seeds, frame_index,
