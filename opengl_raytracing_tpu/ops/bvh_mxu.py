@@ -899,11 +899,25 @@ def _closest_kernel(ids_ref, perm_ref, gate_ref, gorder_ref, gbound_ref,
                     # gaps, every step does matmul work — and the tile
                     # stops once no remaining group's entry bound can
                     # beat the running best t of any lane.
+                    # Lane extraction via iota-select + reduce: Mosaic
+                    # cannot index VMEM lanes by a traced scalar
+                    # ("cannot statically prove ... multiple of 128"),
+                    # but vector-select + full reduce to scalar is the
+                    # supported form (same class as the ordered walk's
+                    # jnp.max cap).  Rows load once per subtile.
+                    sp_row = sp_ref[pl.ds(so, 1), :]      # [1,NG] i32
+                    sm_row = sm_ref[pl.ds(so, 1), :]      # [1,NG] f32
+                    lane = jax.lax.broadcasted_iota(
+                        jnp.int32, sp_row.shape, 1)
+
                     def sort_body(st):
                         k, carry = st
-                        carry = group_work_abs(sp_ref[so, k], carry)
+                        sel = lane == k
+                        pg = jnp.max(jnp.where(sel, sp_row, 0))
+                        bound = jnp.max(jnp.where(sel, sm_row, -INF))
+                        carry = group_work_abs(pg, carry)
                         cap = jnp.max(carry[0])
-                        k = jnp.where(cap <= sm_ref[so, k], gn, k + 1)
+                        k = jnp.where(cap <= bound, gn, k + 1)
                         return k, carry
 
                     _, carry_out = jax.lax.while_loop(
@@ -1021,10 +1035,16 @@ def _shadow_kernel(ids_ref, perm_ref, gate_ref, gorder_ref, gbound_ref,
 
             if gsort:
                 # compacted near-first walk: gn carries k_n; every step
-                # intersects a real surviving group, nearest first
+                # intersects a real surviving group, nearest first.
+                # Iota-select lane extraction — see _closest_kernel.
+                sp_row = sp_ref[pl.ds(so, 1), :]          # [1,NG] i32
+                sp_lane = jax.lax.broadcasted_iota(
+                    jnp.int32, sp_row.shape, 1)
+
                 def sh_body(st):
                     gi, occ = st
-                    occ = group_work(sp_ref[so, gi], occ)
+                    pg = jnp.max(jnp.where(sp_lane == gi, sp_row, 0))
+                    occ = group_work(pg, occ)
                     gi = jnp.where(jnp.min(occ) >= 1.0, gn, gi + 1)
                     return gi, occ
             else:
@@ -1499,9 +1519,15 @@ def _shadow_kernel_pack(ids_ref, perm_ref, gate_ref, gorder_ref,
                 return st[0] < gn
 
             if gsort:
+                # iota-select lane extraction — see _closest_kernel
+                sp_row = sp_ref[pl.ds(so, 1), :]
+                sp_lane = jax.lax.broadcasted_iota(
+                    jnp.int32, sp_row.shape, 1)
+
                 def sh_body(st):
                     gi, occ = st
-                    occ = group_work(sp_ref[so, gi], occ)
+                    pg = jnp.max(jnp.where(sp_lane == gi, sp_row, 0))
+                    occ = group_work(pg, occ)
                     gi = jnp.where(jnp.min(occ) >= 1.0, gn, gi + 1)
                     return gi, occ
             else:

@@ -34,10 +34,13 @@ from .vecmath import dot, normalize, reflect, refract, mix, const3, length
 
 # Batch the analytic secondary direct-light evaluations (glass tree
 # 3-batch, primary+GI 2-batch) into single calls — fewer megakernel
-# launches under ORT_AN_PALLAS.  ORT_AN_LIGHT_BATCH=0 reverts to the
-# sequential per-call form for paired hardware A/Bs (bit-parity class:
-# identical per-lane math, shape-dependent transcendental ulps only).
-AN_LIGHT_BATCH = os.environ.get("ORT_AN_LIGHT_BATCH", "1") == "1"
+# launches under ORT_AN_PALLAS.  Measured NEGATIVE on hardware (r4b
+# triple-pair: an_baseline 7.28 / 7.22 ms batched vs 6.02 sequential
+# — the 3x-taller kernel's extra VMEM pressure outweighs the saved
+# launches), so the default is the sequential per-call form;
+# ORT_AN_LIGHT_BATCH=1 re-enables (bit-parity class: identical
+# per-lane math, shape-dependent transcendental ulps only).
+AN_LIGHT_BATCH = os.environ.get("ORT_AN_LIGHT_BATCH", "0") == "1"
 
 # Disk light frame, precomputed on host
 # (reference: shaders/rt/rt_lighting.glsl:29-32, 355-357).
