@@ -620,6 +620,19 @@ def _epilogue_inputs(out_uv, out_dt, eps):
     return t, acc
 
 
+# Kernel-stage attribution (scripts/kernel_attrib.py): compile-time
+# variants of the closest-hit kernel that keep everything else equal —
+#   full   : production
+#   noepi  : matmuls kept live by a 1-op min-reduce; per-chunk
+#            epilogue (accept tests, winner extraction, merges) gone
+#   nof    : feature rows replaced by a constant (matmuls + epilogue
+#            kept); prices the per-subtile feature expansion
+#   nowalk : subtile loop runs, walk body skipped (prices the grid/
+#            subtile scan skeleton + init writes)
+# Differences between paired timings attribute the kernel exactly.
+KERN_VARIANT = os.environ.get("ORT_KERN_VARIANT", "full")
+
+
 def _closest_kernel(ids_ref, perm_ref, gate_ref, gorder_ref, gbound_ref,
                     meta_ref, *refs,
                     eps: float, subtiles: int, ordered: bool,
@@ -684,6 +697,13 @@ def _closest_kernel(ids_ref, perm_ref, gate_ref, gorder_ref, gbound_ref,
         # rows (in-kernel extraction) or the chunk's first-triangle
         # index as an f32 scalar (deferred extraction).
         def merge_block(out_uv, out_dt, sel, carry, ok=None):
+            if KERN_VARIANT == "noepi":
+                # attribution variant: matmuls stay live via one
+                # reduce; the whole per-chunk epilogue is gone
+                keep = jnp.minimum(
+                    jnp.min(out_uv, axis=0, keepdims=True),
+                    jnp.min(out_dt, axis=0, keepdims=True))
+                return (jnp.minimum(carry[0], keep),) + tuple(carry[1:])
             t, acc = _epilogue_inputs(out_uv, out_dt, eps)
             acc = acc & (t < carry[0])     # [128,128] tri x ray
             if ok is not None:
@@ -740,11 +760,16 @@ def _closest_kernel(ids_ref, perm_ref, gate_ref, gorder_ref, gbound_ref,
             else:
                 st_active = meta_ref[s, 7] > 0                # gn > 0
 
-            @pl.when(st_active)
-            def _work():
-                f = _expand_features(plane_refs, so, with_tmax=False,
-                                     o_rows=orow_ref)  # [16,128]
-                walk(s, so, f, lo, n, mlo, mhi)
+            if KERN_VARIANT != "nowalk":
+                @pl.when(st_active)
+                def _work():
+                    f = _expand_features(plane_refs, so, with_tmax=False,
+                                         o_rows=orow_ref)  # [16,128]
+                    if KERN_VARIANT == "nof":
+                        # constant features: the expansion above is
+                        # dead code (DCE'd); matmuls+epilogue remain
+                        f = jnp.full_like(f, 0.5)
+                    walk(s, so, f, lo, n, mlo, mhi)
 
             return 0
 
