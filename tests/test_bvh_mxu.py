@@ -92,6 +92,7 @@ def test_sorted_variants_match_unsorted(scene):
     np.testing.assert_array_equal(oa, ob)
 
 
+@pytest.mark.slow
 def test_paged_tracing_matches_single_page():
     """Force tiny pages and confirm the merge is exact."""
     import opengl_raytracing_tpu.ops.bvh_mxu as bm
@@ -291,6 +292,7 @@ def test_shadow_tuple_of_batches_matches_stacked(scene):
     assert not np.asarray(s_tuple)[:, ~sel].any()
 
 
+@pytest.mark.slow
 def test_sparse_grid_matches_dense(scene, monkeypatch):
     """The sparse grid (active blocks compacted to the front via
     prefetched dynamic index maps; inactive tail streams nothing) must be
@@ -602,6 +604,7 @@ def test_subtile_compact_bit_matches(scene, monkeypatch):
         assert not got_o[:, ~aw].any()
 
 
+@pytest.mark.slow
 def test_x3_precision_matches_highest(monkeypatch):
     """ORT_MT_PRECISION=x3 (single k=48 bf16_3x pass) vs the 6-pass
     HIGHEST form: identical winning triangles/occlusion on a generic

@@ -63,6 +63,7 @@ def test_dryrun_multichip_entrypoint():
     ge.dryrun_multichip(8)
 
 
+@pytest.mark.slow
 def test_2d_mesh_sharding_compiles_and_matches():
     params = preset("full").replace(enable_svgf=1)
     fin = make_inputs()
