@@ -923,26 +923,15 @@ def _closest_kernel(ids_ref, perm_ref, gate_ref, gorder_ref, gbound_ref,
                     # tile's k-th nearest surviving group — no bitmask
                     # gaps, every step does matmul work — and the tile
                     # stops once no remaining group's entry bound can
-                    # beat the running best t of any lane.
-                    # Lane extraction via iota-select + reduce: Mosaic
-                    # cannot index VMEM lanes by a traced scalar
-                    # ("cannot statically prove ... multiple of 128"),
-                    # but vector-select + full reduce to scalar is the
-                    # supported form (same class as the ordered walk's
-                    # jnp.max cap).  Rows load once per subtile.
-                    sp_row = sp_ref[pl.ds(so, 1), :]      # [1,NG] i32
-                    sm_row = sm_ref[pl.ds(so, 1), :]      # [1,NG] f32
-                    lane = jax.lax.broadcasted_iota(
-                        jnp.int32, sp_row.shape, 1)
-
+                    # beat the running best t of any lane.  The plan
+                    # rides SMEM, so each step is two direct scalar
+                    # reads (a VMEM lane read needs an iota-select +
+                    # reduce sync per step — measured +16..82%, r4c).
                     def sort_body(st):
                         k, carry = st
-                        sel = lane == k
-                        pg = jnp.max(jnp.where(sel, sp_row, 0))
-                        bound = jnp.max(jnp.where(sel, sm_row, -INF))
-                        carry = group_work_abs(pg, carry)
+                        carry = group_work_abs(sp_ref[so, k], carry)
                         cap = jnp.max(carry[0])
-                        k = jnp.where(cap <= bound, gn, k + 1)
+                        k = jnp.where(cap <= sm_ref[so, k], gn, k + 1)
                         return k, carry
 
                     _, carry_out = jax.lax.while_loop(
@@ -1060,16 +1049,11 @@ def _shadow_kernel(ids_ref, perm_ref, gate_ref, gorder_ref, gbound_ref,
 
             if gsort:
                 # compacted near-first walk: gn carries k_n; every step
-                # intersects a real surviving group, nearest first.
-                # Iota-select lane extraction — see _closest_kernel.
-                sp_row = sp_ref[pl.ds(so, 1), :]          # [1,NG] i32
-                sp_lane = jax.lax.broadcasted_iota(
-                    jnp.int32, sp_row.shape, 1)
-
+                # intersects a real surviving group, nearest first
+                # (direct SMEM scalar read — see _closest_kernel)
                 def sh_body(st):
                     gi, occ = st
-                    pg = jnp.max(jnp.where(sp_lane == gi, sp_row, 0))
-                    occ = group_work(pg, occ)
+                    occ = group_work(sp_ref[so, gi], occ)
                     gi = jnp.where(jnp.min(occ) >= 1.0, gn, gi + 1)
                     return gi, occ
             else:
@@ -1544,15 +1528,10 @@ def _shadow_kernel_pack(ids_ref, perm_ref, gate_ref, gorder_ref,
                 return st[0] < gn
 
             if gsort:
-                # iota-select lane extraction — see _closest_kernel
-                sp_row = sp_ref[pl.ds(so, 1), :]
-                sp_lane = jax.lax.broadcasted_iota(
-                    jnp.int32, sp_row.shape, 1)
-
+                # direct SMEM scalar read — see _closest_kernel
                 def sh_body(st):
                     gi, occ = st
-                    pg = jnp.max(jnp.where(sp_lane == gi, sp_row, 0))
-                    occ = group_work(pg, occ)
+                    occ = group_work(sp_ref[so, gi], occ)
                     gi = jnp.where(jnp.min(occ) >= 1.0, gn, gi + 1)
                     return gi, occ
             else:
@@ -1792,9 +1771,13 @@ def _grid_specs(nt, n_out, n_planes, n_full_inputs=1, subtiles=SUBTILES,
         plane_specs = [o_spec] * 3 + [in_spec] * (n_planes - 3)
     # sorted-group plan inputs (sortpos/sufnext): per-tile rows blocked
     # like meta, in ORIGINAL subtile order (kernels index them with the
-    # pre-compaction subtile id)
+    # pre-compaction subtile id).  SMEM, not VMEM: the walk reads ONE
+    # scalar per step with a traced column — direct SMEM indexing,
+    # where a VMEM lane would need an iota-select + reduce-to-scalar
+    # sync per step (measured r4c: that form was +16..82% vs the
+    # window walk).  [subtiles, NG] i32/f32 is ~3 KB per buffer.
     sort_specs = [pl.BlockSpec((subtiles, ng), in_map,
-                               memory_space=pltpu.VMEM)] * n_sorted
+                               memory_space=pltpu.SMEM)] * n_sorted
     return pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=5,
         grid=(nt // subtiles,),
