@@ -4,7 +4,7 @@
 cd "$(dirname "$0")/.."
 echo $$ > /tmp/chain_r4d.pid
 while [ ! -f /tmp/R4C_MEASURE_DONE ]; do
-  if [ -f /tmp/chain_r4c.pid ] && ! kill -0 "$(cat /tmp/chain_r4b.pid)" \
+  if [ -f /tmp/chain_r4c.pid ] && ! kill -0 "$(cat /tmp/chain_r4c.pid)" \
       2>/dev/null; then
     echo "$(date -u +%FT%TZ) r4d: r4b chainer gone, proceeding" \
       >> /tmp/tpu_probe.log
