@@ -59,9 +59,10 @@ FRAMES = int(os.environ.get("BENCH_FRAMES", "32"))
 PRESET = os.environ.get("BENCH_PRESET", "baseline")
 TIMEOUT_S = int(os.environ.get("BENCH_TIMEOUT", "480"))
 # Default budget sized to the driver's observed outer wall clock:
-# BENCH_r03 was killed (rc=124) with `full` still unstamped at a 2400s
-# budget — 1800 leaves headroom for the one-time jax import + probe.
-BUDGET_S = int(os.environ.get("BENCH_BUDGET", "1800"))
+# BENCH_r03 died (rc=124) at a 2400s budget, BENCH_r04 at 1800 (killed
+# ~6 cases / ~15 min in) — 900 with grouped children, the cumulative
+# re-print, and the hard exit keeps rc=0 under a ~15-min outer timeout.
+BUDGET_S = int(os.environ.get("BENCH_BUDGET", "900"))
 
 PRESET_CASES = ["baseline", "realistic", "full", "heavy"]
 CLOSEFAR_CASES = ["close", "far"]
@@ -345,31 +346,80 @@ def measure_moving(height, width, frames) -> dict:
     }
 
 
-def child(case: str) -> None:
+def _measure_one(case: str) -> dict:
+    if case in PRESET_CASES:
+        return measure_preset(H, W, FRAMES, case)
+    if case in ("an_baseline", "an_full"):
+        return measure_analytic(H, W, FRAMES, case)
+    if case == "moving":
+        return measure_moving(H, W, FRAMES)
+    if case in ("cf_close", "cf_far"):
+        return measure_closefar(H, W, FRAMES, case.replace("cf_", ""))
+    # fail fast on typos instead of silently running a mislabeled
+    # several-minute BVH-heavy measurement
+    raise SystemExit(f"unknown bench case {case!r}")
+
+
+def child(cases: str) -> None:
+    """Run a comma-joined GROUP of cases in one process, one JSON line
+    per case (flushed as it lands).  Grouping amortizes the ~45 s
+    python+jax import and scene build across the group — the per-case
+    child model spent ~7 min of the driver's budget on pure process
+    startup (BENCH_r04 died at rc=124 with 3 cases unmeasured)."""
     if os.environ.get("BENCH_FORCE_CPU") == "1":
         # harness smoke-testing off-TPU: the axon plugin overrides
         # JAX_PLATFORMS, so force the backend before first use
         import jax
         jax.config.update("jax_platforms", "cpu")
-    if case in PRESET_CASES:
-        rec = measure_preset(H, W, FRAMES, case)
-    elif case in ("an_baseline", "an_full"):
-        rec = measure_analytic(H, W, FRAMES, case)
-    elif case == "moving":
-        rec = measure_moving(H, W, FRAMES)
-    elif case in ("cf_close", "cf_far"):
-        rec = measure_closefar(H, W, FRAMES, case.replace("cf_", ""))
-    else:
-        # fail fast on typos instead of silently running a mislabeled
-        # several-minute BVH-heavy measurement
-        raise SystemExit(f"unknown bench case {case!r}")
-    print(json.dumps(rec))
+    for case in cases.split(","):
+        try:
+            rec = _measure_one(case)
+        except SystemExit:
+            raise
+        except Exception as exc:  # keep the group going
+            rec = {"error": f"{type(exc).__name__}: {exc}"[:300]}
+        rec["case"] = case
+        print(json.dumps(rec), flush=True)
 
 
-def _run_child(case: str, env, timeout_s: float):
-    from scripts.childproc import run_child
-    return run_child([sys.executable, os.path.abspath(__file__),
-                      "--child", case], timeout_s, env=env)
+def _run_group(cases, env, timeout_s: float):
+    """Launch one child for a case group; stream its per-case lines.
+
+    Returns {case: rec}.  A timeout or crash preserves every case line
+    already printed (the driver's budget killing a group mid-flight
+    loses only the in-flight case, not the banked ones)."""
+    from scripts.childproc import run_child_lines
+    lines, err = run_child_lines(
+        [sys.executable, os.path.abspath(__file__),
+         "--child", ",".join(cases)], timeout_s, env=env)
+    out = {}
+    for rec in lines:
+        if rec.get("case") in cases:
+            out[rec["case"]] = rec
+    for case in cases:
+        if case not in out:
+            out[case] = {"error": err or "no output from child"}
+    return out
+
+
+def _groups_of(cases):
+    """Partition the case list into child groups (order-preserving).
+
+    Consecutive cases sharing a family run in ONE child: presets share
+    the bunny scene + most compiled kernels, an_* share the analytic
+    scene, cf_* share the 81,920-tri stress scene.  moving stays alone
+    (its stacked-FrameInputs compile is the odd one out)."""
+    fam = {"baseline": "p", "realistic": "p", "full": "p", "heavy": "p",
+           "an_baseline": "a", "an_full": "a",
+           "cf_far": "c", "cf_close": "c"}
+    groups = []
+    for case in cases:
+        f = fam.get(case, case)
+        if groups and groups[-1][0] == f:
+            groups[-1][1].append(case)
+        else:
+            groups.append((f, [case]))
+    return [g for _, g in groups]
 
 
 def main() -> int:
@@ -379,14 +429,19 @@ def main() -> int:
 
     t_start = time.time()
     env = dict(os.environ)
+    # Headline (baseline) FIRST, stress cases last: the driver records
+    # the LAST json line — re-printing the cumulative record after every
+    # group means an outer-timeout kill still leaves a complete headline
+    # + partial matrix as that line (BENCH_r03/r04 both died at rc=124
+    # with the matrix unstamped).
     cases = (os.environ["BENCH_CASES"].split(",")
              if "BENCH_CASES" in os.environ
-             else PRESET_CASES + ["an_baseline", "an_full", "moving",
+             else PRESET_CASES + ["an_baseline", "an_full",
                                   # cf_far before cf_close: the close
                                   # camera is the slowest, wedge-prone
-                                  # child (r3k: timeout at 800s) — bank
+                                  # case (r3k: timeout at 800s) — bank
                                   # the cheap case before risking it
-                                  "cf_far", "cf_close"])
+                                  "cf_far", "cf_close", "moving"])
 
     # Liveness pre-gate: when the worker is already unreachable (it can
     # wedge for hours), fail each case fast instead of burning the whole
@@ -444,40 +499,31 @@ def main() -> int:
     presets, close_far = {}, {}
     headline = None
     consecutive_timeouts = 0
-    for case in cases:
-        remaining = BUDGET_S - (time.time() - t_start)
-        if remaining < 60:
-            rec = {"error": "skipped (bench budget exhausted)"}
-        elif remaining < 240 and FRAMES > 4:
-            # Budget running out: a 4-frame number with a note beats a
-            # skip (BENCH_r03 lost `full`, r3n lost moving/cf_* this
-            # way).  Short chains carry ~6.5 ms/frame of dispatch-floor
-            # tax — the note flags it so readers don't mix populations.
-            rec = _run_child(case, dict(env, BENCH_FRAMES="4"),
-                             remaining - 30)
-            if "error" not in rec:
-                rec["note"] = ("reduced to 4 frames (budget); "
-                               "carries ~6.5 ms/frame dispatch tax")
-        else:
-            rec = _run_child(case, env, min(timeout_s, remaining))
-            if "error" in rec and "timeout" not in rec["error"]:
-                remaining = BUDGET_S - (time.time() - t_start)
-                if remaining > 60:
-                    retry = _run_child(case, dict(env, **SAFE),
-                                       min(timeout_s, remaining))
-                    if "error" not in retry:
-                        retry["note"] = "safe-mode knobs (default-knob run failed)"
-                        rec = retry
-        # Wedge heuristic: two consecutive child timeouts means the
-        # worker is likely gone for 10+ minutes (CLAUDE.md) — shorten
-        # every later child so the sweep still reaches (and stamps) all
-        # cases inside the driver's outer wall clock.
-        if "error" in rec and "timeout" in rec.get("error", ""):
-            consecutive_timeouts += 1
-            if consecutive_timeouts >= 2:
-                timeout_s = min(timeout_s, 180)
-        elif "error" not in rec:
-            consecutive_timeouts = 0
+
+    def cumulative():
+        """Headline + everything measured so far, final-record format."""
+        head = headline
+        if head is None or "error" in head:
+            head = {
+                "metric": (f"primary Mrays/s/chip, bunny BVH scene, "
+                           f"{W}x{H} 1spp, preset={PRESET}"),
+                "value": 0.0, "unit": "Mrays/s", "vs_baseline": 0.0,
+                "error": ("headline case not in BENCH_CASES"
+                          if PRESET not in cases else
+                          "TPU unavailable or wedged during benchmark")}
+        final = dict(head)
+        final.pop("case", None)
+        final["presets"] = {k: {kk: v[kk] for kk in
+                                ("ms_per_frame", "fps", "value", "error")
+                                if kk in v} for k, v in presets.items()}
+        final["close_far"] = {k: {kk: v[kk] for kk in
+                                  ("ms_per_frame", "fps", "mrays",
+                                   "ordered_primary", "error") if kk in v}
+                              for k, v in close_far.items()}
+        return final
+
+    def bank(case, rec):
+        nonlocal headline
         line = dict(rec)
         line.setdefault("case", case)
         print(json.dumps(line), flush=True)
@@ -488,44 +534,79 @@ def main() -> int:
             if case == PRESET:
                 headline = rec
 
+    for group in _groups_of(cases):
+        remaining = BUDGET_S - (time.time() - t_start)
+        if remaining < 60:
+            for case in group:
+                bank(case, {"error": "skipped (bench budget exhausted)"})
+            continue
+        genv = env
+        if remaining < 90 * len(group) and FRAMES > 4:
+            # Budget running low: a 4-frame number with a note beats a
+            # skip (BENCH_r03 lost `full` this way).  Short chains carry
+            # ~6.5 ms/frame of dispatch-floor tax — the note flags it so
+            # readers don't mix populations.
+            genv = dict(env, BENCH_FRAMES="4")
+        recs = _run_group(group, genv,
+                          min(timeout_s * len(group), remaining - 20))
+        failed = []
+        for case in group:
+            rec = recs[case]
+            if genv is not env and "error" not in rec:
+                rec["note"] = ("reduced to 4 frames (budget); "
+                               "carries ~6.5 ms/frame dispatch tax")
+            if "error" in rec:
+                if "timeout" in rec["error"]:
+                    consecutive_timeouts += 1
+                    if consecutive_timeouts >= 2:
+                        timeout_s = min(timeout_s, 180)
+                else:
+                    failed.append(case)
+            else:
+                consecutive_timeouts = 0
+            bank(case, rec)
+        # Safe-mode retry for non-timeout failures (e.g. a new kernel
+        # feature failing to compile): one grouped retry with the
+        # conservative knobs, budget permitting.
+        remaining = BUDGET_S - (time.time() - t_start)
+        if failed and remaining > 120:
+            retries = _run_group(failed, dict(genv, **SAFE),
+                                 min(timeout_s * len(failed),
+                                     remaining - 20))
+            for case in failed:
+                retry = retries[case]
+                if "error" not in retry:
+                    retry["note"] = ("safe-mode knobs "
+                                     "(default-knob run failed)")
+                    bank(case, retry)
+        # cumulative record after every group: the driver keeps the
+        # LAST line — an outer kill mid-sweep still leaves a complete
+        # headline + everything banked so far
+        print(json.dumps(cumulative()), flush=True)
+
     if PRESET in cases and (headline is None or "error" in headline):
         # fall back to reduced resolution for the headline so the driver
         # always gets a real number; try default knobs then safe-mode.
-        # Children stay inside the global budget (the final record must
-        # still print before any outer wall-clock cap) and the fallback
-        # only fires when the full-size run was actually attempted.
         env["BENCH_HEIGHT"], env["BENCH_WIDTH"] = "540", "960"
         for extra in ({}, SAFE):
             remaining = BUDGET_S - (time.time() - t_start)
             if remaining < 60:
                 break
-            rec = _run_child(PRESET, dict(env, **extra),
-                             min(timeout_s, remaining))
+            rec = _run_group([PRESET], dict(env, **extra),
+                             min(timeout_s, remaining))[PRESET]
             if "error" not in rec:
                 rec["note"] = (f"fell back to 960x540"
                                f"{' + safe-mode knobs' if extra else ''};"
                                f" {W}x{H} run failed")
                 headline = rec
                 break
-    if headline is None or "error" in headline:
-        headline = {
-            "metric": (f"primary Mrays/s/chip, bunny BVH scene, {W}x{H} "
-                       f"1spp, preset={PRESET}"),
-            "value": 0.0, "unit": "Mrays/s", "vs_baseline": 0.0,
-            "error": ("headline case not in BENCH_CASES"
-                      if PRESET not in cases else
-                      "TPU unavailable or wedged during benchmark")}
-
-    final = dict(headline)
-    final["presets"] = {k: {kk: v[kk] for kk in
-                            ("ms_per_frame", "fps", "value", "error")
-                            if kk in v} for k, v in presets.items()}
-    final["close_far"] = {k: {kk: v[kk] for kk in
-                              ("ms_per_frame", "fps", "mrays",
-                               "ordered_primary", "error") if kk in v}
-                          for k, v in close_far.items()}
-    print(json.dumps(final))
-    return 0
+    print(json.dumps(cumulative()), flush=True)
+    # The axon client can leave non-daemon threads that hang interpreter
+    # exit (rc=124 under the driver's `timeout` with ALL output already
+    # printed) — the parent never imports jax, but children inherit
+    # stdout; hard-exit once everything is flushed.
+    sys.stdout.flush()
+    os._exit(0)
 
 
 if __name__ == "__main__":

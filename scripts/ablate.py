@@ -17,7 +17,8 @@ _SCRIPTS = os.path.dirname(os.path.abspath(__file__))
 sys.path.insert(0, os.path.dirname(_SCRIPTS))
 sys.path.insert(0, _SCRIPTS)
 
-H, W = 1080, 1920
+H = int(os.environ.get("ABLATE_HEIGHT", "1080"))
+W = int(os.environ.get("ABLATE_WIDTH", "1920"))
 REPS = int(os.environ.get("ABLATE_REPS", "16"))
 
 CASES = [
@@ -35,6 +36,11 @@ CASES = [
 
 
 def _setup():
+    """Scene + camera.  Env knobs (attributing the BVH-heavy cf cases):
+    ABLATE_SUBDIV=6 builds the 81,920-tri stress scene (bench.py
+    HEAVY_SUBDIV); ABLATE_CAM=close|far uses the bench cf camera pair
+    (CLOSE_POS/FAR_POS) instead of the default framing."""
+    import numpy as np
     import jax.numpy as jnp
     from opengl_raytracing_tpu import Camera
     from opengl_raytracing_tpu.models import FrameInputs, RenderState, preset
@@ -43,10 +49,20 @@ def _setup():
     from opengl_raytracing_tpu.ops.scene import prepare_bvh
 
     params = preset("baseline")
-    tris = gather_triangles(make_bunny(4), model_transform((-2, 1.5, 0), 0.5))
+    subdiv = int(os.environ.get("ABLATE_SUBDIV", "4"))
+    tris = gather_triangles(make_bunny(subdiv),
+                            model_transform((-2, 1.5, 0), 0.5))
     bvh = prepare_bvh(tris)
-    cam = Camera()
-    cam.aspect = W / H
+    cam_key = os.environ.get("ABLATE_CAM", "")
+    if cam_key in ("close", "far"):
+        import bench
+        pos = bench.CLOSE_POS if cam_key == "close" else bench.FAR_POS
+        cam = Camera(position=np.asarray(pos, np.float32))
+        cam.aspect = W / H
+        cam.point_at(bench.LOOK_AT)
+    else:
+        cam = Camera()
+        cam.aspect = W / H
     right, up, fwd, thf = cam.basis()
     vp = cam.view_projection()
     fin = FrameInputs(jnp.asarray(cam.position), jnp.asarray(right),

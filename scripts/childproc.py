@@ -37,6 +37,54 @@ def _informative_line(stderr: str) -> str:
     return lines[-1][-300:]
 
 
+def run_child_lines(cmd, timeout_s, env=None):
+    """Stream a child's stdout, parsing every JSON line as it lands.
+
+    Returns (records, error): records holds each parsed line even when
+    the child is later killed by the timeout or crashes mid-group —
+    bench.py's grouped case children rely on this so a driver-budget
+    kill loses only the in-flight case.  error is None on rc==0."""
+    import time as _time
+    records, err = [], None
+    try:
+        proc = subprocess.Popen(cmd, stdout=subprocess.PIPE,
+                                stderr=subprocess.DEVNULL, text=True,
+                                env=env)
+    except Exception as exc:
+        return records, repr(exc)[:200]
+    deadline = _time.time() + timeout_s
+
+    def _reap():
+        proc.kill()
+        try:
+            proc.wait(timeout=10)
+        except Exception:
+            pass
+
+    import threading
+    killer = threading.Timer(max(timeout_s, 1), _reap)
+    killer.daemon = True
+    killer.start()
+    try:
+        for line in proc.stdout:
+            if line.startswith("{"):
+                try:
+                    records.append(json.loads(line))
+                except ValueError:
+                    pass
+        proc.wait(timeout=max(deadline - _time.time(), 1))
+    except Exception:
+        err = "timeout (tpu wedged?)"
+        _reap()
+    finally:
+        killer.cancel()
+    if err is None and _time.time() >= deadline:
+        err = "timeout (tpu wedged?)"
+    elif err is None and proc.returncode not in (0, None):
+        err = f"rc={proc.returncode}"
+    return records, err
+
+
 def run_child(cmd, timeout_s, env=None):
     try:
         out = subprocess.run(cmd, capture_output=True, timeout=timeout_s,
