@@ -125,6 +125,27 @@ def present(accum, motion, gpos, gnrm, params: RenderParams,
     jit-SPMD multi-chip path (parallel/sharding.py): GSPMD cannot
     partition a Mosaic custom call over a row-sharded image, while the
     jnp shifted-slice form partitions into halo collectives."""
+    import os
+    if os.environ.get("ORT_PRESENT_HALF_TEXEL", "0") == "1":
+        # Reference-quirk compatibility: rt_present.frag:232 samples at
+        # uv = (gl_FragCoord.xy + 0.5)/sz — gl_FragCoord is already the
+        # pixel center, so with the accum texture's NEAREST filter
+        # (accum.cpp:11-14) every fetch in the pass reads texel
+        # (x+1, y+1), clamped at the edges.  Shifting ALL pass inputs by
+        # one texel reproduces that exactly (every tap in the frag is
+        # uv + a neighbor offset, so one input shift covers the whole
+        # stencil).  Default renders texel-exact instead (the quirk
+        # drops the last row/column of real data); this knob exists so
+        # golden-vs-reference comparisons can be made bit-aligned.
+        # Caveat: at exact texel boundaries the GPU's (x+1.0)/W * W
+        # rounding can land either side in f32 — parity is exact except
+        # on that measure-zero set.
+        def _shift(a):
+            a = jnp.concatenate([a[1:], a[-1:]], axis=0)
+            return jnp.concatenate([a[:, 1:], a[:, -1:]], axis=1)
+        accum, motion, gpos, gnrm = (_shift(accum), _shift(motion),
+                                     _shift(gpos), _shift(gnrm))
+
     if show_motion:
         return visualize_motion(motion, jnp.float32(params.motion_scale))
 

@@ -153,3 +153,24 @@ def test_taa_planes_gather_matches_row_form(monkeypatch):
     monkeypatch.setenv("ORT_TAA_PLANES", "0")
     rows = np.asarray(resolve_taa(curr, motion, hist, jnp.int32(12), P))
     np.testing.assert_array_equal(planes, rows)
+
+
+def test_present_half_texel_compat_knob(monkeypatch):
+    """ORT_PRESENT_HALF_TEXEL=1 reproduces the reference quirk: every
+    pass input is read at texel (x+1, y+1), clamp-at-edge
+    (rt_present.frag:232 + accum.cpp NEAREST).  Interior pixels of the
+    compat output must equal the default output shifted by one; the
+    last row/col must clamp."""
+    rng = np.random.RandomState(7)
+    accum = jnp.asarray(rng.rand(H, W, 4).astype(np.float32))
+    motion = jnp.zeros((H, W, 2))
+    gpos = jnp.asarray(rng.rand(H, W, 3).astype(np.float32))
+    gnrm = jnp.asarray(rng.rand(H, W, 3).astype(np.float32) - 0.5)
+    base = np.asarray(present(accum, motion, gpos, gnrm, P))
+    monkeypatch.setenv("ORT_PRESENT_HALF_TEXEL", "1")
+    comp = np.asarray(present(accum, motion, gpos, gnrm, P))
+    # interior: compat[y, x] == base[y+1, x+1] — rigid shift wherever
+    # the 7x7 stencil touches neither the validity border (base) nor a
+    # clamped row/col (compat): y,x >= 3 and y,x <= dim-5
+    assert np.allclose(comp[3:-4, 3:-4], base[4:-3, 4:-3], atol=1e-6)
+    assert not np.allclose(comp[3:-4, 3:-4], base[3:-4, 3:-4], atol=1e-6)
