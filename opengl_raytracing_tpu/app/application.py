@@ -113,10 +113,14 @@ class Application:
         return fn
 
     def _render_fn_chain(self, ordered: int, k: int) -> Callable:
-        """K still frames per dispatch: scan k-1 accumulation steps
-        device-side, then one final render_frame for the presented image.
-        Only per-frame jitter varies inside the chain (camera still, no
-        orbit), passed as a stacked [k,2] leaf."""
+        """K frames per dispatch: scan k-1 accumulation steps
+        device-side, then one final render_frame for the presented
+        image.  The scan consumes a STACKED FrameInputs (one leaf-row
+        per frame), so the idle case (only jitter varies) and the
+        moving case (frame 0 carries the new camera + camera_moved=1,
+        frames 1..k-1 settle at it with moved=0 and prev=curr — exactly
+        the frames the reference loop renders between input events)
+        ride one compiled fn."""
         app = self.app
         key = ("chain", k, ordered,
                app.params.spp_per_frame, app.params.enable_jitter,
@@ -134,19 +138,17 @@ class Application:
                                           app.show_motion)
             want_u8 = self.want_u8
 
-            def raw(params, fin, jitters, state, env_map, bvh):
-                import dataclasses as _dc
-
-                def body(st, jit_i):
+            def raw(params, fins, state, env_map, bvh):
+                def body(st, fin_i):
                     st2, _ = render_frame(
-                        params, _dc.replace(fin, jitter=jit_i), st,
-                        env_map, bvh, height=h, width=w, use_bvh=use_bvh,
-                        show_motion=show_motion)
+                        params, fin_i, st, env_map, bvh, height=h,
+                        width=w, use_bvh=use_bvh, show_motion=show_motion)
                     return st2, None
 
-                st, _ = jax.lax.scan(body, state, jitters[:-1])
+                st, _ = jax.lax.scan(
+                    body, state, jax.tree.map(lambda x: x[:-1], fins))
                 st, out = render_frame(
-                    params, _dc.replace(fin, jitter=jitters[-1]),
+                    params, jax.tree.map(lambda x: x[-1], fins),
                     st, env_map, bvh, height=h, width=w,
                     use_bvh=use_bvh, show_motion=show_motion)
                 if not want_u8:
@@ -154,7 +156,7 @@ class Application:
                 u8 = jnp.clip(out.image * 255.0 + 0.5, 0.0,
                               255.0).astype(jnp.uint8)
                 return st, out, u8
-            fn = (jax.jit(raw, donate_argnums=(3,),
+            fn = (jax.jit(raw, donate_argnums=(2,),
                           **frame_jit_options())
                   if self._jit else raw)
             self._render_cache[key] = fn
@@ -253,23 +255,36 @@ class Application:
         if app.ray_mode:
             ordered = self._resolve_ordered()
             eff_params = app.params.replace(ordered_primary=ordered)
-            # Idle turbo: K still frames per dispatch.  Disabled while
-            # anything varies frame-to-frame on the host side (camera
-            # motion, orbit animation — its yaw diff resets accumulation
-            # anyway, matching the reference's paramsChanged).
-            k = self.turbo if (self.turbo > 1 and not camera_moved
-                               and not app.params.point_light_orbit_enabled
-                               ) else 1
+            # Turbo: K frames per dispatch.  Idle (camera still): all K
+            # accumulate at the fixed view.  Moving: frame 0 applies the
+            # new camera with camera_moved=1, frames 1..k-1 settle at it
+            # (moved=0, prev=curr, still-scale jitter) — the same frame
+            # sequence the reference loop renders between input events,
+            # which is how it exceeds the input device's rate.  Moving
+            # chains cap at 6 so input latency stays ~1-2 dispatches.
+            # Orbit animation still disables chaining (its per-frame yaw
+            # diff resets accumulation anyway, matching paramsChanged).
+            k = 1
+            if self.turbo > 1 and not app.params.point_light_orbit_enabled:
+                k = min(self.turbo, 6) if camera_moved else self.turbo
             if k > 1:
-                if app.params.enable_jitter:
-                    scale = float(np.asarray(app.params.jitter_still_scale))
-                    jitters = np.stack([
-                        generate_jitter2d(app.host_frame_index + i) * scale
-                        for i in range(k)]).astype(np.float32)
-                else:
-                    jitters = np.zeros((k, 2), np.float32)
+                import dataclasses as _dc
+                still_scale = float(np.asarray(
+                    app.params.jitter_still_scale))
+                fins = [fin]
+                for i in range(1, k):
+                    j_i = (generate_jitter2d(app.host_frame_index + i)
+                           * still_scale if app.params.enable_jitter
+                           else np.zeros(2))
+                    fins.append(_dc.replace(
+                        fin, jitter=jnp.asarray(j_i, jnp.float32),
+                        camera_moved=jnp.int32(0),
+                        prev_view_proj=fin.curr_view_proj))
+                stacked = jax.tree.map(
+                    lambda *xs: jnp.stack([jnp.asarray(x) for x in xs]),
+                    *fins)
                 fn = self._render_fn_chain(ordered, k)
-                res = fn(eff_params, fin, jnp.asarray(jitters),
+                res = fn(eff_params, stacked,
                          app.render_state, app.env_map, app.bvh)
             else:
                 fn = self._render_fn(ordered)

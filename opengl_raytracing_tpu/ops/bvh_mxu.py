@@ -611,7 +611,12 @@ def _epilogue_inputs(out_uv, out_dt, eps):
     det = out_dt[0:128, :]
     t_num = out_dt[128:256, :]
     ok_det = jnp.abs(det) >= 1e-8
-    inv = 1.0 / jnp.where(ok_det, det, 1.0)
+    if KERN_VARIANT == "nodiv":
+        # attribution variant: skip the [128,128] reciprocal (values
+        # wrong, dataflow shape identical) — prices the divide alone
+        inv = jnp.where(ok_det, det, 1.0)
+    else:
+        inv = 1.0 / jnp.where(ok_det, det, 1.0)
     u = u_num * inv
     v = v_num * inv
     t = t_num * inv
@@ -713,8 +718,14 @@ def _closest_kernel(ids_ref, perm_ref, gate_ref, gorder_ref, gbound_ref,
                 acc = acc & ok
             tc = jnp.where(acc, t, INF)
             cmin = jnp.min(tc, axis=0, keepdims=True)          # [1,128]
-            win = jnp.where(tc <= cmin, tri_f + 1.0, 0.0)
-            itri = jnp.max(win, axis=0, keepdims=True) - 1.0   # [1,128]
+            if KERN_VARIANT == "nowin":
+                # attribution variant: drop the winner extraction (the
+                # [128,128] compare + max-reduce) — t carry stays real,
+                # the index/normal payload is wrong
+                itri = jnp.zeros((1, TILE_RAYS), jnp.float32)
+            else:
+                win = jnp.where(tc <= cmin, tri_f + 1.0, 0.0)
+                itri = jnp.max(win, axis=0, keepdims=True) - 1.0  # [1,128]
             upd = jnp.where(cmin < carry[0], 1.0, 0.0)
             if defer:
                 t_best, it = carry         # [1,128] f32
@@ -725,11 +736,16 @@ def _closest_kernel(ids_ref, perm_ref, gate_ref, gorder_ref, gbound_ref,
                 t_best = upd * cmin + (1.0 - upd) * t_best
                 return t_best, it
             t_best, nx, ny, nz = carry     # [1,128] f32
-            # one-hot row of the winning triangle per ray
-            onehot = jnp.where(tri_f == itri, 1.0, 0.0)        # [128,128]
-            nx_w = jnp.sum(onehot * sel[:, 0:1], axis=0, keepdims=True)
-            ny_w = jnp.sum(onehot * sel[:, 1:2], axis=0, keepdims=True)
-            nz_w = jnp.sum(onehot * sel[:, 2:3], axis=0, keepdims=True)
+            if KERN_VARIANT == "nowin":
+                # (see above) skip the one-hot normal extraction too —
+                # nowin prices the whole winner+payload machinery
+                nx_w = ny_w = nz_w = jnp.zeros((1, TILE_RAYS), jnp.float32)
+            else:
+                # one-hot row of the winning triangle per ray
+                onehot = jnp.where(tri_f == itri, 1.0, 0.0)    # [128,128]
+                nx_w = jnp.sum(onehot * sel[:, 0:1], axis=0, keepdims=True)
+                ny_w = jnp.sum(onehot * sel[:, 1:2], axis=0, keepdims=True)
+                nz_w = jnp.sum(onehot * sel[:, 2:3], axis=0, keepdims=True)
             # exact 0/1 select (a + upd*(b-a) cancels at INF magnitudes)
             t_best = upd * cmin + (1.0 - upd) * t_best
             nx = upd * nx_w + (1.0 - upd) * nx

@@ -87,7 +87,9 @@ def main():
     if "--child" in sys.argv:
         child()
         return
-    for v in ("full", "noepi", "nof", "nowalk"):
+    variants = os.environ.get("KA_VARIANTS",
+                              "full,noepi,nof,nowalk").split(",")
+    for v in variants:
         env = dict(os.environ, ORT_KERN_VARIANT=v)
         subprocess.run([sys.executable, os.path.abspath(__file__),
                         "--child"], env=env, timeout=900, check=False)

@@ -307,12 +307,26 @@ def test_turbo_chain_matches_sequential_steps():
     np.testing.assert_array_equal(np.asarray(img_b), np.asarray(img_a))
 
 
-def test_turbo_disabled_while_moving_or_orbiting():
+def test_turbo_moving_chain_matches_sequential_steps():
+    """Moving turbo: one dispatch = the camera-move frame plus k-1
+    settling frames — must equal the same k frames stepped
+    sequentially (move applied once, then stills)."""
     a = small_app()
-    a.turbo = 4
-    a.act("look 5 0")          # camera motion -> per-dispatch stepping
-    a.step()
-    assert int(a.app.render_state.frame_index) == 1
+    b = small_app()
+    b.turbo = 4
+    b.act("look 5 0")
+    img_b = b.step()
+    assert int(b.app.render_state.frame_index) == 4
+    a.act("look 5 0")
+    img_a = None
+    for _ in range(4):
+        img_a = a.step()
+    np.testing.assert_array_equal(np.asarray(b.app.render_state.accum),
+                                  np.asarray(a.app.render_state.accum))
+    np.testing.assert_array_equal(np.asarray(img_b), np.asarray(img_a))
+
+
+def test_turbo_disabled_while_orbiting():
     o = small_app(point_light_orbit_enabled=1)
     o.turbo = 4
     o.step()                   # orbit animates params -> no chaining
