@@ -1,0 +1,50 @@
+#!/bin/bash
+# Round-5 session B queue:
+#  1. close-camera kernel epilogue decomposition (nodiv/nowin price the
+#     per-candidate divide and the winner+normal extraction inside the
+#     6.0 ms epilogue the r4d attribution found)
+#  2. DEFER_NORMAL first real A/B (every r4b arm died on the broken
+#     gsort composition) — baseline + cf pair at default walk
+#  3. an_full stage ablation at CURRENT defaults (patch_u8 env, hit
+#     gate): the r3l stage table is stale; the 47 ms residual is
+#     unattributed
+set -x
+cd "$(dirname "$0")/.."
+
+export JAX_COMPILATION_CACHE_DIR=/root/.jax_cache
+export JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS=5
+
+timeout 150 python scripts/childproc.py --probe \
+  || { echo 'TPU unreachable, aborting'; exit 1; }
+
+: > /tmp/r5b_canary.log
+BENCH_SKIP_PROBE=1 BENCH_CASES=baseline BENCH_FRAMES=8 BENCH_BUDGET=500 \
+  timeout 600 python bench.py 2>&1 | tee /tmp/r5b_canary.log
+canary_ms=$(grep -o '"ms_per_frame": [0-9.]*' /tmp/r5b_canary.log \
+  | head -1 | awk '{print $2}')
+if [ -z "$canary_ms" ] || awk "BEGIN{exit !($canary_ms > 80)}"; then
+  echo "canary ${canary_ms:-none} ms — slice degraded, aborting"
+  exit 1
+fi
+
+# 1. epilogue decomposition at the close camera (where it is 45%)
+: > /tmp/r5b_kattrib.log
+KA_REPS=4 KA_SUBDIV=6 KA_CLOSE=1 KA_VARIANTS=full,nodiv,nowin,noepi \
+  timeout 2400 python scripts/kernel_attrib.py 2>&1 \
+  | tee -a /tmp/r5b_kattrib.log
+
+# 2. DEFER_NORMAL pair at the default walk
+: > /tmp/r5b_defer.log
+for d in 0 1; do
+  BENCH_SKIP_PROBE=1 BENCH_CASES=baseline,cf_far,cf_close \
+    BENCH_FRAMES=8 BENCH_BUDGET=1400 BENCH_TIMEOUT=900 \
+    ORT_DEFER_NORMAL=$d timeout 1500 python bench.py 2>&1 \
+    | sed "s/^{/{\"defer\": $d, /" | tee -a /tmp/r5b_defer.log
+done
+
+# 3. an_full stage ablation at current defaults
+: > /tmp/r5b_anablate.log
+ABLATE_REPS=8 timeout 3000 python scripts/ablate_analytic.py 2>&1 \
+  | tee /tmp/r5b_anablate.log
+
+echo DONE
