@@ -475,7 +475,8 @@ def _bvh_gate_frac() -> float:
 
 
 def _tile_gated_shade_bvh(scene: SceneCtx, h: Hit, seeds, frame_index,
-                          vdir, px, py, active, ao, frac: float):
+                          vdir, px, py, active, ao, frac: float,
+                          spp: int = 1):
     """_shade_bvh on the 128-lane tiles where `active` has any lane set.
 
     Inputs are flat tile-aligned streams ([..., N] with N % 128 == 0;
@@ -505,7 +506,7 @@ def _tile_gated_shade_bvh(scene: SceneCtx, h: Hit, seeds, frame_index,
         out_c = _shade_bvh(scene, h_c, seeds, frame_index,
                            gtile(vdir, True), gtile(px), gtile(py),
                            active=gtile(active),
-                           ao=None if ao is None else gtile(ao))
+                           ao=None if ao is None else gtile(ao), spp=spp)
         ax = out_c.ndim - 2
         outr = out_c.reshape(out_c.shape[:ax] + (k, _TILE, 3))
         full = jnp.zeros(out_c.shape[:ax] + (t, _TILE, 3), out_c.dtype)
@@ -514,7 +515,7 @@ def _tile_gated_shade_bvh(scene: SceneCtx, h: Hit, seeds, frame_index,
 
     def dense(_):
         return _shade_bvh(scene, h, seeds, frame_index, vdir, px, py,
-                          active=active, ao=ao)
+                          active=active, ao=ao, spp=spp)
 
     return jax.lax.cond(count <= k, compact, dense, None)
 
@@ -539,7 +540,7 @@ def shade_bvh_auto(scene: SceneCtx, h_b: Hit, seeds, frame_index, vdir_b,
         n_px = grid_h * grid_w
     if not (gate > 0.0 and n_px % _TILE == 0):
         return _shade_bvh(scene, h_b, seeds, frame_index, vdir_b,
-                          px_b, py_b, active=mask_b, ao=ao)
+                          px_b, py_b, active=mask_b, ao=ao, spp=spp)
     # Flatten [.., H, W] pixel grids to the tile-aligned stream the gate
     # needs (row-major: each tile = 128 consecutive pixels of one row);
     # the swizzled stream is already flat.
@@ -566,7 +567,7 @@ def shade_bvh_auto(scene: SceneCtx, h_b: Hit, seeds, frame_index, vdir_b,
     return unflat(_tile_gated_shade_bvh(
         scene, h_f, seeds_f, frame_index, flat(vdir_b, True),
         flat(px_b), flat(py_b), flat(mask_b),
-        None if ao is None else flat(ao), gate))
+        None if ao is None else flat(ao), gate, spp=spp))
 
 
 def _sanitize_hit(h: Hit, ro, rd) -> Hit:
@@ -660,7 +661,7 @@ def _shade_analytic(scene: SceneCtx, h: Hit, seed, frame_index, vdir, px, py,
 
 
 def _shade_bvh(scene: SceneCtx, h: Hit, seed, frame_index, vdir, px, py,
-               active=None, ao=None):
+               active=None, ao=None, spp: int = 1):
     """BVH-scene shading (reference: rt.frag:105-117).
 
     `active` marks lanes whose radiance survives the final sky select;
@@ -668,7 +669,7 @@ def _shade_bvh(scene: SceneCtx, h: Hit, seed, frame_index, vdir, px, py,
     values are unspecified and discarded).  `ao` as in _shade_analytic."""
     params = scene.params
     radiance = lt.direct_light_bvh(scene, h, seed, frame_index, vdir, px, py,
-                                   active=active)
+                                   active=active, spp_dup=spp)
     if params.enable_gi:
         radiance = radiance + (
             jnp.float32(params.gi_scale_bvh)

@@ -269,7 +269,7 @@ def direct_light(scene: SceneCtx, h, rng_frame, frame_index, vdir, px, py):
 
 
 def direct_light_bvh(scene: SceneCtx, h, rng_frame, frame_index, vdir,
-                     px, py, active=None):
+                     px, py, active=None, spp_dup: int = 0):
     """Direct lighting for BVH triangles: hard-coded white plastic
     (reference: rt_lighting.glsl:405-460).
 
@@ -282,7 +282,18 @@ def direct_light_bvh(scene: SceneCtx, h, rng_frame, frame_index, vdir,
     result is discarded by a downstream select — are excluded from the
     tile cull hulls and get a collapsed shadow window (-1), so all-sky
     tiles skip the any-hit kernel subtile-wise.  Values on inactive
-    lanes are unspecified."""
+    lanes are unspecified.
+
+    `spp_dup > 1`: the inputs carry a leading SPP batch axis whose h/n
+    rows are BROADCAST copies (models/pipeline.py hoists the shared
+    primary hit).  Sun and point shadow rays depend only on (h, n), so
+    samples 1.. are exact duplicates of sample 0 — their windows
+    collapse to -1 (the any-hit kernel gates those subtiles off) and
+    sample 0's occlusion broadcasts back.  Bit-identical by
+    construction; the disk queries keep per-sample offsets.
+    ORT_SPP_SHADOW_DEDUP=0 reverts (A/B pending, r5)."""
+    spp_dedup = (spp_dup > 1 and os.environ.get(
+        "ORT_SPP_SHADOW_DEDUP", "1") == "1")
     n = normalize(h.n)
     v = normalize(vdir)
     shape = jnp.shape(h.t)
@@ -305,16 +316,23 @@ def direct_light_bvh(scene: SceneCtx, h, rng_frame, frame_index, vdir,
             origins.append(o)
             dirs.append(d)
             wins.append(w)
+        def _sample0_only(w):
+            # collapse the duplicate samples' windows: those rows trace
+            # as dead lanes (seeded occluded, subtile-gated off)
+            sidx = jnp.arange(spp_dup, dtype=jnp.int32).reshape(
+                (spp_dup,) + (1,) * (w.ndim - 1))
+            return jnp.where(sidx == 0, w, -1.0)
+
         if params.sun_enabled:
             o, d, w = _sun_shadow_query(scene, h, n)
             origins.append(o)
             dirs.append(d)
-            wins.append(w)
+            wins.append(_sample0_only(w) if spp_dedup else w)
         if params.point_light_enabled:
             o, d, w = _point_shadow_query(scene, h)
             origins.append(o)
             dirs.append(d)
-            wins.append(w)
+            wins.append(_sample0_only(w) if spp_dedup else w)
         # tuple-of-batches: one concatenated any-hit stream, no
         # [k,...,3] stack materialized (bvh_mxu._pad_tiles_multi)
         #
@@ -333,12 +351,18 @@ def direct_light_bvh(scene: SceneCtx, h, rng_frame, frame_index, vdir,
             occ = scene.trace_shadow_any(tuple(origins), tuple(dirs),
                                          tuple(wins), active=active)
         occ_disk = occ[:SOFT_SHADOW_SAMPLES]
+
+        def _bcast0(o):
+            # duplicate-sample dedup: sample 0's occlusion is the value
+            # for every sample (identical rays)
+            return (jnp.broadcast_to(o[0:1], shape) if spp_dedup else o)
+
         k = SOFT_SHADOW_SAMPLES
         if params.sun_enabled:
-            blocked_sun = occ[k]
+            blocked_sun = _bcast0(occ[k])
             k += 1
         if params.point_light_enabled:
-            blocked_point = occ[k]
+            blocked_point = _bcast0(occ[k])
 
     if scene.use_bvh:
         # ORT_BVH_BRDF_PALLAS=1: the whole BRDF tail in one fused Pallas

@@ -361,3 +361,28 @@ def test_an_skyr_gate_matches_dense(monkeypatch):
     diff = np.abs(gated - dense)
     assert np.quantile(diff, 0.99) < 2.4e-7, np.quantile(diff, 0.99)
     assert diff.max() < 1e-5, diff.max()
+
+
+def test_spp_shadow_dedup_bit_identical(monkeypatch):
+    """ORT_SPP_SHADOW_DEDUP collapses the duplicate sun/point shadow
+    rays of an SPP batch (samples share the hoisted primary hit, so
+    those rays are identical) and broadcasts sample 0's occlusion —
+    must be bit-identical to tracing every duplicate."""
+    mesh = make_bunny(2)
+    tris = gather_triangles(mesh, model_transform((-2, 1.5, 0), 0.5))
+    arrs = prepare_bvh(tris)
+    fin = make_inputs()
+
+    def frame(dedup, mxu="0"):
+        monkeypatch.setenv("ORT_SPP_SHADOW_DEDUP", dedup)
+        monkeypatch.setenv("ORT_FORCE_MXU", mxu)
+        params = preset("heavy").replace(spp_per_frame=3)
+        state = RenderState.create(H, W)
+        _, out = render_frame(params, fin, state, bvh=arrs,
+                              height=H, width=W, use_bvh=True)
+        return np.asarray(out.image)
+
+    np.testing.assert_array_equal(frame("1"), frame("0"))
+    # the production TPU path: dead-lane (collapsed-window) handling in
+    # the any-hit kernel wavefront (interpret mode off-TPU)
+    np.testing.assert_array_equal(frame("1", mxu="1"), frame("0", mxu="1"))
