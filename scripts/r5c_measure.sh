@@ -1,0 +1,52 @@
+#!/bin/bash
+# Round-5 session C queue — the baseline/heavy lever arms:
+#  0. diag: kattrib-vs-ablate primary discrepancy (13 vs 48 ms at the
+#     close camera — same scene, two trace formulations, one child)
+#  1. control pair (current defaults) for same-session comparison
+#  2. ORT_SWIZZLE=1 on the 1-page scene (auto=off there; r2's -5 ms
+#     verdict predates x3/gates — block-level sky sparsity needs it)
+#  3. ORT_SUBTILES down (8/16): the ~4 ms primary-kernel overhead is
+#     per-SUBTILE scalar iteration over mostly-inactive subtiles —
+#     smaller blocks shift skipping to the per-block gate
+#  4. ORT_SPP_SHADOW_DEDUP pair on heavy (new default; evidence)
+#  5. ORT_SHADOW_PACK=1 heavy/full (r4b arms all died pre-fix)
+set -x
+cd "$(dirname "$0")/.."
+
+export JAX_COMPILATION_CACHE_DIR=/root/.jax_cache
+export JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS=5
+
+timeout 150 python scripts/childproc.py --probe \
+  || { echo 'TPU unreachable, aborting'; exit 1; }
+
+: > /tmp/r5c_canary.log
+BENCH_SKIP_PROBE=1 BENCH_CASES=baseline BENCH_FRAMES=8 BENCH_BUDGET=500 \
+  timeout 600 python bench.py 2>&1 | tee /tmp/r5c_canary.log
+canary_ms=$(grep -o '"ms_per_frame": [0-9.]*' /tmp/r5c_canary.log \
+  | head -1 | awk '{print $2}')
+if [ -z "$canary_ms" ] || awk "BEGIN{exit !($canary_ms > 80)}"; then
+  echo "canary ${canary_ms:-none} ms — slice degraded, aborting"
+  exit 1
+fi
+
+: > /tmp/r5c_diag.log
+DP_REPS=4 timeout 1500 python scripts/diag_primary.py 2>&1 \
+  | tee /tmp/r5c_diag.log
+
+: > /tmp/r5c_arms.log
+run_arm () {  # tag cases extra-env...
+  local tag="$1" cases="$2"; shift 2
+  env BENCH_SKIP_PROBE=1 BENCH_CASES="$cases" BENCH_FRAMES=8 \
+    BENCH_BUDGET=900 BENCH_TIMEOUT=700 "$@" \
+    timeout 1000 python bench.py 2>&1 \
+    | sed "s/^{/{\"arm\": \"$tag\", /" | tee -a /tmp/r5c_arms.log
+}
+
+run_arm control "baseline,heavy"
+run_arm swizzle1 "baseline,realistic,full" ORT_SWIZZLE=1
+run_arm subtiles16 "baseline" ORT_SUBTILES=16
+run_arm subtiles8 "baseline" ORT_SUBTILES=8
+run_arm sppdedup0 "heavy" ORT_SPP_SHADOW_DEDUP=0
+run_arm spack1 "heavy,full" ORT_SHADOW_PACK=1
+
+echo DONE
