@@ -8,6 +8,7 @@ processes (the worker can wedge); each prints one JSON line.
 Usage: python scripts/ablate.py [--case KEY]
 """
 
+import functools
 import json
 import os
 import sys
@@ -163,13 +164,18 @@ def child(key: str) -> None:
         img = present(accum, motion, gpos, gnrm, params, show_motion=False)
         return jnp.sum(img)
 
+    from opengl_raytracing_tpu.models.pipeline import frame_jit_options
     if key == "noop":
-        @jax.jit
+        @functools.partial(jax.jit, **frame_jit_options())
         def fn(x):
             return jnp.sum(x) * 1e-9
         arg = state.accum
     else:
-        @jax.jit
+        # frame_jit_options: the close-camera shade prefix trips an
+        # 18.16M scoped-vmem loop fusion against the 16M default (the
+        # same class the realistic preset hits, CLAUDE.md) — the raised
+        # per-jit budget is how the production frame compiles
+        @functools.partial(jax.jit, **frame_jit_options())
         def fn(x):
             s = 0.
             for i in range(REPS):

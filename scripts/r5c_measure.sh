@@ -33,6 +33,15 @@ fi
 DP_REPS=4 timeout 1500 python scripts/diag_primary.py 2>&1 \
   | tee /tmp/r5c_diag.log
 
+# r5a repair: the cf_close shade/taa/frame ablation cases died on an
+# 18.16M scoped-vmem loop fusion (ablate.py jitted without
+# frame_jit_options — fixed); re-run just those
+: > /tmp/r5c_cfablate.log
+for c in shade taa frame; do
+  ABLATE_SUBDIV=6 ABLATE_CAM=close ABLATE_REPS=4 timeout 900 \
+    python scripts/ablate.py --case $c 2>&1 | tee -a /tmp/r5c_cfablate.log
+done
+
 : > /tmp/r5c_arms.log
 run_arm () {  # tag cases extra-env...
   local tag="$1" cases="$2"; shift 2
