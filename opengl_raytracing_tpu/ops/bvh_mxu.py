@@ -1004,15 +1004,20 @@ def _shadow_kernel(ids_ref, perm_ref, gate_ref, gorder_ref, gbound_ref,
             # cull emptied (sky lanes, collapsed windows) keep the
             # block-wide zero init and skip all vector work.  (Compact
             # mode's loop bound already excludes them.)
-            @pl.when(gn > 0)
-            def _work():
-                walk(s, so, glo, gn, gmask)
+            if KERN_VARIANT != "nowalk":
+                @pl.when(gn > 0)
+                def _work():
+                    walk(s, so, glo, gn, gmask)
             return 0
 
         def walk(s, so, glo, gn, gmask):
             f = _expand_features(
                 (ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, tm_ref),
                 so, with_tmax=True)
+            if KERN_VARIANT == "nof":
+                # attribution variant (see _closest_kernel): constant
+                # features — the expansion above is DCE'd
+                f = jnp.full_like(f, 0.5)
             # exact f32 window (in x3 mode f rows are bf16 splits)
             tmax = tm_ref[pl.ds(so, 1), :]     # [1,128]
 
@@ -1028,6 +1033,14 @@ def _shadow_kernel(ids_ref, perm_ref, gate_ref, gorder_ref, gbound_ref,
                 out_dt = jnp.dot(cg_dt, f,
                                  preferred_element_type=jnp.float32,
                                  precision=SHADOW_PRECISION)
+                if KERN_VARIANT == "noepi":
+                    # attribution variant: matmuls stay live via one
+                    # reduce; acceptance epilogue gone.  occ stays ~0 so
+                    # the walk never early-exits (upper-bounds the cost).
+                    keep = jnp.minimum(
+                        jnp.min(out_uv, axis=0, keepdims=True),
+                        jnp.min(out_dt, axis=0, keepdims=True))
+                    return jnp.maximum(occ, keep * 1e-30)
                 for g in range(GROUP):         # static unroll
                     b_uv = out_uv[g * 256:(g + 1) * 256]
                     b_dt = out_dt[g * 256:(g + 1) * 256]
