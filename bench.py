@@ -494,7 +494,10 @@ def main() -> int:
             # conservative shape (costs ~5.8 ms but always compiles),
             # and the raised scoped-vmem budget covers the fusion even
             # if the gate is not the trigger
-            "ORT_BVH_GATE_FRAC": "0", "ORT_SCOPED_VMEM_KIB": "49152"}
+            "ORT_BVH_GATE_FRAC": "0", "ORT_SCOPED_VMEM_KIB": "49152",
+            # r5: amortized shadow early exit — legacy cadence is the
+            # conservative shape
+            "ORT_SHADOW_EXIT_EVERY": "1"}
 
     presets, close_far = {}, {}
     headline = None

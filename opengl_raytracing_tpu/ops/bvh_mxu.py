@@ -182,6 +182,13 @@ DEFER_NORMAL = os.environ.get("ORT_DEFER_NORMAL", "0") == "1"
 # ORT_PAGE_TCAP=0 reverts (bench safe-mode includes it).
 PAGE_TCAP = os.environ.get("ORT_PAGE_TCAP", "1") == "1"
 
+# Shadow all-occluded early-exit cadence: the exit check reduces the
+# occlusion vector to a scalar loop bound — a vector->scalar sync per
+# window step in the =1 (legacy) form.  N>1 checks every N bitmask
+# steps (scalar-only in between); 0 removes the exit (pure fori).
+# Default stays 1 (legacy) until the r5c sweep (1/4/8/0) lands.
+SHADOW_EXIT_EVERY = int(os.environ.get("ORT_SHADOW_EXIT_EVERY", "1"))
+
 # Near-first dynamic page order (multiplies the t-cap's effect): pages
 # stack into one [P,...] slab set and a lax.scan walks them through a
 # data-dependent permutation — argsort of each page's AABB distance
@@ -1084,6 +1091,24 @@ def _shadow_kernel(ids_ref, perm_ref, gate_ref, gorder_ref, gbound_ref,
                     gi, occ = st
                     occ = group_work(sp_ref[so, gi], occ)
                     gi = jnp.where(jnp.min(occ) >= 1.0, gn, gi + 1)
+                    return gi, occ
+            elif SHADOW_EXIT_EVERY != 1:
+                # Amortized early exit: `jnp.min(occ)` is a VECTOR->
+                # SCALAR sync, and the per-step while form pays it on
+                # EVERY window step — the per-step bitmask cond is pure
+                # scalar-core work, so the sync dominates the step
+                # (cf_close: 259k shadow window steps; the suspected
+                # bulk of the 520 ms frame).  Run K bitmask-gated steps
+                # scalar-only, then ONE all-occluded check.  Exact: occ
+                # is monotone, a later exit only repeats no-op maxima.
+                # K=0 disables the exit entirely (pure fori, no syncs).
+                def sh_body(st):
+                    gi, occ = st
+                    k = (gn - gi if SHADOW_EXIT_EVERY == 0
+                         else jnp.minimum(SHADOW_EXIT_EVERY, gn - gi))
+                    occ = jax.lax.fori_loop(
+                        0, k, lambda j, oc: group_body(gi + j, oc), occ)
+                    gi = jnp.where(jnp.min(occ) >= 1.0, gn, gi + k)
                     return gi, occ
             else:
                 def sh_body(st):
