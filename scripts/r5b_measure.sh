@@ -27,6 +27,17 @@ if [ -z "$canary_ms" ] || awk "BEGIN{exit !($canary_ms > 80)}"; then
   exit 1
 fi
 
+# 0. SHADOW EXIT CADENCE sweep — promoted here (the suspected
+#    cf_close monster): the legacy walk pays a vector->scalar sync
+#    (jnp.min(occ) feeding the loop bound) on EVERY window step.
+: > /tmp/r5b_exit.log
+for ev in 8 0 4 1; do
+  env BENCH_SKIP_PROBE=1 BENCH_CASES=cf_close,cf_far,baseline \
+    BENCH_FRAMES=8 BENCH_BUDGET=1300 BENCH_TIMEOUT=900 \
+    ORT_SHADOW_EXIT_EVERY=$ev timeout 1400 python bench.py 2>&1 \
+    | sed "s/^{/{\"exit_every\": $ev, /" | tee -a /tmp/r5b_exit.log
+done
+
 # 1. epilogue decomposition at the close camera (where it is 45%)
 : > /tmp/r5b_kattrib.log
 KA_REPS=4 KA_SUBDIV=6 KA_CLOSE=1 KA_VARIANTS=full,nodiv,nowin,noepi \

@@ -34,12 +34,15 @@ fi
 #    loop bound) on EVERY window step; 259k shadow steps at close.
 #    K>1 checks every K steps (scalar-only in between); 0 = no exit.
 : > /tmp/r5c_exit.log
+# skip if the r5b queue already ran the sweep (promoted there)
+if ! grep -q ms_per_frame /tmp/r5b_exit.log 2>/dev/null; then
 for ev in 8 0 4 1; do
   env BENCH_SKIP_PROBE=1 BENCH_CASES=cf_close,cf_far,baseline \
     BENCH_FRAMES=8 BENCH_BUDGET=1300 BENCH_TIMEOUT=900 \
     ORT_SHADOW_EXIT_EVERY=$ev timeout 1400 python bench.py 2>&1 \
     | sed "s/^{/{\"exit_every\": $ev, /" | tee -a /tmp/r5c_exit.log
 done
+fi
 
 : > /tmp/r5c_diag.log
 DP_REPS=4 timeout 1500 python scripts/diag_primary.py 2>&1 \
