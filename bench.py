@@ -380,6 +380,11 @@ def child(cases: str) -> None:
             rec = {"error": f"{type(exc).__name__}: {exc}"[:300]}
         rec["case"] = case
         print(json.dumps(rec), flush=True)
+    # the axon client can leave non-daemon threads that hang interpreter
+    # exit — a child that hangs AFTER printing its last case burns its
+    # whole timeout from the sweep budget
+    sys.stdout.flush()
+    os._exit(0)
 
 
 def _run_group(cases, env, timeout_s: float):
