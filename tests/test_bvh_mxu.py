@@ -755,3 +755,24 @@ def test_shadow_pack_matches_batched(scene, monkeypatch):
         np.testing.assert_array_equal(a, b, err_msg=f"pack output {i}")
         np.testing.assert_array_equal(a, c,
                                       err_msg=f"pack+gsort output {i}")
+
+
+def test_shadow_exit_cadence_bit_identical(scene, monkeypatch):
+    """ORT_SHADOW_EXIT_EVERY amortizes the all-occluded early-exit's
+    vector->scalar sync over K bitmask steps (8), or removes the exit
+    (0) — occlusion is monotone, so every cadence is bit-identical to
+    the legacy per-step form (1)."""
+    import opengl_raytracing_tpu.ops.bvh_mxu as bm
+    mxu, tris = scene
+    ro, rd = _rays(31)
+    win = jnp.full((N_RAYS,), 6.0, jnp.float32)
+
+    outs = {}
+    for ev in (1, 8, 0):
+        monkeypatch.setattr(bm, "SHADOW_EXIT_EVERY", ev)
+        jax.clear_caches()
+        outs[ev] = np.asarray(trace_bvh_shadow_mxu(mxu, ro, rd, win))
+    jax.clear_caches()
+    np.testing.assert_array_equal(outs[1], outs[8])
+    np.testing.assert_array_equal(outs[1], outs[0])
+    assert outs[1].any()  # non-degenerate scene
