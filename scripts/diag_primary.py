@@ -85,7 +85,7 @@ def main():
                 t = body(d)
                 s = jnp.sum(jnp.where(jnp.isfinite(t), t, 0.0))
                 acc = acc + s
-                d = d + s * 1e-30
+                d = d + jnp.clip(s, -1.0, 1.0) * 1e-7
             return acc
         return jax.jit(fn)
 

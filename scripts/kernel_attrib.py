@@ -66,7 +66,11 @@ def child():
                                        shared_origin=origin)
             s = jnp.sum(jnp.where(jnp.isfinite(h.t), h.t, 0.0))
             acc = acc + s
-            d = d + (s * 1e-30)
+            # serialize with a BOUNDED, representable perturbation: the
+            # previous `s * 1e-30` exploded once s grew (reps 2+ traced
+            # garbage rays that missed everything — r4d/r5b absolute
+            # numbers are ~REPS-times understated; deltas survive)
+            d = d + jnp.clip(s, -1.0, 1.0) * 1e-7
         return acc
 
     fn = jax.jit(chain)
