@@ -38,11 +38,9 @@ for ev in 8 0 4 1; do
     | sed "s/^{/{\"exit_every\": $ev, /" | tee -a /tmp/r5b_exit.log
 done
 
-# 1. epilogue decomposition at the close camera (where it is 45%)
-: > /tmp/r5b_kattrib.log
-KA_REPS=4 KA_SUBDIV=6 KA_CLOSE=1 KA_VARIANTS=full,nodiv,nowin,noepi \
-  timeout 2400 python scripts/kernel_attrib.py 2>&1 \
-  | tee -a /tmp/r5b_kattrib.log
+# (kattrib close-camera variants moved to r5d's ablate matrix — the
+# 21:58 run wedged the worker mid-compile and its snapshot predated
+# the perturbation fix)
 
 # 2. DEFER_NORMAL pair at the default walk
 : > /tmp/r5b_defer.log
