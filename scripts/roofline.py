@@ -104,6 +104,31 @@ def case_noop():
     return {"case": "noop", "ms": round(dt * 1e3, 2)}
 
 
+def case_vpu():
+    """Elementwise f32 op ceiling (the VPU roofline the analytic
+    megakernel an_pallas lives against): K fused mul-adds per element
+    on a VMEM-resident block, chained so HBM traffic is negligible."""
+    import jax
+    import jax.numpy as jnp
+    m = 1024           # 4 MB block: fits VMEM, HBM-traffic-free loop
+    k = 64             # fused ops per scan step
+    x = jnp.full((m, m), 1.0000001, jnp.float32)
+
+    @jax.jit
+    def run(x):
+        def body(y, _):
+            for _ in range(k):
+                y = y * 1.0000001 + 1e-9
+            return y, None
+        y, _ = jax.lax.scan(body, x, None, length=STEPS)
+        return jnp.sum(y[0])
+
+    dt, _ = _timed(run, x)
+    gops = 2.0 * m * m * k * STEPS / 1e9     # mul+add per fused op
+    return {"case": "vpu", "ms": round(dt * 1e3, 2),
+            "gops": round(gops / dt, 1)}
+
+
 def case_mt_work():
     """Exact per-frame kernel work of the bench primary trace, counted
     from the cull plan (no kernel launch): what the unordered GROUP walk
@@ -157,7 +182,7 @@ def case_mt_work():
 def main():
     import jax
     which = os.environ.get("ROOFLINE_CASES",
-                           "noop,stream,gemm_bf16,gemm_f32,mt_work")
+                           "noop,stream,gemm_bf16,gemm_f32,mt_work,vpu")
     for case in which.split(","):
         case = case.strip()
         try:
@@ -171,6 +196,8 @@ def main():
                 rec = case_gemm("f32")
             elif case == "mt_work":
                 rec = case_mt_work()
+            elif case == "vpu":
+                rec = case_vpu()
             else:
                 rec = {"case": case, "error": "unknown"}
         except Exception as exc:  # record, keep sweeping
