@@ -34,6 +34,10 @@ for v in full nof noepi nowalk; do
   done
 done
 
+: > /tmp/r5d_roofline.log
+ROOFLINE_CASES=vpu timeout 600 python scripts/roofline.py 2>&1 \
+  | tee /tmp/r5d_roofline.log
+
 : > /tmp/r5d_viewer.log
 timeout 1200 python scripts/viewer_fps.py 2>&1 | tee /tmp/r5d_viewer.log
 
