@@ -26,8 +26,10 @@ if [ -z "$canary_ms" ] || awk "BEGIN{exit !($canary_ms > 80)}"; then
 fi
 
 : > /tmp/r5d_kvar.log
-for v in full nof noepi nowalk; do
-  for c in primary shade; do
+for c in primary shade; do
+  vars="full nof noepi nowalk"
+  [ "$c" = primary ] && vars="full nof noepi nowalk nodiv nowin"
+  for v in $vars; do
     env ORT_KERN_VARIANT=$v ABLATE_SUBDIV=6 ABLATE_CAM=close \
       ABLATE_REPS=4 timeout 900 python scripts/ablate.py --case $c 2>&1 \
       | sed "s/^{/{\"variant\": \"$v\", /" | tee -a /tmp/r5d_kvar.log
