@@ -491,22 +491,27 @@ def _tile_chunk_ranges(chunk_bounds, hulls, t_cap=None, hit=None):
     mask_hi = w_hi.astype(jnp.int32)
 
     # Per-tile GROUP bitmask for the unordered group walk: bit g set iff
-    # any chunk in absolute group [g*GROUP, (g+1)*GROUP) may hit.  Pages
-    # hold <= PAGE_CHUNKS=128-group-padded chunks so ng <= 32 always.
+    # any chunk in absolute group [g*GROUP, (g+1)*GROUP) may hit.  TWO
+    # int32 words (the mlo/mhi pattern) allow ng <= 64, i.e. pages up
+    # to 64*GROUP chunks — the fewer-pages configurations (r5e) at
+    # unchanged GROUP granularity.
     ng = -(-nc // GROUP)
-    assert ng <= 32, f"page too large for group mask ({nc} chunks)"
+    assert ng <= 64, f"page too large for group mask ({nc} chunks)"
     pad = ng * GROUP - nc
     hit_p = jnp.pad(hit, ((0, pad), (0, 0))) if pad else hit
     ghit = jnp.any(hit_p.reshape(ng, GROUP, nt), axis=1)
-    gmask = jnp.zeros(nt, jnp.uint32)
-    for g in range(ng):
-        gmask = gmask | (ghit[g].astype(jnp.uint32) << jnp.uint32(g))
+    gw_lo = jnp.zeros(nt, jnp.uint32)
+    gw_hi = jnp.zeros(nt, jnp.uint32)
+    for g in range(min(ng, 32)):
+        gw_lo = gw_lo | (ghit[g].astype(jnp.uint32) << jnp.uint32(g))
+    for g in range(32, ng):
+        gw_hi = gw_hi | (ghit[g].astype(jnp.uint32) << jnp.uint32(g - 32))
     glo = lo // GROUP
     ghi_g = -(-(lo + n) // GROUP)
     gn = jnp.where(n > 0, ghi_g - glo, 0)
     return (lo.astype(jnp.int32), n.astype(jnp.int32), mask_lo, mask_hi,
             glo.astype(jnp.int32), gn.astype(jnp.int32),
-            gmask.astype(jnp.int32))
+            gw_lo.astype(jnp.int32), gw_hi.astype(jnp.int32))
 
 
 def _sorted_group_plan(chunk_bounds, hulls, t_cap=None):
@@ -630,6 +635,13 @@ def _epilogue_inputs(out_uv, out_dt, eps):
     acc = (ok_det & (u >= 0.0) & (u <= 1.0) & (v >= 0.0)
            & (u + v <= 1.0) & (t >= eps))
     return t, acc
+
+
+def _gbit(gw_lo, gw_hi, g):
+    """Bit g of the two-word per-tile group mask (scalar-core ops)."""
+    word = jnp.where(g < 32, gw_lo, gw_hi)
+    sh = jnp.clip(jnp.where(g < 32, g, g - 32), 0, 31)
+    return (word >> sh) & 1
 
 
 # Kernel-stage attribution (scripts/kernel_attrib.py): compile-time
@@ -770,7 +782,7 @@ def _closest_kernel(ids_ref, perm_ref, gate_ref, gorder_ref, gbound_ref,
             mhi = meta_ref[s, 3]
             # compact mode: meta rows are actives-first; col 9 carries
             # the row's ORIGINAL subtile index for plane reads + writes
-            so = meta_ref[s, 9] if compact else s
+            so = meta_ref[s, 10] if compact else s
 
             # Per-subtile empty gate: sky/window-collapsed subtiles skip
             # the feature expansion, the walk, and the row writes (the
@@ -917,7 +929,8 @@ def _closest_kernel(ids_ref, perm_ref, gate_ref, gorder_ref, gbound_ref,
                 # all-miss groups.
                 glo = meta_ref[s, 6]
                 gn = meta_ref[s, 7]   # gsort mode: k_n (survivor count)
-                gmask = meta_ref[s, 8]
+                gw_lo = meta_ref[s, 8]
+                gw_hi = meta_ref[s, 9]
 
                 def group_work_abs(gabs, carry):
                     base = gabs * GROUP
@@ -962,8 +975,7 @@ def _closest_kernel(ids_ref, perm_ref, gate_ref, gorder_ref, gbound_ref,
                         (jnp.int32(0), carry0))
                 else:
                     def group_body(gi, carry):
-                        sh = jnp.clip(glo + gi, 0, 31)
-                        bit = (gmask >> sh) & 1
+                        bit = _gbit(gw_lo, gw_hi, glo + gi)
                         return jax.lax.cond(
                             bit > 0,
                             lambda cr: group_work_abs(glo + gi, cr),
@@ -1004,8 +1016,9 @@ def _shadow_kernel(ids_ref, perm_ref, gate_ref, gorder_ref, gbound_ref,
         def subtile_body(s, _):
             glo = meta_ref[s, 6]
             gn = meta_ref[s, 7]
-            gmask = meta_ref[s, 8]
-            so = meta_ref[s, 9] if compact else s
+            gw_lo = meta_ref[s, 8]
+            gw_hi = meta_ref[s, 9]
+            so = meta_ref[s, 10] if compact else s
 
             # Per-subtile empty gate (see _closest_kernel): subtiles whose
             # cull emptied (sky lanes, collapsed windows) keep the
@@ -1014,10 +1027,10 @@ def _shadow_kernel(ids_ref, perm_ref, gate_ref, gorder_ref, gbound_ref,
             if KERN_VARIANT != "nowalk":
                 @pl.when(gn > 0)
                 def _work():
-                    walk(s, so, glo, gn, gmask)
+                    walk(s, so, glo, gn, gw_lo, gw_hi)
             return 0
 
-        def walk(s, so, glo, gn, gmask):
+        def walk(s, so, glo, gn, gw_lo, gw_hi):
             f = _expand_features(
                 (ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, tm_ref),
                 so, with_tmax=True)
@@ -1073,8 +1086,7 @@ def _shadow_kernel(ids_ref, perm_ref, gate_ref, gorder_ref, gbound_ref,
                 return occ
 
             def group_body(gi, occ):
-                sh = jnp.clip(glo + gi, 0, 31)
-                bit = (gmask >> sh) & 1
+                bit = _gbit(gw_lo, gw_hi, glo + gi)
                 return jax.lax.cond(
                     bit > 0, lambda oc: group_work(glo + gi, oc),
                     lambda oc: oc, occ)
@@ -1527,15 +1539,16 @@ def _shadow_kernel_pack(ids_ref, perm_ref, gate_ref, gorder_ref,
         def subtile_body(s, _):
             glo = meta_ref[s, 6]
             gn = meta_ref[s, 7]
-            gmask = meta_ref[s, 8]
-            so = meta_ref[s, 9] if compact else s
+            gw_lo = meta_ref[s, 8]
+            gw_hi = meta_ref[s, 9]
+            so = meta_ref[s, 10] if compact else s
 
             @pl.when(gn > 0)
             def _work():
-                walk(s, so, glo, gn, gmask)
+                walk(s, so, glo, gn, gw_lo, gw_hi)
             return 0
 
-        def walk(s, so, glo, gn, gmask):
+        def walk(s, so, glo, gn, gw_lo, gw_hi):
             fs, tms = [], []
             for j in range(k):
                 if shared_o:
@@ -1591,8 +1604,7 @@ def _shadow_kernel_pack(ids_ref, perm_ref, gate_ref, gorder_ref,
             else:
                 def sh_body(st):
                     gi, occ = st
-                    sh = jnp.clip(glo + gi, 0, 31)
-                    bit = (gmask >> sh) & 1
+                    bit = _gbit(gw_lo, gw_hi, glo + gi)
                     occ = jax.lax.cond(
                         bit > 0, lambda oc: group_work(glo + gi, oc),
                         lambda oc: oc, occ)
@@ -1618,7 +1630,7 @@ def _shadow_pack_page_rows(mxu: MXUBVH, planes, hulls, t_cap, eps, k,
     if GROUP_SORT:
         cull, k_n, sortpos, _ = _sorted_group_plan(
             mxu.chunk_bounds, hulls, t_cap)
-        cull = cull[:5] + (k_n.astype(jnp.int32), cull[6])
+        cull = cull[:5] + (k_n.astype(jnp.int32),) + cull[6:]
         sort_in = (sortpos,)
     else:
         cull = _tile_chunk_ranges(mxu.chunk_bounds, hulls, t_cap)
@@ -1844,16 +1856,16 @@ def _grid_specs(nt, n_out, n_planes, n_full_inputs=1, subtiles=SUBTILES,
     )
 
 
-META_W = 10  # lo, n, mlo, mhi, jlo, jhi, glo, gn, gmask, orig-idx
+META_W = 11  # lo, n, mlo, mhi, jlo, jhi, glo, gn, gw_lo, gw_hi, orig
 
 
 def _pack_meta(cull, jlo=None, jhi=None):
-    lo, cn, mlo, mhi, glo, gn, gmask = cull
+    lo, cn, mlo, mhi, glo, gn, gw_lo, gw_hi = cull
     z = jnp.zeros_like(lo)
     return jnp.stack([lo, cn, mlo, mhi,
                       z if jlo is None else jlo,
                       z if jhi is None else jhi,
-                      glo, gn, gmask, z], axis=1)
+                      glo, gn, gw_lo, gw_hi, z], axis=1)
 
 
 # Within-block subtile compaction: the kernels' fori over `subtiles`
@@ -1885,7 +1897,7 @@ def _compact_meta(meta, ids_in, gate, subtiles, ordered):
     orig = jnp.broadcast_to(
         jnp.arange(subtiles, dtype=meta.dtype), (nb, subtiles))
     orig = jnp.take_along_axis(orig, order, axis=1)
-    mb = mb.at[:, :, 9].set(orig)
+    mb = mb.at[:, :, 10].set(orig)
     counts = jnp.sum(ab.astype(jnp.int32), axis=1)
     gate = jnp.where(gate > 0, counts[ids_in], 0).astype(jnp.int32)
     return mb.reshape(nt, META_W), gate
@@ -1985,7 +1997,7 @@ def _closest_page_rows(mxu: MXUBVH, planes, hulls, shared_origin, ordered,
         cull, k_n, sortpos, sufnext = _sorted_group_plan(
             mxu.chunk_bounds, hulls, t_cap)
         # gn slot carries the survivor count (walk bound + subtile gate)
-        cull = cull[:5] + (k_n.astype(jnp.int32), cull[6])
+        cull = cull[:5] + (k_n.astype(jnp.int32),) + cull[6:]
         sort_in = (sortpos, sufnext)
     else:
         cull = _tile_chunk_ranges(mxu.chunk_bounds, hulls, t_cap)
@@ -2130,7 +2142,7 @@ def _shadow_page_rows(mxu: MXUBVH, planes, hulls, t_cap, eps):
     if GROUP_SORT:
         cull, k_n, sortpos, _ = _sorted_group_plan(
             mxu.chunk_bounds, hulls, t_cap)
-        cull = cull[:5] + (k_n.astype(jnp.int32), cull[6])
+        cull = cull[:5] + (k_n.astype(jnp.int32),) + cull[6:]
         sort_in = (sortpos,)
     else:
         cull = _tile_chunk_ranges(mxu.chunk_bounds, hulls, t_cap)

@@ -29,8 +29,10 @@ sys.path.insert(0, _SCRIPTS)
 
 ARMS = {
     "control": {},
+    "pc256g4": {"ORT_PAGE_CHUNKS": "256"},   # 3 pages, NO element waste
     "pc224g8": {"ORT_PAGE_CHUNKS": "224", "ORT_CHUNK_GROUP": "8"},
     "pc336g12": {"ORT_PAGE_CHUNKS": "336", "ORT_CHUNK_GROUP": "12"},
+    "pc672g12": {"ORT_PAGE_CHUNKS": "672", "ORT_CHUNK_GROUP": "12"},
     "pc672g21": {"ORT_PAGE_CHUNKS": "672", "ORT_CHUNK_GROUP": "21"},
 }
 
@@ -59,7 +61,7 @@ def child():
     for page in pages:
         cb = jnp.asarray(page.chunk_bounds)
         hit, _ = bm._chunk_hit_matrix(cb, hulls)
-        (lo, nn, _, _, glo, gn, gmask) = bm._tile_chunk_ranges(
+        (lo, nn, _, _, glo, gn, gmask, _gh) = bm._tile_chunk_ranges(
             cb, hulls, hit=hit)
         gn = np.asarray(gn)
         visits += int((gn > 0).sum())
