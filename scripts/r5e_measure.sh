@@ -1,7 +1,7 @@
 #!/bin/bash
 # Round-5 session E queue — fewer-pages knob matrix (zero code change):
-# the group bitmask holds 32*GROUP chunks, so raising GROUP raises the
-# page capacity: pc224/g8 = 3 pages, pc336/g12 = 2, pc672/g21 = ONE.
+# the TWO-WORD group bitmask holds 64*GROUP chunks: pc256/g4 = 3 pages
+# with NO element waste; pc224/g8 = 3, pc336/g12 = 2, pc672/g21 = 1.
 # Every page is one kernel launch that re-visits every tile (feature
 # re-expansion + subtile scan) — at cf_close that is 97k shadow tiles
 # x 7 pages.  Fewer pages trades per-step MXU elements (bigger groups)
@@ -36,6 +36,7 @@ run_arm () {  # tag extra-env...
 }
 
 run_arm control
+run_arm pc256g4 ORT_PAGE_CHUNKS=256
 run_arm pc224g8 ORT_PAGE_CHUNKS=224 ORT_CHUNK_GROUP=8
 run_arm pc336g12 ORT_PAGE_CHUNKS=336 ORT_CHUNK_GROUP=12
 run_arm pc672g21 ORT_PAGE_CHUNKS=672 ORT_CHUNK_GROUP=21 ORT_SWIZZLE=1
