@@ -72,11 +72,15 @@ def build_parser() -> argparse.ArgumentParser:
                    help="force the CPU backend (the axon TPU plugin "
                         "overrides JAX_PLATFORMS, so an env var is not "
                         "enough)")
-    p.add_argument("--turbo", type=int, default=1,
-                   help="accumulation frames chained device-side per "
-                        "dispatch while the view is idle (camera still, "
-                        "orbit off) — converges Nx faster over the "
-                        "~26 ms-per-dispatch tunneled link")
+    p.add_argument("--turbo", type=int, default=None,
+                   help="frames chained device-side per dispatch: N "
+                        "while idle (camera still, orbit off), min(N,6) "
+                        "while the camera moves (the move frame + "
+                        "settling frames).  Recovers the reference "
+                        "loop's free-running frame rate over the ~26 ms"
+                        "-per-dispatch tunneled link; 1 disables.  "
+                        "Default: 8 in the viewer, 1 headless (--frames "
+                        "counts step() calls)")
     return p
 
 
@@ -109,7 +113,12 @@ def make_app(args) -> Application:
         params = params.replace(point_light_orbit_enabled=1)
     state = AppState(height=h, width=w, params=params)
     application = Application(state=state, jit=args.jit)
-    application.turbo = max(1, int(getattr(args, "turbo", 1)))
+    turbo = getattr(args, "turbo", None)
+    if turbo is None:
+        # viewer defaults to 8 (the reference loop free-runs); headless
+        # keeps 1 so --frames still counts rendered frames exactly
+        turbo = 8 if getattr(args, "_viewer", False) else 1
+    application.turbo = max(1, int(turbo))
 
     if args.resume:
         p, cam, frame, rs = load_snapshot(args.resume)

@@ -579,6 +579,7 @@ def main(argv=None):
                              "(right for remote links)")
     parser.add_argument("--jpeg-quality", type=int, default=85)
     args = parser.parse_args(argv)
+    args._viewer = True  # turbo defaults to 8 here (see build_parser)
     application = make_app(args)
     vs = ViewerState(application, stream_level=args.stream_level,
                      stream_format=args.stream_format,

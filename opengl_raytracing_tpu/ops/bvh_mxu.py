@@ -337,7 +337,8 @@ def _safe_inv(d):
     return 1.0 / jnp.where(d == 0.0, 1e-30, d)
 
 
-def _tile_hulls(ro_soa, rd_soa, act=None, shared_origin=None):
+def _tile_hulls(ro_soa, rd_soa, act=None, shared_origin=None,
+                act_origin=None):
     """Per-tile interval hulls of the ray stream: for each axis,
     (o_lo, o_hi, i_lo, i_hi) [NT] min/max over the tile's ACTIVE lanes
     (i = 1/d), plus the per-tile any-active flag.  This is the part of
@@ -356,6 +357,12 @@ def _tile_hulls(ro_soa, rd_soa, act=None, shared_origin=None):
     Everything is SoA with packed layouts — a flat [R,3] array lane-pads
     its minor dim 43x on TPU (measured: each pass over one costs ~7ms at
     12M rays).
+
+    `act_origin` (shared-origin wavefronts only): per-batch `act` rows
+    may DIFFER once per-batch window collapses (ndl gate, SPP dedup)
+    fold into the mask — the single origin-plane copy must then reduce
+    under the OR over batches (a lane alive in ANY batch needs its
+    origin inside the hull), which the caller provides here.
     """
     nt = rd_soa[0].shape[0] // TILE_RAYS
     act_t = None if act is None else act.reshape(nt, TILE_RAYS)
@@ -378,7 +385,10 @@ def _tile_hulls(ro_soa, rd_soa, act=None, shared_origin=None):
             # slice is the right one)
             nt_o = ro_soa[k].shape[0] // TILE_RAYS
             o = ro_soa[k].reshape(nt_o, TILE_RAYS)
-            a_o = act_t[:nt_o] if act_t is not None else None
+            if act_origin is not None:
+                a_o = act_origin.reshape(nt_o, TILE_RAYS)
+            else:
+                a_o = act_t[:nt_o] if act_t is not None else None
             if a_o is not None:
                 o_lo = jnp.min(jnp.where(a_o, o, INF), axis=1)
                 o_hi = jnp.max(jnp.where(a_o, o, -INF), axis=1)
@@ -1375,11 +1385,29 @@ def trace_bvh_shadow_mxu_paged(mxu, ro, rd, t_max, eps: float = EPS,
 
 def _shadow_stream(ro_soa, rd_soa, tm, act):
     """(t_cap, hulls, planes) of a prepped shadow stream; origin planes
-    may hold one batch of a shared-origin wavefront (shorter)."""
+    may hold one batch of a shared-origin wavefront (shorter).
+
+    Collapsed windows (tm <= 0: inactive lanes, pads, ndl-gated rays,
+    SPP-dedup duplicates) fold into the HULL mask: those lanes can
+    never produce a consumable occlusion (outputs are stripped by the
+    tm > 0 mask in _shadow_unpack), so excluding them tightens every
+    mixed tile's hull and culls all-dead tiles outright — the window
+    collapse machinery becomes a cull-level saving, not just a
+    dead-lane seed.  Exact by the same argument as `act` gating."""
     nt = rd_soa[0].shape[0] // TILE_RAYS
     t_cap = jnp.max(tm.reshape(nt, TILE_RAYS), axis=1)
-    hulls = _tile_hulls(ro_soa, rd_soa, act)
+    if os.environ.get("ORT_WINDOW_HULLS", "1") != "1":
+        eff = act                      # legacy: act-only hull gating
+    else:
+        eff = (tm > 0.0) if act is None else (act & (tm > 0.0))
     nt_o = ro_soa[0].shape[0] // TILE_RAYS
+    act_o = None
+    if nt_o != nt and eff is not None:
+        # shared-origin wavefront: per-batch eff rows differ — origin
+        # stats reduce under the OR over batches (see _tile_hulls)
+        k = nt // nt_o
+        act_o = jnp.any(eff.reshape(k, nt_o * TILE_RAYS), axis=0)
+    hulls = _tile_hulls(ro_soa, rd_soa, eff, act_origin=act_o)
     if nt_o != nt:
         planes = ([v.reshape(nt_o, TILE_RAYS) for v in ro_soa]
                   + [v.reshape(nt, TILE_RAYS) for v in (*rd_soa, tm)])

@@ -309,10 +309,25 @@ def direct_light_bvh(scene: SceneCtx, h, rng_frame, frame_index, vdir,
     xls = [center + t_axis * (dx * LIGHT_RADIUS)[..., None]
            + b_axis * (dy * LIGHT_RADIUS)[..., None] for dx, dy in offs]
     occ_disk = blocked_sun = blocked_point = None
+    # ndl gate (ORT_NDL_SHADOW_GATE=0 reverts): the reference never
+    # consumes a shadow result where the surface faces away from the
+    # light — sunDirect/pointDirect RETURN before the trace when
+    # ndl <= 0 (rt_lighting.glsl:122-137, 193-207), and the disk loop
+    # multiplies vis by geom = ndl*cosThetaL/r2 == 0
+    # (rt_lighting.glsl:433-445).  Collapsing those windows to -1 makes
+    # the any-hit kernel skip the rays (dead-lane seeding) with
+    # BIT-IDENTICAL output; at the close camera roughly half the
+    # surface faces away from any given light.
+    ndl_gate = os.environ.get("ORT_NDL_SHADOW_GATE", "1") == "1"
+
     if scene.use_bvh:
         origins, dirs, wins = [], [], []
         for xl in xls:
             o, d, w = _segment_shadow_query(h.p, xl)
+            if ndl_gate:
+                facing = ((dot(n, d) > 0.0)
+                          & (dot(d, -jnp.asarray(LIGHT_N)) > 0.0))
+                w = jnp.where(facing, w, -1.0)
             origins.append(o)
             dirs.append(d)
             wins.append(w)
@@ -325,11 +340,15 @@ def direct_light_bvh(scene: SceneCtx, h, rng_frame, frame_index, vdir,
 
         if params.sun_enabled:
             o, d, w = _sun_shadow_query(scene, h, n)
+            if ndl_gate:
+                w = jnp.where(dot(n, d) > 0.0, w, -1.0)
             origins.append(o)
             dirs.append(d)
             wins.append(_sample0_only(w) if spp_dedup else w)
         if params.point_light_enabled:
             o, d, w = _point_shadow_query(scene, h)
+            if ndl_gate:
+                w = jnp.where(dot(n, d) > 0.0, w, -1.0)
             origins.append(o)
             dirs.append(d)
             wins.append(_sample0_only(w) if spp_dedup else w)

@@ -386,3 +386,26 @@ def test_spp_shadow_dedup_bit_identical(monkeypatch):
     # the production TPU path: dead-lane (collapsed-window) handling in
     # the any-hit kernel wavefront (interpret mode off-TPU)
     np.testing.assert_array_equal(frame("1", mxu="1"), frame("0", mxu="1"))
+
+
+def test_ndl_shadow_gate_bit_identical(monkeypatch):
+    """ORT_NDL_SHADOW_GATE collapses shadow windows the reference never
+    consumes (backfacing ndl<=0 / light-backside cosThetaL<=0 — the
+    GLSL returns before the trace or multiplies by geom==0); output
+    must be bit-identical on the jnp and MXU kernel paths."""
+    mesh = make_bunny(2)
+    tris = gather_triangles(mesh, model_transform((-2, 1.5, 0), 0.5))
+    arrs = prepare_bvh(tris)
+    fin = make_inputs()
+
+    def frame(gate, mxu="0"):
+        monkeypatch.setenv("ORT_NDL_SHADOW_GATE", gate)
+        monkeypatch.setenv("ORT_FORCE_MXU", mxu)
+        params = preset("realistic")
+        state = RenderState.create(H, W)
+        _, out = render_frame(params, fin, state, bvh=arrs,
+                              height=H, width=W, use_bvh=True)
+        return np.asarray(out.image)
+
+    np.testing.assert_array_equal(frame("1"), frame("0"))
+    np.testing.assert_array_equal(frame("1", mxu="1"), frame("0", mxu="1"))
