@@ -72,6 +72,7 @@ run_arm subtiles16 "baseline" ORT_SUBTILES=16
 run_arm subtiles8 "baseline" ORT_SUBTILES=8
 run_arm sppdedup0 "heavy" ORT_SPP_SHADOW_DEDUP=0
 run_arm ndlgate0 "cf_close,baseline,heavy" ORT_NDL_SHADOW_GATE=0
+run_arm whulls0 "cf_close" ORT_WINDOW_HULLS=0
 run_arm spack1 "heavy,full" ORT_SHADOW_PACK=1
 
 echo DONE
