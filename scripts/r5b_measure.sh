@@ -42,14 +42,9 @@ done
 # 21:58 run wedged the worker mid-compile and its snapshot predated
 # the perturbation fix)
 
-# 2. DEFER_NORMAL pair at the default walk
-: > /tmp/r5b_defer.log
-for d in 0 1; do
-  BENCH_SKIP_PROBE=1 BENCH_CASES=baseline,cf_far,cf_close \
-    BENCH_FRAMES=8 BENCH_BUDGET=1400 BENCH_TIMEOUT=900 \
-    ORT_DEFER_NORMAL=$d timeout 1500 python bench.py 2>&1 \
-    | sed "s/^{/{\"defer\": $d, /" | tee -a /tmp/r5b_defer.log
-done
+# (DEFER_NORMAL pair dropped: the r3-era measurement had deferred
+# normals 3.2x slower and the r5 priority is the exit sweep + an_full
+# attribution inside the shrinking worker window)
 
 # 3. an_full stage ablation at current defaults
 : > /tmp/r5b_anablate.log

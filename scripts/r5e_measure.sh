@@ -37,8 +37,6 @@ run_arm () {  # tag extra-env...
 
 run_arm control
 run_arm pc256g4 ORT_PAGE_CHUNKS=256
-run_arm pc224g8 ORT_PAGE_CHUNKS=224 ORT_CHUNK_GROUP=8
-run_arm pc336g12 ORT_PAGE_CHUNKS=336 ORT_CHUNK_GROUP=12
 run_arm pc672g21 ORT_PAGE_CHUNKS=672 ORT_CHUNK_GROUP=21 ORT_SWIZZLE=1
 
 echo DONE
