@@ -9,6 +9,11 @@ cd "$(dirname "$0")/.."
 export JAX_COMPILATION_CACHE_DIR=/root/.jax_cache
 export JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS=5
 
+# analysis hold: the operator banks the previous session + flips
+# defaults, then removes the marker (chains re-clone HEAD per retry,
+# so flips land in the next attempt's tree)
+while [ -f /tmp/R5_HOLD ]; do sleep 30; done
+
 timeout 150 python scripts/childproc.py --probe \
   || { echo 'TPU unreachable, aborting'; exit 1; }
 
