@@ -13,9 +13,9 @@ export JAX_COMPILATION_CACHE_DIR=/root/.jax_cache
 export JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS=5
 
 # analysis hold: the operator banks the previous session + flips
-# defaults, then removes the marker (chains re-clone HEAD per retry,
-# so flips land in the next attempt's tree)
-while [ -f /tmp/R5_HOLD ]; do sleep 30; done
+# defaults, then removes the marker.  EXIT (not wait): the chainer
+# retries with a FRESH clone, so the flips land in the measured tree.
+if [ -f /tmp/R5_HOLD ]; then echo 'held for analysis (no DONE)'; exit 1; fi
 
 timeout 150 python scripts/childproc.py --probe \
   || { echo 'TPU unreachable, aborting'; exit 1; }
