@@ -17,6 +17,11 @@ export JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS=5
 timeout 150 python scripts/childproc.py --probe \
   || { echo 'TPU unreachable, aborting'; exit 1; }
 
+# the two-word group masks changed kernel code — compile-verify against
+# the real Mosaic compiler before spending measurement time (r4b lesson)
+timeout 600 python scripts/aot_check.py 2>&1 | tee /tmp/r5b_aot.log
+grep -q 'AOT FAIL' /tmp/r5b_aot.log && { echo 'AOT FAIL — aborting'; exit 1; }
+
 : > /tmp/r5b_canary.log
 BENCH_SKIP_PROBE=1 BENCH_CASES=baseline BENCH_FRAMES=8 BENCH_BUDGET=500 \
   timeout 600 python bench.py 2>&1 | tee /tmp/r5b_canary.log
