@@ -37,7 +37,7 @@ fi
 #    (jnp.min(occ) feeding the loop bound) on EVERY window step.
 : > /tmp/r5b_exit.log
 for ev in 8 0 4 1; do
-  env BENCH_SKIP_PROBE=1 BENCH_CASES=cf_close,cf_far,baseline \
+  env BENCH_SKIP_PROBE=1 BENCH_CASES=cf_close,baseline,heavy \
     BENCH_FRAMES=8 BENCH_BUDGET=1300 BENCH_TIMEOUT=900 \
     ORT_SHADOW_EXIT_EVERY=$ev timeout 1400 python bench.py 2>&1 \
     | sed "s/^{/{\"exit_every\": $ev, /" | tee -a /tmp/r5b_exit.log
