@@ -103,6 +103,15 @@ SHADOW_PRECISION = _PREC[os.environ.get("ORT_SHADOW_PRECISION", "default")]
 # ceil(PAGE_CHUNKS/GROUP) <= 32.
 GROUP = int(os.environ.get("ORT_CHUNK_GROUP", "4"))
 
+# Group-mask words per tile: the walk bitmask spans ceil(PAGE_CHUNKS /
+# GROUP) groups at 32 bits per int32 word (minimum 2 keeps the meta
+# layout stable for default configs).  Lets any page size ride any
+# GROUP: ORT_PAGE_CHUNKS=672 at GROUP=4 (single page, unchanged MXU
+# element count) needs 6 words.
+_NW = max(2, -(-(-(-int(os.environ.get("ORT_PAGE_CHUNKS", "96"))
+                   // GROUP)) // 32))
+_ORIG_COL = 8 + _NW          # compact-mode original-subtile-index col
+
 # Order positions per scalar step of the ORDERED front-to-back walk.
 # The per-chunk walk pays the ~450ns scalar iteration per position —
 # close cameras open wide windows (the 81,920-tri cf_close frame
@@ -506,22 +515,20 @@ def _tile_chunk_ranges(chunk_bounds, hulls, t_cap=None, hit=None):
     # to 64*GROUP chunks — the fewer-pages configurations (r5e) at
     # unchanged GROUP granularity.
     ng = -(-nc // GROUP)
-    assert ng <= 64, f"page too large for group mask ({nc} chunks)"
+    assert ng <= 32 * _NW, f"page too large for group mask ({nc} chunks)"
     pad = ng * GROUP - nc
     hit_p = jnp.pad(hit, ((0, pad), (0, 0))) if pad else hit
     ghit = jnp.any(hit_p.reshape(ng, GROUP, nt), axis=1)
-    gw_lo = jnp.zeros(nt, jnp.uint32)
-    gw_hi = jnp.zeros(nt, jnp.uint32)
-    for g in range(min(ng, 32)):
-        gw_lo = gw_lo | (ghit[g].astype(jnp.uint32) << jnp.uint32(g))
-    for g in range(32, ng):
-        gw_hi = gw_hi | (ghit[g].astype(jnp.uint32) << jnp.uint32(g - 32))
+    words = [jnp.zeros(nt, jnp.uint32) for _ in range(_NW)]
+    for g in range(ng):
+        words[g // 32] = words[g // 32] | (
+            ghit[g].astype(jnp.uint32) << jnp.uint32(g % 32))
     glo = lo // GROUP
     ghi_g = -(-(lo + n) // GROUP)
     gn = jnp.where(n > 0, ghi_g - glo, 0)
     return (lo.astype(jnp.int32), n.astype(jnp.int32), mask_lo, mask_hi,
             glo.astype(jnp.int32), gn.astype(jnp.int32),
-            gw_lo.astype(jnp.int32), gw_hi.astype(jnp.int32))
+            *[w.astype(jnp.int32) for w in words])
 
 
 def _sorted_group_plan(chunk_bounds, hulls, t_cap=None):
@@ -647,10 +654,12 @@ def _epilogue_inputs(out_uv, out_dt, eps):
     return t, acc
 
 
-def _gbit(gw_lo, gw_hi, g):
-    """Bit g of the two-word per-tile group mask (scalar-core ops)."""
-    word = jnp.where(g < 32, gw_lo, gw_hi)
-    sh = jnp.clip(jnp.where(g < 32, g, g - 32), 0, 31)
+def _gbit(words, g):
+    """Bit g of the _NW-word per-tile group mask (scalar-core ops)."""
+    word = words[-1]
+    for i in reversed(range(len(words) - 1)):
+        word = jnp.where(g < 32 * (i + 1), words[i], word)
+    sh = jnp.clip(jax.lax.rem(g, 32), 0, 31)
     return (word >> sh) & 1
 
 
@@ -792,7 +801,7 @@ def _closest_kernel(ids_ref, perm_ref, gate_ref, gorder_ref, gbound_ref,
             mhi = meta_ref[s, 3]
             # compact mode: meta rows are actives-first; col 9 carries
             # the row's ORIGINAL subtile index for plane reads + writes
-            so = meta_ref[s, 10] if compact else s
+            so = meta_ref[s, _ORIG_COL] if compact else s
 
             # Per-subtile empty gate: sky/window-collapsed subtiles skip
             # the feature expansion, the walk, and the row writes (the
@@ -939,8 +948,7 @@ def _closest_kernel(ids_ref, perm_ref, gate_ref, gorder_ref, gbound_ref,
                 # all-miss groups.
                 glo = meta_ref[s, 6]
                 gn = meta_ref[s, 7]   # gsort mode: k_n (survivor count)
-                gw_lo = meta_ref[s, 8]
-                gw_hi = meta_ref[s, 9]
+                gws = [meta_ref[s, 8 + i] for i in range(_NW)]
 
                 def group_work_abs(gabs, carry):
                     base = gabs * GROUP
@@ -985,7 +993,7 @@ def _closest_kernel(ids_ref, perm_ref, gate_ref, gorder_ref, gbound_ref,
                         (jnp.int32(0), carry0))
                 else:
                     def group_body(gi, carry):
-                        bit = _gbit(gw_lo, gw_hi, glo + gi)
+                        bit = _gbit(gws, glo + gi)
                         return jax.lax.cond(
                             bit > 0,
                             lambda cr: group_work_abs(glo + gi, cr),
@@ -1026,9 +1034,8 @@ def _shadow_kernel(ids_ref, perm_ref, gate_ref, gorder_ref, gbound_ref,
         def subtile_body(s, _):
             glo = meta_ref[s, 6]
             gn = meta_ref[s, 7]
-            gw_lo = meta_ref[s, 8]
-            gw_hi = meta_ref[s, 9]
-            so = meta_ref[s, 10] if compact else s
+            gws = [meta_ref[s, 8 + i] for i in range(_NW)]
+            so = meta_ref[s, _ORIG_COL] if compact else s
 
             # Per-subtile empty gate (see _closest_kernel): subtiles whose
             # cull emptied (sky lanes, collapsed windows) keep the
@@ -1037,10 +1044,10 @@ def _shadow_kernel(ids_ref, perm_ref, gate_ref, gorder_ref, gbound_ref,
             if KERN_VARIANT != "nowalk":
                 @pl.when(gn > 0)
                 def _work():
-                    walk(s, so, glo, gn, gw_lo, gw_hi)
+                    walk(s, so, glo, gn, gws)
             return 0
 
-        def walk(s, so, glo, gn, gw_lo, gw_hi):
+        def walk(s, so, glo, gn, gws):
             f = _expand_features(
                 (ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, tm_ref),
                 so, with_tmax=True)
@@ -1096,7 +1103,7 @@ def _shadow_kernel(ids_ref, perm_ref, gate_ref, gorder_ref, gbound_ref,
                 return occ
 
             def group_body(gi, occ):
-                bit = _gbit(gw_lo, gw_hi, glo + gi)
+                bit = _gbit(gws, glo + gi)
                 return jax.lax.cond(
                     bit > 0, lambda oc: group_work(glo + gi, oc),
                     lambda oc: oc, occ)
@@ -1567,16 +1574,15 @@ def _shadow_kernel_pack(ids_ref, perm_ref, gate_ref, gorder_ref,
         def subtile_body(s, _):
             glo = meta_ref[s, 6]
             gn = meta_ref[s, 7]
-            gw_lo = meta_ref[s, 8]
-            gw_hi = meta_ref[s, 9]
-            so = meta_ref[s, 10] if compact else s
+            gws = [meta_ref[s, 8 + i] for i in range(_NW)]
+            so = meta_ref[s, _ORIG_COL] if compact else s
 
             @pl.when(gn > 0)
             def _work():
-                walk(s, so, glo, gn, gw_lo, gw_hi)
+                walk(s, so, glo, gn, gws)
             return 0
 
-        def walk(s, so, glo, gn, gw_lo, gw_hi):
+        def walk(s, so, glo, gn, gws):
             fs, tms = [], []
             for j in range(k):
                 if shared_o:
@@ -1632,7 +1638,7 @@ def _shadow_kernel_pack(ids_ref, perm_ref, gate_ref, gorder_ref,
             else:
                 def sh_body(st):
                     gi, occ = st
-                    bit = _gbit(gw_lo, gw_hi, glo + gi)
+                    bit = _gbit(gws, glo + gi)
                     occ = jax.lax.cond(
                         bit > 0, lambda oc: group_work(glo + gi, oc),
                         lambda oc: oc, occ)
@@ -1884,16 +1890,16 @@ def _grid_specs(nt, n_out, n_planes, n_full_inputs=1, subtiles=SUBTILES,
     )
 
 
-META_W = 11  # lo, n, mlo, mhi, jlo, jhi, glo, gn, gw_lo, gw_hi, orig
+META_W = 9 + _NW   # lo,n,mlo,mhi,jlo,jhi,glo,gn, _NW mask words, orig
 
 
 def _pack_meta(cull, jlo=None, jhi=None):
-    lo, cn, mlo, mhi, glo, gn, gw_lo, gw_hi = cull
+    lo, cn, mlo, mhi, glo, gn, *gws = cull
     z = jnp.zeros_like(lo)
     return jnp.stack([lo, cn, mlo, mhi,
                       z if jlo is None else jlo,
                       z if jhi is None else jhi,
-                      glo, gn, gw_lo, gw_hi, z], axis=1)
+                      glo, gn, *gws, z], axis=1)
 
 
 # Within-block subtile compaction: the kernels' fori over `subtiles`
@@ -1925,7 +1931,7 @@ def _compact_meta(meta, ids_in, gate, subtiles, ordered):
     orig = jnp.broadcast_to(
         jnp.arange(subtiles, dtype=meta.dtype), (nb, subtiles))
     orig = jnp.take_along_axis(orig, order, axis=1)
-    mb = mb.at[:, :, 10].set(orig)
+    mb = mb.at[:, :, _ORIG_COL].set(orig)
     counts = jnp.sum(ab.astype(jnp.int32), axis=1)
     gate = jnp.where(gate > 0, counts[ids_in], 0).astype(jnp.int32)
     return mb.reshape(nt, META_W), gate

@@ -30,6 +30,7 @@ sys.path.insert(0, _SCRIPTS)
 ARMS = {
     "control": {},
     "pc256g4": {"ORT_PAGE_CHUNKS": "256"},   # 3 pages, NO element waste
+    "pc672g4": {"ORT_PAGE_CHUNKS": "672"},   # 1 page, NO element waste
     "pc224g8": {"ORT_PAGE_CHUNKS": "224", "ORT_CHUNK_GROUP": "8"},
     "pc336g12": {"ORT_PAGE_CHUNKS": "336", "ORT_CHUNK_GROUP": "12"},
     "pc672g12": {"ORT_PAGE_CHUNKS": "672", "ORT_CHUNK_GROUP": "12"},

@@ -42,6 +42,7 @@ run_arm () {  # tag extra-env...
 
 run_arm control
 run_arm pc256g4 ORT_PAGE_CHUNKS=256
+run_arm pc672g4 ORT_PAGE_CHUNKS=672 ORT_SWIZZLE=1
 run_arm pc672g21 ORT_PAGE_CHUNKS=672 ORT_CHUNK_GROUP=21 ORT_SWIZZLE=1
 
 echo DONE
