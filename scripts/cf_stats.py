@@ -122,7 +122,7 @@ def main():
         tot_pairs = tot_groups = tot_steps = 0
         per_page = []
         for page in bvh.mxu:
-            lo, nn, _, _, glo, gn, gmask, _ghi = bm._tile_chunk_ranges(
+            lo, nn, _, _, glo, gn, *_gw = bm._tile_chunk_ranges(
                 page.chunk_bounds, hulls, t_cap=cap_j)
             gm = np.asarray(gmask).astype(np.uint32)
             pop = np.array([bin(x).count("1") for x in gm],
@@ -195,7 +195,7 @@ def main():
         cap_b = jnp.asarray(wn_t.max(1).astype(np.float32))
         g = s = 0
         for page in bvh.mxu:
-            _, nn, _, _, _, gn, gmask, _ghi = bm._tile_chunk_ranges(
+            _, nn, _, _, _, gn, *_gw = bm._tile_chunk_ranges(
                 page.chunk_bounds, hulls_b, t_cap=cap_b)
             gm = np.asarray(gmask).astype(np.uint32)
             g += int(np.array([bin(x).count("1") for x in gm],

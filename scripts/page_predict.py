@@ -62,7 +62,7 @@ def child():
     for page in pages:
         cb = jnp.asarray(page.chunk_bounds)
         hit, _ = bm._chunk_hit_matrix(cb, hulls)
-        (lo, nn, _, _, glo, gn, gmask, _gh) = bm._tile_chunk_ranges(
+        (lo, nn, _, _, glo, gn, *_gw) = bm._tile_chunk_ranges(
             cb, hulls, hit=hit)
         gn = np.asarray(gn)
         visits += int((gn > 0).sum())

@@ -355,7 +355,7 @@ def test_pad_chunks_fail_cull():
         rd = np.tile(np.asarray(rd_row, np.float32), (n_rays, 1))
         soa_o = tuple(jnp.asarray(ro[:, k]) for k in range(3))
         soa_d = tuple(jnp.asarray(rd[:, k]) for k in range(3))
-        lo, n, _, _, _, gn, _, _ = _tile_chunk_ranges(
+        lo, n, _, _, _, gn, *_gw = _tile_chunk_ranges(
             mxu.chunk_bounds, _tile_hulls(soa_o, soa_d))
         return np.asarray(n), np.asarray(gn)
 
