@@ -776,3 +776,25 @@ def test_shadow_exit_cadence_bit_identical(scene, monkeypatch):
     np.testing.assert_array_equal(outs[1], outs[8])
     np.testing.assert_array_equal(outs[1], outs[0])
     assert outs[1].any()  # non-degenerate scene
+
+
+def test_window_aware_hulls_shared_origin_differing_windows(scene):
+    """Window-collapsed lanes fold into the hull mask; on a SHARED-
+    origin wavefront the per-batch masks may differ (ndl gating), and
+    the single origin-plane copy must reduce under the OR over batches
+    — a lane collapsed in batch 0 but live in batch 1 keeps its origin
+    in the hull.  Each batch must match its solo trace exactly."""
+    mxu, tris = scene
+    ro, rd1 = _rays(41)
+    _, rd2 = _rays(42)
+    rng = np.random.RandomState(3)
+    tm1 = jnp.where(jnp.asarray(rng.rand(N_RAYS) > 0.5),
+                    jnp.float32(6.0), jnp.float32(-1.0))
+    tm2 = jnp.full((N_RAYS,), 6.0, jnp.float32)
+
+    s_pair = trace_bvh_shadow_mxu(mxu, (ro, ro), (rd1, rd2), (tm1, tm2))
+    s1 = trace_bvh_shadow_mxu(mxu, ro, rd1, tm1)
+    s2 = trace_bvh_shadow_mxu(mxu, ro, rd2, tm2)
+    np.testing.assert_array_equal(np.asarray(s_pair[0]), np.asarray(s1))
+    np.testing.assert_array_equal(np.asarray(s_pair[1]), np.asarray(s2))
+    assert np.asarray(s2).any()
