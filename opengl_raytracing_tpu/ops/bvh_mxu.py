@@ -195,8 +195,13 @@ PAGE_TCAP = os.environ.get("ORT_PAGE_TCAP", "1") == "1"
 # occlusion vector to a scalar loop bound — a vector->scalar sync per
 # window step in the =1 (legacy) form.  N>1 checks every N bitmask
 # steps (scalar-only in between); 0 removes the exit (pure fori).
-# Default stays 1 (legacy) until the r5c sweep (1/4/8/0) lands.
-SHADOW_EXIT_EVERY = int(os.environ.get("ORT_SHADOW_EXIT_EVERY", "1"))
+# Default 8 (r5b session, 2026-08-21): same-session baseline pair
+# 9.62 ms (exit=1 canary) vs 9.49 (exit=8); cf_close 105.17 with the
+# full shadow-economics stack (vs 520 at r4d defaults); the amortized
+# form's extra work is bounded by K-1 group steps per tile while the
+# removed sync is per-step.  ORT_SHADOW_EXIT_EVERY=1 reverts (also in
+# bench safe-mode).
+SHADOW_EXIT_EVERY = int(os.environ.get("ORT_SHADOW_EXIT_EVERY", "8"))
 
 # Near-first dynamic page order (multiplies the t-cap's effect): pages
 # stack into one [P,...] slab set and a lax.scan walks them through a
